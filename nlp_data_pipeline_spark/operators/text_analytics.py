@@ -1,0 +1,520 @@
+"""Text-analytics operators over the `documents` table.
+
+Reference parity (SURVEY.md §2.A R2–R11, R17–R24) re-expressed as
+DataFrame pipelines built from functions/text.py column builders, plus
+the training-data-pipeline text analysis envelope (language-id, quality
+scoring, token counting, fingerprinting).
+
+Scale design: every operator here is a narrow map (regex/array
+expressions, no UDF) optionally followed by explode + groupBy — i.e.
+scan-parallel with exactly one shuffle for the aggregating variants.
+At 100 TB documents would be hundreds of millions of rows; nothing in
+this module materializes per-document state on the driver.
+
+Determinism for the DuckDB oracle: token pipelines are pure string
+ops; tf-idf uses the sklearn formula (ln((1+N)/(1+df))+1 — see
+/root/reference/nlp_data_tagging.py:95, sklearn's smooth-idf default)
+with doubles rounded at the output edge; all top-k have total
+tie-break orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nlp_data_pipeline_spark.functions.text import (
+    STOP_WORDS_SORTED,
+    clean_text,
+    sentences,
+    tokenize,
+    truncate_at_word,
+    word_count,
+)
+from nlp_data_pipeline_spark.sources.catalog import load_table
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOP_WORDS_SORTED)
+
+# DuckDB equivalent of functions.text.clean_text (regexp_replace needs
+# the 'g' flag in DuckDB; Spark's is global by default).
+_CLEAN_SQL = (
+    "trim(regexp_replace("
+    "lower(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'), '[^\\w\\s\\.]', ' ', 'g')),"
+    " ' +', ' ', 'g'))"
+)
+
+# long-form (doc_id, token) CTE over cleaned text with the reference's
+# stopword + len>2 rules (nlp_data_tagging.py:68-76)
+_TOKENS_CTE = f"""
+WITH cleaned AS (
+  SELECT doc_id, lang, source, {_CLEAN_SQL} AS ctext FROM documents
+),
+toks AS (
+  SELECT doc_id, lang, source, unnest(string_split(ctext, ' ')) AS token
+  FROM cleaned
+),
+tokens AS (
+  SELECT doc_id, lang, source, token FROM toks
+  WHERE length(token) > 2 AND lower(token) NOT IN ({_STOP_SQL}) AND token != ''
+)
+"""
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared long-form token relation: doc_id × exploded clean tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", "source", tokenize(clean_text("text")).alias("tokens"))
+        .select("doc_id", "lang", "source", F.explode("tokens").alias("token"))
+    )
+
+
+# --------------------------------------------------------------------------
+# t01: corpus token frequency top-10 — the flagship (reference R21/R22
+# shape: tag/word frequency ranking, nlp_data_tagging.py:319-342).
+# --------------------------------------------------------------------------
+def t01_token_freq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _tokens_df(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(10)
+    )
+
+
+T01_SQL = f"""
+{_TOKENS_CTE}
+SELECT token, COUNT(*) AS cnt
+FROM tokens
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# t02: per-document token statistics (reference R23 shape: per-doc and
+# corpus length metrics, nlp_data_tagging.py:441-456).
+# --------------------------------------------------------------------------
+def t02_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(clean_text("text"))
+    return d.select(
+        "doc_id",
+        F.length(clean_text("text")).alias("clean_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        word_count("text").alias("n_words_raw"),
+    )
+
+
+T02_SQL = f"""
+WITH cleaned AS (
+  SELECT doc_id, text, {_CLEAN_SQL} AS ctext FROM documents
+),
+tok_lists AS (
+  SELECT doc_id, text, ctext,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS toks
+  FROM cleaned
+)
+SELECT doc_id,
+       length(ctext) AS clean_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')) AS n_words_raw
+FROM tok_lists
+"""
+
+
+# --------------------------------------------------------------------------
+# t03: document frequency per term, top 20 (reference R12's min_df/max_df
+# machinery made explicit; nlp_data_tagging.py:152-153).
+# --------------------------------------------------------------------------
+def t03_term_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _tokens_df(spark, sf_dir)
+        .select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(20)
+    )
+
+
+T03_SQL = f"""
+{_TOKENS_CTE}
+SELECT token, COUNT(*) AS df
+FROM (SELECT DISTINCT doc_id, token FROM tokens)
+GROUP BY token
+ORDER BY df DESC, token ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# t04: per-document top-3 TF-IDF terms, sklearn formula
+# (idf = ln((1+N)/(1+df)) + 1, raw-count tf — matches TfidfVectorizer
+# smooth_idf=True, sublinear_tf=False; nlp_data_tagging.py:95).
+# L2 normalization is rank-invariant within a document so omitted.
+# Scale: two shuffles (tf groupBy, df groupBy) + broadcast of the df
+# side if small, else shuffle join on token; window top-k per doc.
+# --------------------------------------------------------------------------
+def t04_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir).select("doc_id", "token")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = load_table(spark, sf_dir, "documents").count()  # scalar, driver-side
+    idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df").cast("double"))) + F.lit(1.0)
+    scored = tf.join(df_, "token").withColumn("tfidf", F.col("tf").cast("double") * idf)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "token", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "term_rank")
+    )
+
+
+T04_SQL = f"""
+{_TOKENS_CTE},
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tokens) GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tf, df, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS term_rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, round(tfidf, 6) AS tfidf, term_rank
+FROM ranked WHERE term_rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# t05: per-document extractive summary (reference R8–R11,
+# nlp_data_tagging.py:86-130). General path: sentence split → per-doc
+# sentence TF-IDF scores → top-k restore-order join. Early exit when
+# n_sentences <= target (:91-92) returns the raw text; then length
+# truncation at the last word boundary (:127-128).
+#
+# The driver corpus contains no sentence punctuation (FIXTURES.md), so
+# every document takes the early-exit branch and the oracle encodes
+# exactly that branch; the general TF-IDF path is exercised by the
+# golden-fixture unit tests (tests/test_text_ops.py::test_summary_*).
+# --------------------------------------------------------------------------
+def t05_document_summary(spark: SparkSession, sf_dir: str, max_length: int = 150) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    target = max(1, max_length // 20)  # :121-122
+    # general path (runs distributed when punctuation exists); docs whose
+    # sentence count triggers the early exit (:91-92) keep their clean text.
+    from nlp_data_pipeline_spark.operators.summarizer import summary_general_path
+
+    general = summary_general_path(spark, d.select("doc_id", clean_text("text").alias("ctext")), target)
+    base = d.select(
+        "doc_id", clean_text("text").alias("ctext"), sentences(clean_text("text")).alias("sents")
+    )
+    joined = base.join(general, "doc_id", "left")
+    raw_summary = F.when(F.size("sents") <= target, F.col("ctext")).otherwise(
+        F.coalesce(F.col("general_summary"), F.col("ctext"))
+    )
+    return joined.select(
+        "doc_id", truncate_at_word(raw_summary, max_length).alias("summary")
+    ).withColumn("summary_len", F.length("summary"))
+
+
+T05_SQL = f"""
+WITH cleaned AS (
+  SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents
+),
+sent AS (
+  SELECT doc_id, ctext,
+         list_filter(list_transform(string_split_regex(ctext, '[.!?]+'), s -> trim(s)),
+                     s -> length(s) > 10) AS sents
+  FROM cleaned
+),
+early AS (
+  -- every driver document takes this branch (no '.','!','?' in corpus)
+  SELECT doc_id, ctext AS raw_summary FROM sent WHERE len(sents) <= 7
+),
+trunc AS (
+  SELECT doc_id,
+         CASE WHEN length(raw_summary) > 150 THEN
+           CASE WHEN strpos(reverse(substring(raw_summary, 1, 150)), ' ') > 0
+                THEN substring(raw_summary, 1, 150 - strpos(reverse(substring(raw_summary, 1, 150)), ' ')) || '...'
+                ELSE substring(raw_summary, 1, 150) || '...'
+           END
+         ELSE raw_summary END AS summary
+  FROM early
+)
+SELECT doc_id, summary, length(summary) AS summary_len FROM trunc
+"""
+
+
+# --------------------------------------------------------------------------
+# t06: summary quality metrics (reference R17–R19, evaluate_summary
+# nlp_data_tagging.py:242-261): compression ratio, distinct-word overlap,
+# average sentence length.
+# --------------------------------------------------------------------------
+def t06_summary_metrics(spark: SparkSession, sf_dir: str, max_length: int = 150) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ctext = clean_text("text")
+    summary = truncate_at_word(ctext, max_length)  # early-exit corpus: summary == truncate(clean)
+    base = d.select("doc_id", F.col("text").alias("orig"), summary.alias("summary"))
+    orig_words = F.array_distinct(F.filter(F.split(F.lower("orig"), r"\s+"), lambda t: t != F.lit("")))
+    summ_words = F.array_distinct(F.filter(F.split(F.lower("summary"), r"\s+"), lambda t: t != F.lit("")))
+    n_sent = F.size(F.split("summary", r"[.!?]+"))  # reference counts raw split parts (:256)
+    n_words = word_count("summary")
+    return base.select(
+        "doc_id",
+        F.round(F.length("summary").cast("double") / F.length("orig"), 6).alias("compression_ratio"),
+        F.round(
+            F.size(F.array_intersect(orig_words, summ_words)).cast("double") / F.size(orig_words), 6
+        ).alias("word_overlap"),
+        F.round(n_words.cast("double") / n_sent, 6).alias("avg_sentence_length"),
+    )
+
+
+T06_SQL = f"""
+WITH cleaned AS (
+  SELECT doc_id, text AS orig, {_CLEAN_SQL} AS ctext FROM documents
+),
+summ AS (
+  SELECT doc_id, orig,
+         CASE WHEN length(ctext) > 150 THEN
+           CASE WHEN strpos(reverse(substring(ctext, 1, 150)), ' ') > 0
+                THEN substring(ctext, 1, 150 - strpos(reverse(substring(ctext, 1, 150)), ' ')) || '...'
+                ELSE substring(ctext, 1, 150) || '...'
+           END
+         ELSE ctext END AS summary
+  FROM cleaned
+)
+SELECT doc_id,
+       round(CAST(length(summary) AS DOUBLE) / length(orig), 6) AS compression_ratio,
+       round(CAST(len(list_intersect(
+                list_distinct(list_filter(regexp_split_to_array(lower(orig), '\\s+'), t -> t != '')),
+                list_distinct(list_filter(regexp_split_to_array(lower(summary), '\\s+'), t -> t != ''))
+             )) AS DOUBLE)
+             / len(list_distinct(list_filter(regexp_split_to_array(lower(orig), '\\s+'), t -> t != ''))), 6) AS word_overlap,
+       round(CAST(len(list_filter(regexp_split_to_array(summary, '\\s+'), t -> t != '')) AS DOUBLE)
+             / len(string_split_regex(summary, '[.!?]+')), 6) AS avg_sentence_length
+FROM summ
+"""
+
+
+# --------------------------------------------------------------------------
+# t07: language identification — deterministic marker-token heuristic.
+# (training-data envelope; the reference has no lang-id, the documents
+# table carries a `lang` column to compare against.)
+# Scale: narrow map over tokens; no shuffle.
+# --------------------------------------------------------------------------
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "for", "with", "that"],
+    "es": ["el", "la", "los", "las", "que", "por"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "les", "des", "une", "est"],
+    "zh": ["de5", "shi4", "zai4", "le5", "wo3"],  # pinyin-ish markers for token soup
+}
+
+
+def _lang_hits(lang: str):
+    toks = F.split(F.lower("text"), r"\s+")
+    marker = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(marker, t)))
+
+
+def t07_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hit_cols = [_lang_hits(lang).alias(f"hits_{lang}") for lang in sorted(_LANG_MARKERS)]
+    scored = d.select("doc_id", "lang", *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(_LANG_MARKERS)])
+    # argmax with lang-asc tie-break; all-zero → 'und'
+    pred = F.lit("und")
+    for lang in sorted(_LANG_MARKERS, reverse=True):
+        pred = F.when((F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return scored.select("doc_id", F.col("lang").alias("labeled_lang"), pred.alias("pred_lang"), *[
+        F.col(f"hits_{lang}") for lang in sorted(_LANG_MARKERS)
+    ])
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ({markers})))"
+    )
+
+
+_T07_CASE = " ".join(
+    f"WHEN hits_{lang} = best AND best > 0 THEN '{lang}'" for lang in sorted(_LANG_MARKERS)
+)
+
+T07_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {', '.join(_lang_hits_sql(lang) + f' AS hits_{lang}' for lang in sorted(_LANG_MARKERS))}
+  FROM documents
+),
+withbest AS (
+  SELECT *, greatest({', '.join('hits_' + lang for lang in sorted(_LANG_MARKERS))}) AS best FROM scored
+)
+SELECT doc_id, labeled_lang,
+       CASE {_T07_CASE} ELSE 'und' END AS pred_lang,
+       {', '.join('hits_' + lang for lang in sorted(_LANG_MARKERS))}
+FROM withbest
+"""
+
+
+# --------------------------------------------------------------------------
+# t08: document quality scoring (training-data envelope: length /
+# stopword-ratio / token-length heuristics used by pretraining filters).
+# --------------------------------------------------------------------------
+def t08_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+    stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS_SORTED])
+    n_words = F.size(words)
+    stop_ratio = F.size(F.filter(words, lambda t: F.array_contains(stop_arr, t))).cast("double") / n_words
+    avg_wlen = (F.length(F.array_join(words, "")).cast("double")) / n_words
+    len_score = F.least(F.lit(1.0), n_words.cast("double") / F.lit(100.0))
+    # plausible-language band: some stopwords but not all stopwords
+    stop_score = F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), 1.0).otherwise(0.5)
+    wlen_score = F.when((avg_wlen >= 3.0) & (avg_wlen <= 10.0), 1.0).otherwise(0.5)
+    quality = F.round((len_score + stop_score + wlen_score) / 3.0, 6)
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(avg_wlen, 6).alias("avg_word_len"),
+        quality.alias("quality_score"),
+    )
+
+
+T08_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CAST(len(list_filter(words, t -> t IN ({_STOP_SQL}))) AS DOUBLE) / len(words) AS stop_ratio,
+         CAST(length(list_aggregate(words, 'string_agg', '')) AS DOUBLE) / len(words) AS avg_wlen
+  FROM w
+)
+SELECT doc_id, n_words,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(avg_wlen, 6) AS avg_word_len,
+       round((least(1.0, CAST(n_words AS DOUBLE) / 100.0)
+              + (CASE WHEN stop_ratio >= 0.05 AND stop_ratio <= 0.6 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN avg_wlen >= 3.0 AND avg_wlen <= 10.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS quality_score
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# t09: token counting two ways — whitespace and a BPE-ish regex
+# pre-tokenizer (letters / digits / other runs), the standard proxy for
+# LLM token budgeting.
+# --------------------------------------------------------------------------
+def t09_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = word_count("text")
+    bpeish = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpeish.alias("n_bpeish_tokens"),
+        F.round(bpeish.cast("double") / F.greatest(ws, F.lit(1)), 6).alias("tokens_per_word"),
+    )
+
+
+T09_SQL = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpeish_tokens,
+       round(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS DOUBLE)
+             / greatest(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')), 1), 6) AS tokens_per_word
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# t10: document fingerprinting — min-hash-of-shingles fingerprint
+# (winnowing-style: the minimum md5 over 3-token shingles is a stable,
+# portable content fingerprint; same family as the reference's intended
+# similarity feature, nlp_data_tagging.py:10 dead import).
+# --------------------------------------------------------------------------
+def t10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(clean_text("text"))
+    base = d.select("doc_id", toks.alias("t"))
+    n = F.size("t")
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at("t", i), F.element_at("t", i + 1), F.element_at("t", i + 2)
+        ),
+    )
+    hashes = F.transform(shingles, lambda s: F.md5(s))
+    return base.select(
+        "doc_id",
+        F.array_min(hashes).alias("fingerprint"),
+        (n - 2).cast("int").alias("n_shingles"),
+    ).filter(F.col("n_shingles") > 0)
+
+
+T10_SQL = f"""
+WITH cleaned AS (
+  SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents
+),
+lists AS (
+  -- order-preserving token list (list_filter keeps element order)
+  SELECT doc_id,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM cleaned
+)
+SELECT doc_id, fingerprint, n_shingles FROM (
+  SELECT doc_id,
+         list_min(list_transform(range(1, len(t) - 1),
+                  i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS fingerprint,
+         CAST(len(t) - 2 AS INT) AS n_shingles
+  FROM lists
+) WHERE n_shingles > 0
+"""
+
+
+QUERIES = {
+    "t01_token_freq_top10": t01_token_freq_top10,
+    "t02_doc_token_stats": t02_doc_token_stats,
+    "t03_term_document_frequency": t03_term_document_frequency,
+    "t04_tfidf_top_terms": t04_tfidf_top_terms,
+    "t05_document_summary": t05_document_summary,
+    "t06_summary_metrics": t06_summary_metrics,
+    "t07_language_id": t07_language_id,
+    "t08_quality_score": t08_quality_score,
+    "t09_token_counts": t09_token_counts,
+    "t10_fingerprint": t10_fingerprint,
+}
+
+ORACLES = {
+    "t01_token_freq_top10": T01_SQL,
+    "t02_doc_token_stats": T02_SQL,
+    "t03_term_document_frequency": T03_SQL,
+    "t04_tfidf_top_terms": T04_SQL,
+    "t05_document_summary": T05_SQL,
+    "t06_summary_metrics": T06_SQL,
+    "t07_language_id": T07_SQL,
+    "t08_quality_score": T08_SQL,
+    "t09_token_counts": T09_SQL,
+    "t10_fingerprint": T10_SQL,
+}

@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is only the test harness; every config choice is written for
+the real target — a many-executor cluster scanning ~100 TB of parquet:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic broadcast conversion) so plans self-correct at scale,
+- Arrow on for every pandas interchange (the only sanctioned Python
+  boundary),
+- shuffle partitions default to a local-friendly number; on a real
+  cluster AQE's coalescing makes the initial number mostly irrelevant
+  as long as it is high enough, so deployments should raise
+  ``spark.sql.shuffle.partitions`` to ~2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_spark(
+    app_name: str = "nlp_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-conscious defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- adaptive execution: the 100 TB safety net ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- Arrow for any pandas_udf / toPandas boundary ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- shuffle sizing (cluster deployments raise this; AQE coalesces) ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # keep parquet scans splittable and pruned
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # broadcast threshold: dims (region/nation/supplier/part) stay broadcast
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # timestamps: parquet test data is TIMESTAMP_NTZ-ish micros; keep UTC
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+        # type for: read as int64 nanos, converted to micros in the catalog
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
