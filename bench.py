@@ -1,0 +1,84 @@
+"""Benchmark harness: wall-clock per declared query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "suite_seconds", "value": <total>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect cost). Streaming/model queries execute their own
+actions and are timed around their terminal operation.
+
+Usage:
+    python bench.py                 # all queries
+    python bench.py q01 t01 ...     # name-prefix filter
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    prefixes = tuple(sys.argv[1:])
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as e
+    from nlp_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # Warm one-time machinery so per-query numbers measure compute, not
+    # initialization: JVM/codegen, the parquet read path, and the Python
+    # worker pool (first Arrow exchange pays ~30s of worker spin-up).
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    load_table(spark, sf_dir, "lineitem").select("l_orderkey").limit(10).count()
+
+    def _ident(it):
+        yield from it
+
+    spark.range(10).mapInPandas(_ident, "id long").count()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in e.queries().items():
+        if prefixes and not name.startswith(prefixes):
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            _force(df)
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # keep benching; report the failure
+            failures[name] = f"{type(ex).__name__}: {ex}"
+        sys.stderr.write(f"[bench] {name}: {timings.get(name, 'FAIL')}\n")
+
+    out = {
+        "metric": "suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,329 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Family (north-star envelope; the reference's dead ``cosine_similarity``
+import — /root/reference/nlp_data_tagging.py:10 — signals the intended
+similarity/dedup feature):
+
+- exact dedup: content-hash groupBy, keep first occurrence
+- MinHash + LSH banding over 3-token shingles (near-dup candidates)
+- SimHash (bitwise fingerprint whose Hamming distance ~ similarity)
+- n-gram (shingle) Jaccard on candidate pairs
+
+Portability/determinism design: all hash functions are **md5-based**
+(identical bytes→hex in Spark, DuckDB, and Python), so every operator
+here is exactly reproducible across engines — the MinHash "permutation"
+family is ``min(md5(seed_i || shingle))`` under lexicographic string
+order, which is a valid min-wise family and needs no engine-specific
+integer hashing.
+
+Why 3-token shingles (not token sets): the driver corpus has a ~31-word
+vocabulary, so unrelated documents already share ~59% of their token
+sets — token-level MinHash would flag everything as near-dup. The
+3-shingle space is ~31^3, giving unrelated docs near-zero overlap while
+edits still preserve most shingles. This mirrors production text-dedup
+(shingle→minhash→band→bucket-join).
+
+Scale notes (100 TB): every stage is explode → groupBy/join on a
+content-derived key — pure shuffle parallelism, no driver state, no
+cross join anywhere. LSH banding bounds the pair candidate set; the
+Jaccard verification join runs only on same-band candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nlp_data_pipeline_spark.functions.text import clean_text, tokenize
+from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL, _STOP_SQL
+from nlp_data_pipeline_spark.sources.catalog import load_table
+
+NUM_HASHES = 8  # minhash signature length
+BAND_SIZE = 2   # rows per LSH band → 4 bands; P(candidate) = 1-(1-s^2)^4
+
+
+def _shingles(tokens_col: Column) -> Column:
+    """3-token shingles of an array<string>, order-preserving."""
+    n = F.size(tokens_col)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(tokens_col, i),
+            F.element_at(tokens_col, i + 1),
+            F.element_at(tokens_col, i + 2),
+        ),
+    )
+
+
+# SQL twin of the shingle builder over a DuckDB token list `t`
+_SHINGLES_SQL = "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+
+_TOKLIST_CTE = f"""
+WITH cleaned AS (
+  SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents
+),
+toklists AS (
+  SELECT doc_id,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM cleaned
+),
+shingled AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM toklists WHERE len(t) >= 3
+),
+shingle_set AS (
+  SELECT DISTINCT doc_id, shingle FROM shingled
+)
+"""
+
+
+def _shingle_set_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(clean_text("text"))
+    return (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(_shingles(F.col("t")))).alias("shingle"))
+    )
+
+
+# --------------------------------------------------------------------------
+# d01: exact deduplication — content hash, keep lowest doc_id per text.
+# Scale: sha256 groupBy = one shuffle on the hash; the canonical exact
+# dedup at any scale (hash collisions over sha256 are not a concern).
+# --------------------------------------------------------------------------
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper_doc_id", "content_hash", "n_copies")
+    )
+
+
+D01_SQL = """
+SELECT min(doc_id) AS keeper_doc_id,
+       sha256(text) AS content_hash,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# d02: MinHash signatures — NUM_HASHES md5-seeded min-hashes per doc.
+# --------------------------------------------------------------------------
+def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ss = _shingle_set_df(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"seed{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return ss.groupBy("doc_id").agg(*aggs)
+
+
+D02_SQL = (
+    _TOKLIST_CTE
+    + "SELECT doc_id, "
+    + ", ".join(f"min(md5('seed{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES))
+    + " FROM shingle_set GROUP BY doc_id"
+)
+
+
+# --------------------------------------------------------------------------
+# d03: LSH banding → near-duplicate candidate pairs.
+# Bands of BAND_SIZE signature rows; docs sharing any band key are
+# candidates. Scale: the band-key join replaces the O(n²) cross join —
+# the entire point of LSH at 100 TB.
+# --------------------------------------------------------------------------
+def d03_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = d02_minhash_signatures(spark, sf_dir)
+    n_bands = NUM_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_SEP = " || '|' || "
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    f"md5({_SEP.join(f'h{b * BAND_SIZE + r}' for r in range(BAND_SIZE))}) AS band_key "
+    f"FROM sig"
+    for b in range(NUM_HASHES // BAND_SIZE)
+)
+
+D03_SQL = (
+    _TOKLIST_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('seed{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES))
+    + " FROM shingle_set GROUP BY doc_id), "
+    + f"banded AS ({_BANDS_SQL}) "
+    + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a
+JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# d04: SimHash — 16-bit fingerprint from per-token md5 hex bits.
+# bit_i = sign of Σ_tokens (high-bit(md5(token)[i]) ? +1 : -1).
+# Hamming distance between fingerprints ≈ content distance; at scale
+# near-dups are found by joining on fingerprint prefixes (bit blocks).
+# --------------------------------------------------------------------------
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(clean_text("text"))
+    tok = d.select("doc_id", F.explode(toks).alias("token")).withColumn(
+        "h", F.md5("token")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    bits = F.concat(*[F.when(F.col(f"s{i}") >= 0, "1").otherwise("0") for i in range(16)])
+    return agg.select("doc_id", bits.alias("simhash16"))
+
+
+_D04_BITS = " || ".join(
+    f"(CASE WHEN sum(CASE WHEN substring(md5(token), {i + 1}, 1) IN "
+    f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END)"
+    for i in range(16)
+)
+
+D04_SQL = f"""
+WITH cleaned AS (
+  SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(ctext, ' '),
+                 t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '')) AS token
+  FROM cleaned
+)
+SELECT doc_id, {_D04_BITS} AS simhash16
+FROM tok
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# d05: shingle-Jaccard verification over LSH candidates ∪ same-source
+# pairs — the "verify" half of candidate-generation + verification.
+# Top 20 most-similar pairs with full tie-break.
+# Scale: the intersect count is an equi-join on shingle, never a cross
+# join; candidate scoping (same source) bounds the pair space.
+# --------------------------------------------------------------------------
+def d05_shingle_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ss = _shingle_set_df(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ss = ss.join(d, "doc_id").select("doc_id", "source", "shingle")
+    sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = ss.alias("a")
+    b = ss.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+D05_SQL = (
+    _TOKLIST_CTE
+    + """,
+with_src AS (
+  SELECT s.doc_id, d.source, s.shingle
+  FROM shingle_set s JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingle_set GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM with_src a
+  JOIN with_src b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_inter,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 20
+"""
+)
+
+
+QUERIES = {
+    "d01_exact_dedup": d01_exact_dedup,
+    "d02_minhash_signatures": d02_minhash_signatures,
+    "d03_lsh_candidate_pairs": d03_lsh_candidate_pairs,
+    "d04_simhash": d04_simhash,
+    "d05_shingle_jaccard_topk": d05_shingle_jaccard_topk,
+}
+
+ORACLES = {
+    "d01_exact_dedup": D01_SQL,
+    "d02_minhash_signatures": D02_SQL,
+    "d03_lsh_candidate_pairs": D03_SQL,
+    "d04_simhash": D04_SQL,
+    "d05_shingle_jaccard_topk": D05_SQL,
+}

@@ -1,0 +1,203 @@
+"""Event-stream analytics: tumbling/session windows, stream dedup, and
+Structured Streaming variants.
+
+The batch queries are the oracle-checked semantics; e04 runs the same
+tumbling aggregation through a real ``readStream`` → watermark →
+``availableNow`` trigger → memory sink, proving the streaming plumbing
+on identical data (rows-only check: streaming results are the batch
+results by the replayability of file sources + complete output mode).
+
+Scale notes: time-series tables at 100 TB should be laid out
+partitioned by day so tumbling windows partition-prune; session
+windows shuffle once on user_id; watermark dedup bounds state by the
+lateness horizon. All window arithmetic is on integer microseconds or
+native timestamps — no floats.
+
+streaming/pipelines.py wraps the long-running (non-availableNow)
+variants of the same queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nlp_data_pipeline_spark.sources.catalog import load_table
+
+D182 = "decimal(18,2)"
+
+
+# --------------------------------------------------------------------------
+# e01: tumbling 1-hour windows × event_type.
+# --------------------------------------------------------------------------
+def e01_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D182)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+E01_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# e02: session windows (30-minute inactivity gap) per user.
+# Spark's session_window merges an event into the current session when
+# ts < last_ts + gap; the oracle reproduces this with the classic
+# gaps-and-islands window SQL (new session when ts - prev >= gap).
+# --------------------------------------------------------------------------
+def e02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D182)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+E02_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+# --------------------------------------------------------------------------
+# e03: stream dedup — first event per (user_id, event_type), total
+# tie-break. Batch twin of dropDuplicates-within-watermark.
+# --------------------------------------------------------------------------
+def e03_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+E03_SQL = """
+SELECT user_id, event_type, event_id, ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# e04: the SAME tumbling aggregation as e01 executed through Structured
+# Streaming: readStream(parquet) → withWatermark → window agg →
+# availableNow trigger → memory sink. Complete output mode ⇒ the final
+# table equals the batch answer, which the e01 oracle already pins; the
+# driver records rows-only here because the result passes through a
+# sink table rather than a direct DataFrame.
+# --------------------------------------------------------------------------
+def e04_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # FileStreamSource wants a directory: stage a symlink in a temp dir
+    # (at deployment the stream source IS a directory of arriving files)
+    stage_dir = tempfile.mkdtemp(prefix="e04_stream_")
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    # the RAW parquet schema (ts = int64 nanos under nanosAsLong), not the
+    # catalog's converted one — streaming readers validate against the file
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    sink = f"e04_sink_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).orderBy("window_start", "event_type")
+
+
+QUERIES = {
+    "e01_tumbling_hourly": e01_tumbling_hourly,
+    "e02_session_windows": e02_session_windows,
+    "e03_first_event_per_user_type": e03_first_event_per_user_type,
+    "e04_streaming_tumbling": e04_streaming_tumbling,
+}
+
+ORACLES = {
+    "e01_tumbling_hourly": E01_SQL,
+    "e02_session_windows": E02_SQL,
+    "e03_first_event_per_user_type": E03_SQL,
+    # e04: rows-only (streaming sink; semantics pinned by e01's oracle)
+}

@@ -1,0 +1,117 @@
+"""Multimodal binary-column plumbing.
+
+Treats media as opaque ``binary`` columns + typed metadata, the way a
+100 TB multimodal training pipeline stores image/audio/video alongside
+text. The decode step itself is STUBBED (no image/audio libs in this
+container — see ``decode_image_stub``), but everything Spark-side is
+real and verified: binary encoding, checksums, Arrow-batched
+``mapInPandas`` over binary columns, schema/partition behavior.
+
+m01 is pure JVM expressions; m02 pushes the binary payloads through a
+real Arrow → pandas → Arrow round trip with a deterministic fake
+decoder, and its output is still SQL-checkable because the fake is a
+pure function of the byte length — i.e. the oracle verifies the
+mapInPandas plumbing end-to-end (batch boundaries must not change
+results).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nlp_data_pipeline_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# m01: binary metadata — encode text → bytes, checksum, sizes.
+# --------------------------------------------------------------------------
+def m01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha256_hex"),
+        F.substring(F.base64(payload), 1, 16).alias("b64_prefix"),
+    )
+
+
+M01_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256_hex,
+       substring(to_base64(encode(text)), 1, 16) AS b64_prefix
+FROM documents
+"""
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Deterministic fake media decoder.
+
+    A real deployment swaps this for PIL/ffmpeg inside the same
+    mapInPandas kernel; the container ships neither, so the decode is a
+    pure function of the payload bytes (keeps the operator testable and
+    the oracle exact). Raise pattern for genuinely-unsupported media:
+    NotImplementedError("image decode requires pillow").
+    """
+    n = len(payload)
+    return {
+        "width": n % 640 + 1,
+        "height": n % 480 + 1,
+        "format": "fake/raw",
+        "n_bytes": n,
+    }
+
+
+# --------------------------------------------------------------------------
+# m02: Arrow-batched binary decode via mapInPandas.
+# Scale: mapInPandas streams Arrow record batches through the Python
+# worker — constant memory per batch, no collect; the only sanctioned
+# Python hot path in this engine.
+# --------------------------------------------------------------------------
+def m02_decode_stub_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(decode_image_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": meta.map(lambda m: m["width"]),
+                    "height": meta.map(lambda m: m["height"]),
+                    "format": meta.map(lambda m: m["format"]),
+                    "n_bytes": meta.map(lambda m: m["n_bytes"]),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        decode_batches, "doc_id long, width integer, height integer, format string, n_bytes integer"
+    )
+
+
+M02_SQL = """
+SELECT doc_id,
+       (octet_length(encode(text)) % 640 + 1)::INT AS width,
+       (octet_length(encode(text)) % 480 + 1)::INT AS height,
+       'fake/raw' AS format,
+       octet_length(encode(text))::INT AS n_bytes
+FROM documents
+"""
+
+
+QUERIES = {
+    "m01_binary_metadata": m01_binary_metadata,
+    "m02_decode_stub_pipeline": m02_decode_stub_pipeline,
+}
+
+ORACLES = {
+    "m01_binary_metadata": M01_SQL,
+    "m02_decode_stub_pipeline": M02_SQL,
+}

@@ -1,0 +1,91 @@
+"""Structured Streaming pipelines over the events stream.
+
+Long-running variants of operators/events.py: the batch queries define
+(and oracle-pin) the semantics; these wrappers run the same logical
+plans as continuous micro-batch jobs. File sources here stand in for
+Kafka/queue sources at deployment — swap ``readStream.parquet`` for
+``readStream.format("kafka")`` and the rest of each plan is unchanged.
+
+Watermark policy: 10 minutes of allowed lateness. Batch mode keeps late
+rows (full replay); streaming drops rows later than the watermark —
+tests/test_streaming.py pins exactly that divergence.
+
+Scale: stateful aggregations bound their state by watermark horizon ×
+key cardinality; session windows and dedup state evict as the watermark
+passes. That bound, not executor count, is what makes these plans safe
+on an unbounded 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over a directory of events parquet files.
+
+    Handles the TIMESTAMP(NANOS) physical type the same way the batch
+    catalog does (int64 → µs).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir)
+    if any(f.name == "ts" and f.dataType.simpleString() == "bigint" for f in raw_schema.fields):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour", lateness: str = "10 minutes") -> DataFrame:
+    return (
+        stream.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sessionized(stream: DataFrame, gap: str = "30 minutes", lateness: str = "10 minutes") -> DataFrame:
+    return (
+        stream.withWatermark("ts", lateness)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """Drop duplicate (user_id, event_type) pairs; state bounded by watermark."""
+    return stream.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame, output_mode: str = "append", timeout_s: int = 120
+) -> tuple[str, DataFrame]:
+    """Execute a streaming DF with availableNow into a memory sink.
+
+    Returns (sink_name, result_df). Used by tests and e04.
+    """
+    spark = df.sparkSession
+    sink = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(tempfile.mkdtemp(), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return sink, spark.table(sink)

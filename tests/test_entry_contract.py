@@ -1,0 +1,56 @@
+"""Driver-contract smoke tests: entry() shape, queries()/oracle_sql()
+key discipline, and a fast sf0.001 oracle sweep for the pure-SQL ops."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from nlp_data_pipeline_spark.sources.catalog import TABLE_NAMES
+
+FAST_ORACLE_QUERIES = [
+    "q01_pricing_summary",
+    "q10_topk_customers_per_nation",
+    "t01_token_freq_top10",
+    "d04_simhash",
+    "s01_cosine_topk",
+    "e02_session_windows",
+    "m02_decode_stub_pipeline",
+]
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert df.columns == ["token", "cnt"]
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 40
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", FAST_ORACLE_QUERIES)
+def test_fast_oracle_equivalence(spark, sf_dir, duck, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    sdf = entry_mod.queries()[name](spark, sf_dir)
+    res = duck.execute(entry_mod.oracle_sql()[name])
+    cols = [d[0] for d in res.description]
+    issues = compare(name, sdf, res.fetchall(), cols)
+    assert issues == [], issues

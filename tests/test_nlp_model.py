@@ -1,0 +1,55 @@
+"""Topic-model invariant tests — FIXTURES.md F10/F7 (rows-only ops are
+pinned by invariants, not numeric equality: sklearn != MLlib)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def fitted(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.nlp_model import _fit_corpus_model
+
+    return _fit_corpus_model(spark, sf_dir)
+
+
+def test_lda_k_topics_f10(fitted, spark, sf_dir):
+    cv_model, lda_model, featured = fitted
+    n_docs = featured.count()
+    assert lda_model.describeTopics().count() == min(5, n_docs)  # :161
+
+
+def test_vocab_capped_and_terms_from_vocab(fitted):
+    cv_model, lda_model, _ = fitted
+    assert len(cv_model.vocabulary) <= 100  # :149 max_features=100
+    top = lda_model.describeTopics(10).collect()
+    for row in top:
+        assert all(0 <= i < len(cv_model.vocabulary) for i in row["termIndices"])
+
+
+def test_tags_bounded_and_within_vocab(spark, sf_dir, fitted):
+    from nlp_data_pipeline_spark.operators.nlp_model import n02_doc_tags
+
+    cv_model, _, _ = fitted
+    vocab = set(cv_model.vocabulary)
+    rows = n02_doc_tags(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_tags"] <= 5           # :212 cap
+        assert len(set(r["tags"])) == len(r["tags"])  # dedup (:211)
+        assert all(t in vocab for t in r["tags"])     # tags ⊆ vocabulary
+
+
+def test_ordered_dedup_semantics_f7(spark):
+    # dict.fromkeys parity (:211): first occurrence order preserved
+    df = spark.createDataFrame([(["x", "y", "z", "y", "w", "v"],)], ["tags"])
+    got = df.select(F.slice(F.array_distinct("tags"), 1, 5).alias("t")).first()["t"]
+    assert got == ["x", "y", "z", "w", "v"]
+
+
+def test_topic_metrics_ranges(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.nlp_model import n03_topic_metrics
+
+    row = n03_topic_metrics(spark, sf_dir).first()
+    assert row["n_topics"] >= 1
+    assert 0.0 < row["topic_diversity"] <= 1.0    # unique/total (:277)
+    assert row["avg_topic_size"] == pytest.approx(10.0)  # top-10 terms each

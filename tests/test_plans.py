@@ -1,0 +1,65 @@
+"""Physical-plan shape assertions — the 100 TB design contract.
+
+These tests fail when a regression silently de-broadcasts a dim join,
+breaks filter pushdown / column pruning, or introduces a Python stage
+into a hot path. SURVEY.md §4.2's "free from Catalyst" claims, enforced.
+"""
+
+from pyspark.sql import functions as F
+
+from nlp_data_pipeline_spark.operators import relational, text_analytics, similarity
+from nlp_data_pipeline_spark.plans.explain import (
+    formatted_plan,
+    has_python_eval,
+    pushed_filters,
+    scans_columns,
+    uses_broadcast_join,
+)
+
+
+def test_q05_dim_joins_broadcast(spark, sf_dir):
+    df = relational.q05_regional_revenue(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_q03_customer_broadcast(spark, sf_dir):
+    df = relational.q03_segment_revenue_top10(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_q02_filters_pushed_to_scan(spark, sf_dir):
+    df = relational.q02_filter_project(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "p_size" in pf and "IsNotNull" in pf or "GreaterThanOrEqual" in pf
+
+
+def test_q06_column_pruning(spark, sf_dir):
+    df = relational.q06_forecast_revenue(spark, sf_dir)
+    rs = scans_columns(df)
+    # only the 4 needed lineitem columns are read, not all 11
+    assert "l_extendedprice" in rs and "l_orderkey" not in rs and "l_returnflag" not in rs
+
+
+def test_text_pipeline_has_no_python_stage(spark, sf_dir):
+    df = text_analytics.t01_token_freq_top10(spark, sf_dir)
+    assert not has_python_eval(df)  # regex/array exprs stay JVM-side
+
+
+def test_similarity_has_no_python_stage(spark, sf_dir):
+    df = similarity.s01_cosine_topk(spark, sf_dir)
+    assert not has_python_eval(df)
+
+
+def test_multimodal_is_arrow_not_row_python(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators import multimodal
+
+    df = multimodal.m02_decode_stub_pipeline(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan        # Arrow-batched
+    assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+
+def test_q01_partial_aggregation(spark, sf_dir):
+    # map-side combine before the shuffle: two HashAggregate stages
+    df = relational.q01_pricing_summary(spark, sf_dir)
+    assert formatted_plan(df).count("HashAggregate") >= 2

@@ -1,0 +1,101 @@
+"""Structured Streaming semantics — FIXTURES.md F11 (late-data policy):
+a late event beyond the watermark is DROPPED in streaming append mode
+but PRESENT in batch mode over the same files."""
+
+import os
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_data_pipeline_spark.streaming.pipelines import (
+    read_events_stream,
+    run_to_memory_sink,
+    tumbling_counts,
+)
+
+
+def _write_batches(spark, base):
+    """Three parquet files (one per micro-batch), mtime-ordered.
+
+    Three, not two: since Spark 3.4 (SPARK-40925) the LATE-EVENT filter
+    uses the watermark of the batch *before last*, while state EVICTION
+    uses the current one — so a straggler is only dropped two batches
+    after the watermark passed it.
+    """
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    files = [
+        # batch 0: advances watermark to 12:00 - 10min = 11:50
+        [(1, datetime(2024, 1, 1, 10, 0, 0)), (2, datetime(2024, 1, 1, 10, 30, 0)),
+         (3, datetime(2024, 1, 1, 12, 0, 0))],
+        # batch 1: on-time filler; 11:50 becomes the late-filter watermark
+        [(4, datetime(2024, 1, 1, 12, 10, 0))],
+        # batch 2: 10:05 is > 10 min late → dropped; 12:20 on time
+        [(5, datetime(2024, 1, 1, 10, 5, 0)), (6, datetime(2024, 1, 1, 12, 20, 0))],
+    ]
+    import time
+
+    stream_dir = os.path.join(base, "stream")
+    os.makedirs(stream_dir)
+    for i, rows in enumerate(files):
+        df = spark.createDataFrame(
+            [(e, t, 1, "click", 1.0, "{}") for e, t in rows], schema
+        )
+        sub = os.path.join(base, f"f{i}")
+        df.coalesce(1).write.parquet(sub)
+        for f in sorted(os.listdir(sub)):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(sub, f), os.path.join(stream_dir, f"{chr(97 + i)}_{f}"))
+        time.sleep(1.1)  # distinct mtimes: file order == arrival order
+    return stream_dir
+
+
+def test_late_event_dropped_in_streaming_present_in_batch(spark):
+    base = tempfile.mkdtemp(prefix="stream_test_")
+    stream_dir = _write_batches(spark, base)
+
+    # batch replay sees all 6 events — including the straggler
+    batch_total = spark.read.parquet(stream_dir).count()
+    assert batch_total == 6
+
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    agg = tumbling_counts(stream, window="1 hour", lateness="10 minutes")
+    _, result = run_to_memory_sink(agg, output_mode="append")
+    emitted = {r["window_start"].hour: r["n_events"] for r in result.collect()}
+    # the 10:00 window finalized with only its 2 on-time events; the
+    # 10:05 straggler was dropped by the watermark (batch mode kept it)
+    assert emitted.get(10) == 2
+
+
+def test_streaming_totals_match_batch_when_nothing_late(spark, sf_dir):
+    """availableNow over the real events table in complete mode ==
+    batch aggregation (file replay determinism)."""
+    import shutil
+
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    staged = tempfile.mkdtemp(prefix="events_stage_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(staged, "events.parquet")
+    )
+    stream = read_events_stream(spark, staged)
+    agg = tumbling_counts(stream)
+    _, result = run_to_memory_sink(agg, output_mode="complete")
+    stream_total = result.agg(F.sum("n_events")).first()[0]
+    batch_total = load_table(spark, sf_dir, "events").count()
+    assert stream_total == batch_total
+    shutil.rmtree(staged, ignore_errors=True)
+
+
+def test_dedup_within_watermark_bounds(spark, sf_dir):
+    staged = tempfile.mkdtemp(prefix="events_dedup_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(staged, "events.parquet")
+    )
+    from nlp_data_pipeline_spark.streaming.pipelines import dedup_within_watermark
+
+    stream = read_events_stream(spark, staged)
+    _, result = run_to_memory_sink(dedup_within_watermark(stream), output_mode="append")
+    got = result.groupBy("user_id", "event_type").count()
+    assert got.filter(F.col("count") > 1).count() == 0  # no dup pairs emitted
