@@ -26,6 +26,7 @@ _MODULES = [
     "nlp_data_pipeline_spark.operators.events",
     "nlp_data_pipeline_spark.operators.nlp_model",
     "nlp_data_pipeline_spark.operators.multimodal",
+    "nlp_data_pipeline_spark.operators.doc_pipeline",
 ]
 
 

@@ -1,0 +1,49 @@
+"""Pipeline/export operators + approximate-aggregate tolerances."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlp_data_pipeline_spark.operators.doc_pipeline import (
+    a01_approx_stats,
+    p01_document_records,
+    p02_export_projection,
+)
+from nlp_data_pipeline_spark.sources.catalog import load_table
+
+
+def test_p01_schema_and_invariants(spark, sf_dir):
+    df = p01_document_records(spark, sf_dir)
+    rows = df.limit(50).collect()
+    assert df.columns == [
+        "filename", "cleaned_text", "processed_text", "summary",
+        "text_length", "summary_length",
+    ]
+    for r in rows:
+        assert r["filename"].startswith("doc_") and r["filename"].endswith(".txt")
+        assert r["summary_length"] <= 153  # 150 + '...'
+        assert r["summary_length"] == len(r["summary"])
+
+
+def test_p02_compression_ratio_bounds(spark, sf_dir):
+    rows = p02_export_projection(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 < r["Compression_Ratio"] <= 1.001
+
+
+def test_a01_approx_within_tolerance_of_exact(spark, sf_dir):
+    """HLL++ (rsd=0.02) vs exact distinct; approx median vs exact."""
+    approx = {r["l_returnflag"]: r for r in a01_approx_stats(spark, sf_dir).collect()}
+    l = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert a["approx_parts"] == pytest.approx(e["parts"], rel=0.1)
+        assert a["price_percentiles"][0] == pytest.approx(e["median"], rel=0.05)
