@@ -20,6 +20,7 @@ sys.path.insert(0, "/root/repo")
 
 _MODULES = [
     "nlp_data_pipeline_spark.operators.relational",
+    "nlp_data_pipeline_spark.operators.relational_ext",
     "nlp_data_pipeline_spark.operators.text_analytics",
     "nlp_data_pipeline_spark.operators.dedup",
     "nlp_data_pipeline_spark.operators.similarity",

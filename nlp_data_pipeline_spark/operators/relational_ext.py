@@ -1,0 +1,222 @@
+"""Extended relational coverage: pivot, analytic window functions,
+map/array types, and the salted-aggregation skew pattern.
+
+SURVEY.md §2.B fill-ins beyond operators/relational.py. Scale notes
+inline; q25 is the canonical hot-key mitigation written as a
+deterministic two-phase aggregation whose SEMANTICS are identical to
+the naive groupBy (the oracle proves it), while its physical shape
+splits each hot key across `salt` reducers before merging.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nlp_data_pipeline_spark.sources.catalog import load_table
+
+D182 = "decimal(18,2)"
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --------------------------------------------------------------------------
+# q21: pivot — events per day × event_type as columns.
+# Scale: pivot with an EXPLICIT value list is one shuffle + conditional
+# aggregation; an implicit list adds a distinct-scan job first. Always
+# pass the list at scale.
+# --------------------------------------------------------------------------
+def q21_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .fillna(0, EVENT_TYPES)
+        .orderBy("day")
+    )
+
+
+Q21_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       {', '.join(f"COUNT(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# q22: analytic window functions — ntile / percent_rank / cume_dist.
+# All rank-derived ratios are exact integer divisions → cross-engine
+# deterministic doubles.
+# --------------------------------------------------------------------------
+def q22_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("balance_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("c_custkey").over(w).alias("richest_custkey"),
+        )
+        .filter(F.col("c_custkey") < 200)
+    )
+
+
+Q22_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal, balance_quartile, pct_rank, cume, richest_custkey
+FROM (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         NTILE(4) OVER w AS balance_quartile,
+         round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+         round(CUME_DIST() OVER w, 6) AS cume,
+         FIRST_VALUE(c_custkey) OVER w AS richest_custkey
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+) t
+WHERE c_custkey < 200
+"""
+
+
+# --------------------------------------------------------------------------
+# q23: map + array types in flight — from_json to MapType, element_at,
+# map_keys; array sequence/slice/position. Final schema stays scalar so
+# the oracle is dialect-portable.
+# --------------------------------------------------------------------------
+def q23_map_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    seq = F.sequence(F.lit(1), (F.col("k") % 5) + 1)
+    n = (F.col("k") % 5) + 1
+    # "last two elements": negative slice start counts from the end, so
+    # start at -2 unless the array has a single element
+    last2 = F.slice(seq, F.when(n >= 2, F.lit(-2)).otherwise(F.lit(-1)), 2)
+    return (
+        e.select(
+            "event_id",
+            F.element_at(m, "k").alias("k"),
+            F.size(F.map_keys(m)).alias("n_props"),
+        )
+        .withColumn("seq_sum", F.aggregate(seq, F.lit(0), lambda a, x: a + x))
+        .withColumn("seq_last2_size", F.size(last2))
+        .filter(F.col("event_id") < 500)
+    )
+
+
+Q23_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       len(json_keys(props)) AS n_props,
+       (m * (m + 1)) // 2 AS seq_sum,
+       CASE WHEN m >= 2 THEN 2 ELSE m END AS seq_last2_size
+FROM (
+  SELECT event_id, props,
+         (CAST(json_extract_string(props, '$.k') AS INT) % 5) + 1 AS m
+  FROM events
+) t
+WHERE event_id < 500
+"""
+
+
+# --------------------------------------------------------------------------
+# q24: frame-bounded first/last — order value vs the customer's first
+# and most recent order (rangeBetween on event-time ordering).
+# --------------------------------------------------------------------------
+def q24_first_last_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w_all = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.filter(F.col("o_custkey") < 150)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w_all).alias("first_order_price"),
+            F.last("o_totalprice").over(w_all).alias("latest_order_price"),
+            F.count(F.lit(1)).over(w_all).alias("lifetime_orders"),
+        )
+    )
+
+
+Q24_SQL = """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_order_price,
+       LAST_VALUE(o_totalprice) OVER w AS latest_order_price,
+       COUNT(*) OVER w AS lifetime_orders
+FROM orders
+WHERE o_custkey < 150
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --------------------------------------------------------------------------
+# q25: salted two-phase aggregation — the hot-key mitigation.
+# events has only 5 event_type values (extreme key skew: every reducer
+# hotspot lands on 5 tasks). Phase 1 aggregates on (key, salt) spreading
+# each hot key over SALT_BUCKETS reducers; phase 2 merges the partials.
+# Semantics == plain groupBy (decimal sums are associative), which the
+# oracle verifies. At 100 TB this turns a 5-task shuffle into a
+# 5×SALT_BUCKETS-task shuffle; AQE's skew-join handles the join-side
+# analogue automatically.
+# --------------------------------------------------------------------------
+SALT_BUCKETS = 16
+
+
+def q25_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pc"),
+        F.sum(F.col("value").cast(D182)).alias("pv"),
+        F.min("ts").alias("pmin"),
+        F.max("ts").alias("pmax"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pc").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+            F.min("pmin").alias("first_ts"),
+            F.max("pmax").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q25_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "q21_pivot_event_matrix": q21_pivot_event_matrix,
+    "q22_analytic_funcs": q22_analytic_funcs,
+    "q23_map_array_funcs": q23_map_array_funcs,
+    "q24_first_last_frames": q24_first_last_frames,
+    "q25_salted_hot_key_agg": q25_salted_hot_key_agg,
+}
+
+ORACLES = {
+    "q21_pivot_event_matrix": Q21_SQL,
+    "q22_analytic_funcs": Q22_SQL,
+    "q23_map_array_funcs": Q23_SQL,
+    "q24_first_last_frames": Q24_SQL,
+    "q25_salted_hot_key_agg": Q25_SQL,
+}

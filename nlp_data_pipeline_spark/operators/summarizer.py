@@ -48,8 +48,11 @@ def summary_general_path(
     sent = docs.select(
         "doc_id", F.posexplode(sentences("ctext")).alias("sent_pos", "sentence")
     )
-    n_sent = sent.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sentences"))
-    sent = sent.join(n_sent.filter(F.col("n_sentences") > num_sentences), "doc_id")
+    # per-doc sentence count via unbounded window — one shuffle on doc_id,
+    # no second scan of the corpus (vs groupBy + self-join)
+    sent = sent.withColumn(
+        "n_sentences", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).filter(F.col("n_sentences") > num_sentences)
 
     stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS_SORTED])
     terms = F.filter(
@@ -60,25 +63,25 @@ def summary_general_path(
         "doc_id", "sent_pos", "n_sentences", F.explode(terms).alias("term")
     )
 
+    # Single upstream aggregation tf0; EVERY later relation (vocab cap,
+    # capped tf, per-doc df) derives from it, so all branches share one
+    # identical shuffle subplan and Spark's ReuseExchange computes the
+    # scan→explode→agg lineage once instead of per-branch.
+    tf0 = tok.groupBy("doc_id", "sent_pos", "n_sentences", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
     # per-document vocabulary cap: top `vocab_size` terms by total count
     # (sklearn max_features rule: frequency desc, term asc)
-    term_tot = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("total_tf"))
+    term_tot = tf0.groupBy("doc_id", "term").agg(F.sum("tf").alias("total_tf"))
     wv = Window.partitionBy("doc_id").orderBy(F.desc("total_tf"), F.asc("term"))
     vocab = term_tot.withColumn("vrank", F.row_number().over(wv)).filter(
         F.col("vrank") <= vocab_size
     ).select("doc_id", "term")
 
-    tok = tok.join(vocab, ["doc_id", "term"], "left_semi")
-
-    tf = tok.groupBy("doc_id", "sent_pos", "n_sentences", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    df_ = (
-        tok.select("doc_id", "sent_pos", "term")
-        .distinct()
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    tf = tf0.join(vocab, ["doc_id", "term"], "left_semi")
+    # per-document df derives from tf (rows are distinct (doc, sent, term))
+    df_ = tf.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df_, ["doc_id", "term"])
     idf = (
         F.log(

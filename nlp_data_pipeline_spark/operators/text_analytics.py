@@ -166,10 +166,16 @@ LIMIT 20
 def t04_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens_df(spark, sf_dir).select("doc_id", "token")
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # df derives FROM tf (tf rows are already distinct (doc, token) pairs):
+    # no second corpus scan, no explode+distinct — one extra tiny shuffle.
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = load_table(spark, sf_dir, "documents").count()  # scalar, driver-side
     idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df").cast("double"))) + F.lit(1.0)
-    scored = tf.join(df_, "token").withColumn("tfidf", F.col("tf").cast("double") * idf)
+    # df_ is vocabulary-sized (≪ corpus) → broadcast; at open-vocab scale
+    # drop the hint and AQE picks the strategy from runtime stats
+    scored = tf.join(F.broadcast(df_), "token").withColumn(
+        "tfidf", F.col("tf").cast("double") * idf
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
         scored.withColumn("term_rank", F.row_number().over(w))

@@ -70,6 +70,38 @@ def dedup_within_watermark(stream: DataFrame, lateness: str = "10 minutes") -> D
     )
 
 
+def stateful_user_counters(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    cumulative event count + running value total, emitted every
+    micro-batch. This is the extension point for operators Spark's
+    built-ins can't express (per-key custom state machines); state is
+    one tiny row per user, partitioned by the grouping key — bounded by
+    key cardinality, never by stream length.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, total_value double",
+        "n long, total double",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory_sink(
     df: DataFrame, output_mode: str = "append", timeout_s: int = 120
 ) -> tuple[str, DataFrame]:

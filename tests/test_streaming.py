@@ -88,6 +88,36 @@ def test_streaming_totals_match_batch_when_nothing_late(spark, sf_dir):
     shutil.rmtree(staged, ignore_errors=True)
 
 
+def test_stateful_counters_match_batch_totals(spark, sf_dir):
+    """applyInPandasWithState cumulative per-user counters: the LAST
+    emission per user equals the batch groupBy answer."""
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+    from nlp_data_pipeline_spark.streaming.pipelines import stateful_user_counters
+
+    staged = tempfile.mkdtemp(prefix="events_state_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(staged, "events.parquet")
+    )
+    stream = read_events_stream(spark, staged)
+    _, result = run_to_memory_sink(stateful_user_counters(stream), output_mode="append")
+    # availableNow on one file = one micro-batch → one emission per user
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in result.collect()}
+    expect = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for uid, (n, v) in expect.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - v) < 0.05  # python float accumulation vs spark sum
+
+
 def test_dedup_within_watermark_bounds(spark, sf_dir):
     staged = tempfile.mkdtemp(prefix="events_dedup_")
     os.symlink(
