@@ -28,6 +28,7 @@ _MODULES = [
     "nlp_data_pipeline_spark.operators.nlp_model",
     "nlp_data_pipeline_spark.operators.multimodal",
     "nlp_data_pipeline_spark.operators.doc_pipeline",
+    "nlp_data_pipeline_spark.operators.sql_api",
 ]
 
 

@@ -122,6 +122,21 @@ def fallback_summary(sentences_col: Column, text_col: Column, num_sentences: int
     return F.when(n <= num_sentences, text_col).otherwise(joined)
 
 
+def ngrams(tokens_col: Column, n: int) -> Column:
+    """Order-preserving n-grams (space-joined) of an array<string>.
+
+    Guarded for short arrays: Spark's ``sequence(1, stop)`` produces a
+    DESCENDING [1, 0] when stop < 1 (default step −1), which would index
+    element 0 and error — so arrays shorter than n yield [].
+    """
+    size = F.size(tokens_col)
+    idx = F.sequence(F.lit(1), size - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens_col, i + j) for j in range(n)])
+    )
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
 def word_count(col: Column | str) -> Column:
     """len(text.split()) equivalent — counts non-empty whitespace tokens."""
     c = F.col(col) if isinstance(col, str) else col

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nlp_data_pipeline_spark.functions.text import clean_text, tokenize
+from nlp_data_pipeline_spark.functions.text import clean_text, ngrams, tokenize
 from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL, _STOP_SQL
 from nlp_data_pipeline_spark.sources.catalog import load_table
 
@@ -43,18 +43,9 @@ BAND_SIZE = 2   # rows per LSH band → 4 bands; P(candidate) = 1-(1-s^2)^4
 
 
 def _shingles(tokens_col: Column) -> Column:
-    """3-token shingles of an array<string>, order-preserving."""
-    n = F.size(tokens_col)
-    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(tokens_col, i),
-            F.element_at(tokens_col, i + 1),
-            F.element_at(tokens_col, i + 2),
-        ),
-    )
+    """3-token shingles of an array<string>, order-preserving (short-array
+    safe via functions.text.ngrams)."""
+    return ngrams(tokens_col, 3)
 
 
 # SQL twin of the shingle builder over a DuckDB token list `t`

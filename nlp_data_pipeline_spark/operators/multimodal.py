@@ -106,12 +106,68 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# m03: feature-extract + resize + frame-sample stubs — one Arrow pass.
+# Real deployment swaps the kernels for torchvision/ffmpeg; the stubs
+# are pure functions of the bytes so the full pipeline (binary in →
+# fixed-size float vector + resized dims + sampled frame offsets out)
+# stays deterministic and SQL-checkable end-to-end.
+# --------------------------------------------------------------------------
+FEAT_DIM = 4
+TARGET_W, TARGET_H = 224, 224
+FRAME_STRIDE = 100
+
+
+def m03_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            feats = [
+                [round((int(ln) % (13 + 7 * j)) / (13.0 + 7 * j), 6) for j in range(FEAT_DIM)]
+                for ln in n
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feature": feats,
+                    "resized_w": [TARGET_W] * len(pdf),
+                    "resized_h": [TARGET_H] * len(pdf),
+                    "n_frames_sampled": (n // FRAME_STRIDE + 1).astype("int32"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        extract,
+        "doc_id long, feature array<double>, resized_w int, resized_h int, n_frames_sampled int",
+    )
+
+
+_FEAT_SQL = ", ".join(
+    f"round((octet_length(encode(text)) % ({13 + 7 * j})) / {13.0 + 7 * j}, 6)"
+    for j in range(FEAT_DIM)
+)
+
+M03_SQL = f"""
+SELECT doc_id,
+       [{_FEAT_SQL}]::DOUBLE[] AS feature,
+       {TARGET_W} AS resized_w,
+       {TARGET_H} AS resized_h,
+       (octet_length(encode(text)) // {FRAME_STRIDE} + 1)::INT AS n_frames_sampled
+FROM documents
+"""
+
+
 QUERIES = {
     "m01_binary_metadata": m01_binary_metadata,
     "m02_decode_stub_pipeline": m02_decode_stub_pipeline,
+    "m03_feature_extract_stub": m03_feature_extract_stub,
 }
 
 ORACLES = {
     "m01_binary_metadata": M01_SQL,
     "m02_decode_stub_pipeline": M02_SQL,
+    "m03_feature_extract_stub": M03_SQL,
 }

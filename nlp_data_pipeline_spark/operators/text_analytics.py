@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 from nlp_data_pipeline_spark.functions.text import (
     STOP_WORDS_SORTED,
     clean_text,
+    ngrams,
     sentences,
     tokenize,
     truncate_at_word,
@@ -463,14 +464,7 @@ def t10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize(clean_text("text"))
     base = d.select("doc_id", toks.alias("t"))
     n = F.size("t")
-    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at("t", i), F.element_at("t", i + 1), F.element_at("t", i + 2)
-        ),
-    )
-    hashes = F.transform(shingles, lambda s: F.md5(s))
+    hashes = F.transform(ngrams(F.col("t"), 3), lambda s: F.md5(s))
     return base.select(
         "doc_id",
         F.array_min(hashes).alias("fingerprint"),
@@ -499,6 +493,94 @@ SELECT doc_id, fingerprint, n_shingles FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# t11: fallback tag generation (reference R16, fallback_tags :217-237):
+# per-document TF-IDF over 1-2grams, top n_tags terms with score > 0.
+# Single-document fit ⇒ df==1 for every term ⇒ idf is constant ⇒ the
+# ranking reduces to raw term counts — faithfully reproduced (and why
+# the reference's fallback tags are simply its most frequent n-grams).
+# Tie-break: count desc, term asc (sklearn argsort tie behavior differs
+# per float equality; counts are ints here so ordering is total).
+# --------------------------------------------------------------------------
+def t11_fallback_tags(spark: SparkSession, sf_dir: str, n_tags: int = 5) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(clean_text("text"))
+    base = d.select("doc_id", toks.alias("t"))
+    terms = F.concat(F.col("t"), ngrams(F.col("t"), 2))
+    exploded = base.select("doc_id", F.explode(terms).alias("term"))
+    counts = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        counts.withColumn("tag_rank", F.row_number().over(w))
+        .filter(F.col("tag_rank") <= n_tags)
+        .select("doc_id", F.col("term").alias("tag"), "cnt", "tag_rank")
+    )
+
+
+T11_SQL = f"""
+WITH cleaned AS (
+  SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents
+),
+toklists AS (
+  SELECT doc_id,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM cleaned
+),
+terms AS (
+  SELECT doc_id, unnest(t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS term
+  FROM toklists
+),
+counts AS (
+  SELECT doc_id, term, COUNT(*) AS cnt FROM terms GROUP BY doc_id, term
+)
+SELECT doc_id, term AS tag, cnt, tag_rank
+FROM (
+  SELECT doc_id, term, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, term ASC) AS tag_rank
+  FROM counts
+) z WHERE tag_rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# t12: word-cloud feed (reference R22, :333-342): word frequencies over
+# the corpus of SUMMARIES (not raw docs), top 50.
+# --------------------------------------------------------------------------
+def t12_summary_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    summary = truncate_at_word(clean_text("text"), 150)  # early-exit corpus
+    words = F.filter(F.split(summary, " "), lambda t: t != F.lit(""))
+    return (
+        d.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(50)
+    )
+
+
+T12_SQL = f"""
+WITH cleaned AS (
+  SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents
+),
+summ AS (
+  SELECT CASE WHEN length(ctext) > 150 THEN
+           CASE WHEN strpos(reverse(substring(ctext, 1, 150)), ' ') > 0
+                THEN substring(ctext, 1, 150 - strpos(reverse(substring(ctext, 1, 150)), ' ')) || '...'
+                ELSE substring(ctext, 1, 150) || '...'
+           END
+         ELSE ctext END AS summary
+  FROM cleaned
+)
+SELECT word, COUNT(*) AS freq
+FROM (SELECT unnest(list_filter(string_split(summary, ' '), w -> w != '')) AS word FROM summ)
+GROUP BY word
+ORDER BY freq DESC, word ASC
+LIMIT 50
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -510,9 +592,13 @@ QUERIES = {
     "t08_quality_score": t08_quality_score,
     "t09_token_counts": t09_token_counts,
     "t10_fingerprint": t10_fingerprint,
+    "t11_fallback_tags": t11_fallback_tags,
+    "t12_summary_word_freq": t12_summary_word_freq,
 }
 
 ORACLES = {
+    "t11_fallback_tags": T11_SQL,
+    "t12_summary_word_freq": T12_SQL,
     "t01_token_freq_top10": T01_SQL,
     "t02_doc_token_stats": T02_SQL,
     "t03_term_document_frequency": T03_SQL,

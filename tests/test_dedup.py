@@ -85,3 +85,11 @@ def test_shingles_order_and_count(spark):
     df = spark.createDataFrame([(["one", "two", "three", "four"],)], ["t"])
     got = df.select(_shingles(F.col("t")).alias("s")).first()["s"]
     assert got == ["one two three", "two three four"]
+
+
+def test_shingles_short_arrays_are_empty_not_error(spark):
+    # Spark's sequence(1, 0) is DESCENDING [1, 0] — ngrams() must guard
+    # or short docs crash with an invalid element_at(…, 0) index
+    df = spark.createDataFrame([(0, []), (1, ["solo"]), (2, ["two", "toks"])], ["i", "t"])
+    got = {r["i"]: r["s"] for r in df.select("i", _shingles(F.col("t")).alias("s")).collect()}
+    assert got == {0: [], 1: [], 2: []}
