@@ -303,15 +303,109 @@ LIMIT 20
 )
 
 
+# --------------------------------------------------------------------------
+# d06: near-duplicate CLUSTERS — iterative connected components over the
+# LSH candidate-pair graph (label propagation to fixpoint). This is the
+# step that turns pairwise candidates into dedup groups ("keep one per
+# cluster"), and the repo's canonical iterative algorithm: a driver loop
+# over DataFrame joins with localCheckpoint() per round to cut lineage
+# (at 100 TB: O(graph diameter) rounds, each one shuffle on doc_id —
+# the standard large-scale CC shape). Oracle: DuckDB recursive CTE
+# computing the same transitive closure (the candidate graph is small
+# relative to the corpus by LSH's design, so closure is cheap there).
+# --------------------------------------------------------------------------
+def d06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d03_lsh_candidate_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; tiny graphs converge in 2-3
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+D06_SQL = (
+    _TOKLIST_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('seed{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES))
+    + " FROM shingle_set GROUP BY doc_id), "
+    + f"banded AS ({_BANDS_SQL}) "
+    + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+closure AS (
+  SELECT src AS doc_id, dst FROM reach
+  UNION SELECT src, src FROM edges
+)
+SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM (SELECT doc_id, MIN(dst) AS cluster_id FROM closure GROUP BY doc_id) t
+ORDER BY cluster_id, doc_id
+"""
+)
+# WITH RECURSIVE needs the keyword up front — patch the CTE header
+D06_SQL = D06_SQL.replace("WITH cleaned AS", "WITH RECURSIVE cleaned AS", 1)
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_signatures": d02_minhash_signatures,
     "d03_lsh_candidate_pairs": d03_lsh_candidate_pairs,
     "d04_simhash": d04_simhash,
     "d05_shingle_jaccard_topk": d05_shingle_jaccard_topk,
+    "d06_neardup_clusters": d06_neardup_clusters,
 }
 
 ORACLES = {
+    "d06_neardup_clusters": D06_SQL,
     "d01_exact_dedup": D01_SQL,
     "d02_minhash_signatures": D02_SQL,
     "d03_lsh_candidate_pairs": D03_SQL,

@@ -205,15 +205,53 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q26: multi-resolution time rollup — daily aggregates DERIVED from
+# hourly partials (the hypertable / continuous-aggregate pattern).
+# At 100 TB you materialize the hourly level once and every coarser
+# resolution reuses it: decimal partial-sums re-aggregate exactly, so
+# the oracle (direct daily aggregation from raw rows) proves the
+# two-level rollup is lossless.
+# --------------------------------------------------------------------------
+def q26_time_rollup_from_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("pc"),
+        F.sum(F.col("value").cast(D182)).alias("pv"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("pc").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+Q26_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,
     "q23_map_array_funcs": q23_map_array_funcs,
     "q24_first_last_frames": q24_first_last_frames,
     "q25_salted_hot_key_agg": q25_salted_hot_key_agg,
+    "q26_time_rollup_from_partials": q26_time_rollup_from_partials,
 }
 
 ORACLES = {
+    "q26_time_rollup_from_partials": Q26_SQL,
     "q21_pivot_event_matrix": Q21_SQL,
     "q22_analytic_funcs": Q22_SQL,
     "q23_map_array_funcs": Q23_SQL,
