@@ -241,6 +241,40 @@ ORDER BY day, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q27: exact percentiles (interpolated) — the exact twin of a01's
+# approximate sketch. Both engines use the standard linear-interpolation
+# definition; inputs are 2-dp doubles so interpolation arithmetic is
+# cross-engine deterministic, rounded at the edge.
+# Scale: exact percentiles need a full sort per group — use a01's
+# percentile_approx beyond memory-sized groups.
+# --------------------------------------------------------------------------
+def q27_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q27_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,
@@ -248,10 +282,12 @@ QUERIES = {
     "q24_first_last_frames": q24_first_last_frames,
     "q25_salted_hot_key_agg": q25_salted_hot_key_agg,
     "q26_time_rollup_from_partials": q26_time_rollup_from_partials,
+    "q27_exact_percentiles": q27_exact_percentiles,
 }
 
 ORACLES = {
     "q26_time_rollup_from_partials": Q26_SQL,
+    "q27_exact_percentiles": Q27_SQL,
     "q21_pivot_event_matrix": Q21_SQL,
     "q22_analytic_funcs": Q22_SQL,
     "q23_map_array_funcs": Q23_SQL,

@@ -63,3 +63,14 @@ def test_q01_partial_aggregation(spark, sf_dir):
     # map-side combine before the shuffle: two HashAggregate stages
     df = relational.q01_pricing_summary(spark, sf_dir)
     assert formatted_plan(df).count("HashAggregate") >= 2
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    # AQE must shrink the 32 configured shuffle partitions for tiny data:
+    # after execution the final agg stage runs with far fewer partitions
+    df = relational.q01_pricing_summary(spark, sf_dir)
+    df.collect()  # finalize THIS DataFrame's adaptive plan (a write runs
+    # its own separate QueryExecution and would leave this one unexecuted)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "AQEShuffleRead coalesced" in executed

@@ -88,6 +88,27 @@ def test_streaming_totals_match_batch_when_nothing_late(spark, sf_dir):
     shutil.rmtree(staged, ignore_errors=True)
 
 
+def test_streaming_session_windows_match_batch(spark, sf_dir):
+    """sessionized() through a real stream == batch session_window."""
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+    from nlp_data_pipeline_spark.streaming.pipelines import sessionized
+
+    staged = tempfile.mkdtemp(prefix="events_sess_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(staged, "events.parquet")
+    )
+    stream = read_events_stream(spark, staged)
+    _, result = run_to_memory_sink(sessionized(stream), output_mode="complete")
+    stream_sessions = result.count()
+    batch_sessions = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .count()
+    )
+    assert stream_sessions == batch_sessions
+
+
 def test_stateful_counters_match_batch_totals(spark, sf_dir):
     """applyInPandasWithState cumulative per-user counters: the LAST
     emission per user equals the batch groupBy answer."""
