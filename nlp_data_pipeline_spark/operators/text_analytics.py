@@ -581,6 +581,41 @@ LIMIT 50
 """
 
 
+# --------------------------------------------------------------------------
+# t13: deterministic hash sampling — the scalable sampling pattern for
+# training-data pipelines. `df.sample()` is seed- and partitioning-
+# dependent (not reproducible across engines or layouts); hashing a key
+# column is: a row is in the p% sample iff md5(key) starts below the
+# cutoff, independent of partitioning, engine, or row order. Also
+# demonstrates stratified accounting per language.
+# --------------------------------------------------------------------------
+def t13_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    sampled = d.withColumn("bucket", bucket).filter(F.col("bucket") < 51)  # ~20% of 256
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+T13_SQL = """
+SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM (
+  SELECT lang, doc_id
+  FROM documents
+  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS INT) < 51
+) t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -594,11 +629,13 @@ QUERIES = {
     "t10_fingerprint": t10_fingerprint,
     "t11_fallback_tags": t11_fallback_tags,
     "t12_summary_word_freq": t12_summary_word_freq,
+    "t13_hash_sample": t13_hash_sample,
 }
 
 ORACLES = {
     "t11_fallback_tags": T11_SQL,
     "t12_summary_word_freq": T12_SQL,
+    "t13_hash_sample": T13_SQL,
     "t01_token_freq_top10": T01_SQL,
     "t02_doc_token_stats": T02_SQL,
     "t03_term_document_frequency": T03_SQL,
