@@ -57,8 +57,8 @@ def p01_document_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctext.alias("cleaned_text"),
         tokenize_joined(ctext).alias("processed_text"),
         truncate_at_word(ctext, 150).alias("summary"),
-        F.length("text").alias("text_length"),
-        F.length(truncate_at_word(ctext, 150)).alias("summary_length"),
+        F.length("text").cast("long").alias("text_length"),
+        F.length(truncate_at_word(ctext, 150)).cast("long").alias("summary_length"),
     )
 
 
@@ -154,8 +154,8 @@ def r01_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 R01_SQL = f"""
 WITH cleaned AS (SELECT doc_id, text, {_CLEAN_SQL} AS ctext FROM documents)
 SELECT COUNT(*) AS n_docs,
-       SUM(length(text)) AS total_chars,
-       SUM(length({_SUMMARY_SQL})) AS total_summary_chars
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(length({_SUMMARY_SQL})) AS BIGINT) AS total_summary_chars
 FROM cleaned
 """
 

@@ -35,7 +35,7 @@ def m01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.encode("text", "UTF-8")
     return d.select(
         "doc_id",
-        F.octet_length(payload).alias("n_bytes"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
         F.sha2(payload, 256).alias("sha256_hex"),
         F.substring(F.base64(payload), 1, 16).alias("b64_prefix"),
     )

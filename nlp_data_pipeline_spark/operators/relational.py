@@ -535,8 +535,8 @@ def q16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 1, 4).alias("name_prefix"),
         F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
-        F.length("p_name").alias("name_len"),
-        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
         F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
     ).filter(F.col("p_partkey") < 500)
 
@@ -614,7 +614,7 @@ SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
        COUNT(*) AS n_events,
        MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY 1
 ORDER BY k_mod10

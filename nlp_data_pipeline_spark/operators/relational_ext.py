@@ -60,7 +60,7 @@ def q22_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_mktsegment",
             "c_acctbal",
-            F.ntile(4).over(w).alias("balance_quartile"),
+            F.ntile(4).over(w).cast("long").alias("balance_quartile"),  # DuckDB NTILE is BIGINT
             F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
             F.round(F.cume_dist().over(w), 6).alias("cume"),
             F.first("c_custkey").over(w).alias("richest_custkey"),
@@ -101,9 +101,9 @@ def q23_map_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "event_id",
             F.element_at(m, "k").alias("k"),
-            F.size(F.map_keys(m)).alias("n_props"),
+            F.size(F.map_keys(m)).cast("long").alias("n_props"),
         )
-        .withColumn("seq_sum", F.aggregate(seq, F.lit(0), lambda a, x: a + x))
+        .withColumn("seq_sum", F.aggregate(seq, F.lit(0), lambda a, x: a + x).cast("long"))
         .withColumn("seq_last2_size", F.size(last2))
         .filter(F.col("event_id") < 500)
     )
@@ -113,7 +113,7 @@ Q23_SQL = """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS INT) AS k,
        len(json_keys(props)) AS n_props,
-       (m * (m + 1)) // 2 AS seq_sum,
+       CAST((m * (m + 1)) // 2 AS BIGINT) AS seq_sum,
        CASE WHEN m >= 2 THEN 2 ELSE m END AS seq_last2_size
 FROM (
   SELECT event_id, props,

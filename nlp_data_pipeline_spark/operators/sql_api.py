@@ -114,7 +114,7 @@ def v03_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT d.doc_id, s.pos, length(s.sentence) AS sent_len
+        SELECT d.doc_id, s.pos, CAST(length(s.sentence) AS BIGINT) AS sent_len
         FROM documents d,
              LATERAL sentence_split(d.doc_id, substring(d.text, 1, 80)) s
         WHERE d.doc_id < 50

@@ -102,12 +102,14 @@ LIMIT 10
 def t02_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokenize(clean_text("text"))
+    # casts to long: DuckDB's length()/len() are BIGINT — keep schemas
+    # identical, not just values
     return d.select(
         "doc_id",
-        F.length(clean_text("text")).alias("clean_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        word_count("text").alias("n_words_raw"),
+        F.length(clean_text("text")).cast("long").alias("clean_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        word_count("text").cast("long").alias("n_words_raw"),
     )
 
 
@@ -234,7 +236,7 @@ def t05_document_summary(spark: SparkSession, sf_dir: str, max_length: int = 150
     )
     return joined.select(
         "doc_id", truncate_at_word(raw_summary, max_length).alias("summary")
-    ).withColumn("summary_len", F.length("summary"))
+    ).withColumn("summary_len", F.length("summary").cast("long"))
 
 
 T05_SQL = f"""
@@ -437,8 +439,8 @@ def t09_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpeish = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
     return d.select(
         "doc_id",
-        ws.alias("n_ws_tokens"),
-        bpeish.alias("n_bpeish_tokens"),
+        ws.cast("long").alias("n_ws_tokens"),
+        bpeish.cast("long").alias("n_bpeish_tokens"),
         F.round(bpeish.cast("double") / F.greatest(ws, F.lit(1)), 6).alias("tokens_per_word"),
     )
 
