@@ -275,6 +275,53 @@ ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# u01: custom UDAF via an Arrow grouped-agg pandas_udf — price-weighted
+# mean order value per priority. The sanctioned custom-aggregate path:
+# Arrow ships each group as numpy arrays, the kernel is vectorized
+# (no per-row Python), and partial aggregation doesn't apply (grouped-agg
+# UDFs see whole groups) — so at scale keep groups bounded or prefer
+# built-ins. Values are 2-dp; float64 accumulation error is ~1e-9 of
+# the magnitude, so round(4) makes the oracle exact.
+# --------------------------------------------------------------------------
+def u01_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG functionType: this module uses postponed
+    # annotations, which the signature-inferring form can't parse
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_mean_price(price, qty_weight):
+        return float((price * qty_weight).sum() / qty_weight.sum())
+
+    o = load_table(spark, sf_dir, "orders")
+    weight = (F.col("o_orderkey") % 7 + 1).cast("double")  # deterministic weight
+    # pandas grouped-agg UDFs can't mix with JVM aggregates in one agg():
+    # count via a second pandas kernel on the weight column
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def group_count(w):
+        return len(w)
+
+    return (
+        o.withColumn("w", weight)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(weighted_mean_price("o_totalprice", "w"), 4).alias("weighted_mean_price"),
+            group_count("w").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+U01_SQL = """
+SELECT o_orderpriority,
+       round(SUM(o_totalprice * ((o_orderkey % 7 + 1))) / SUM((o_orderkey % 7 + 1)), 4) AS weighted_mean_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,
@@ -283,9 +330,11 @@ QUERIES = {
     "q25_salted_hot_key_agg": q25_salted_hot_key_agg,
     "q26_time_rollup_from_partials": q26_time_rollup_from_partials,
     "q27_exact_percentiles": q27_exact_percentiles,
+    "u01_grouped_agg_udaf": u01_grouped_agg_udaf,
 }
 
 ORACLES = {
+    "u01_grouped_agg_udaf": U01_SQL,
     "q26_time_rollup_from_partials": Q26_SQL,
     "q27_exact_percentiles": Q27_SQL,
     "q21_pivot_event_matrix": Q21_SQL,

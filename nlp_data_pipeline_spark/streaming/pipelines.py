@@ -102,6 +102,35 @@ def stateful_user_counters(stream: DataFrame) -> DataFrame:
     )
 
 
+def run_foreach_batch_parquet(
+    df: DataFrame, out_dir: str, timeout_s: int = 120
+) -> list[int]:
+    """Exactly-once file sink via foreachBatch: each micro-batch writes a
+    parquet partition keyed by epoch id; replays of an epoch overwrite
+    the same path (idempotent), which is the standard exactly-once
+    pattern for sinks without native transactional support.
+    Returns the epoch ids that committed.
+    """
+    import os as _os
+
+    epochs: list[int] = []
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        epochs.append(epoch_id)
+
+    q = (
+        df.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", _os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return epochs
+
+
 def run_to_memory_sink(
     df: DataFrame, output_mode: str = "append", timeout_s: int = 120
 ) -> tuple[str, DataFrame]:

@@ -139,6 +139,23 @@ def test_stateful_counters_match_batch_totals(spark, sf_dir):
         assert abs(got[uid][1] - v) < 0.05  # python float accumulation vs spark sum
 
 
+def test_foreach_batch_parquet_sink_exactly_once_layout(spark, sf_dir):
+    """foreachBatch epoch-partitioned parquet: rows written == rows read;
+    epoch dirs are idempotent overwrite targets."""
+    from nlp_data_pipeline_spark.streaming.pipelines import run_foreach_batch_parquet
+
+    staged = tempfile.mkdtemp(prefix="events_feb_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(staged, "events.parquet")
+    )
+    out = tempfile.mkdtemp(prefix="events_feb_out_")
+    stream = read_events_stream(spark, staged).select("event_id", "user_id", "ts")
+    epochs = run_foreach_batch_parquet(stream, out)
+    assert len(epochs) >= 1
+    written = spark.read.parquet(*[os.path.join(out, f"epoch={e}") for e in epochs])
+    assert written.count() == spark.read.parquet(staged).count()
+
+
 def test_dedup_within_watermark_bounds(spark, sf_dir):
     staged = tempfile.mkdtemp(prefix="events_dedup_")
     os.symlink(
