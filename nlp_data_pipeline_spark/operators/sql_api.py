@@ -140,13 +140,45 @@ ORDER BY doc_id, pos
 """
 
 
+# --------------------------------------------------------------------------
+# v04: explicit GROUPING SETS — the general form of q08's ROLLUP /
+# q09's CUBE: exactly the named aggregation levels, nothing more.
+# One shuffle with grouping-set expansion (each input row contributes
+# to each matching set).
+# --------------------------------------------------------------------------
+def v04_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (c_mktsegment), (o_orderstatus))
+        ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )
+
+
+V04_SQL = """
+SELECT c_mktsegment, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (c_mktsegment), (o_orderstatus))
+ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
 QUERIES = {
     "v01_sql_big_spenders": v01_sql_big_spenders,
     "v02_sql_correlated_subquery": v02_sql_correlated_subquery,
     "v03_sentence_udtf": v03_sentence_udtf,
+    "v04_grouping_sets": v04_grouping_sets,
 }
 
 ORACLES = {
+    "v04_grouping_sets": V04_SQL,
     "v01_sql_big_spenders": V01_SQL,
     "v02_sql_correlated_subquery": V02_SQL,
     "v03_sentence_udtf": V03_SQL,
