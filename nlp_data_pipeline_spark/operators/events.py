@@ -188,14 +188,53 @@ def e04_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("window_start", "event_type")
 
 
+# --------------------------------------------------------------------------
+# e05: sliding windows — 1-hour windows every 15 minutes. Each event
+# lands in exactly len/slide = 4 overlapping windows; the oracle
+# reproduces Spark's epoch-aligned starts via time_bucket minus i×slide.
+# Scale: sliding windows multiply state by len/slide — keep the ratio
+# small or pre-aggregate at slide granularity and roll up (q26 pattern).
+# --------------------------------------------------------------------------
+def e05_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D182)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+E05_SQL = """
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) - CAST(i AS INT) * INTERVAL 15 MINUTE AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+CROSS JOIN (SELECT unnest(range(4)) AS i) s
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_session_windows": e02_session_windows,
     "e03_first_event_per_user_type": e03_first_event_per_user_type,
     "e04_streaming_tumbling": e04_streaming_tumbling,
+    "e05_sliding_windows": e05_sliding_windows,
 }
 
 ORACLES = {
+    "e05_sliding_windows": E05_SQL,
     "e01_tumbling_hourly": E01_SQL,
     "e02_session_windows": E02_SQL,
     "e03_first_event_per_user_type": E03_SQL,

