@@ -276,6 +276,59 @@ ORDER BY o_orderpriority
 
 
 # --------------------------------------------------------------------------
+# q28: outer joins — LEFT join preserving empty nations and a FULL
+# OUTER against a filtered supplier slice so both null sides appear.
+# Scale: outer joins can't use semi-join pruning; null-producing sides
+# still broadcast when small (nation here).
+# --------------------------------------------------------------------------
+def q28_outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    # no broadcast hint here: the PRESERVED side of an outer join cannot
+    # be the broadcast build side (Spark supports left_outer only with
+    # build-right), so hinting nation would just be ignored with a warning
+    cust_per_nation = (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+    supp_per_nation = s.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    return (
+        cust_per_nation.join(
+            supp_per_nation, F.col("n_nationkey") == F.col("s_nationkey"), "full_outer"
+        )
+        .select(
+            F.coalesce("n_nationkey", "s_nationkey").alias("nationkey"),
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_rich_suppliers", F.lit(0)).alias("n_rich_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q28_SQL = """
+WITH cust AS (
+  SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_customers
+  FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+  GROUP BY n_nationkey, n_name
+),
+supp AS (
+  SELECT s_nationkey, COUNT(*) AS n_rich_suppliers
+  FROM supplier WHERE s_acctbal > 5000
+  GROUP BY s_nationkey
+)
+SELECT COALESCE(n_nationkey, s_nationkey) AS nationkey,
+       n_name,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_rich_suppliers, 0) AS n_rich_suppliers
+FROM cust FULL OUTER JOIN supp ON n_nationkey = s_nationkey
+ORDER BY nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # u01: custom UDAF via an Arrow grouped-agg pandas_udf — price-weighted
 # mean order value per priority. The sanctioned custom-aggregate path:
 # Arrow ships each group as numpy arrays, the kernel is vectorized
@@ -331,9 +384,11 @@ QUERIES = {
     "q26_time_rollup_from_partials": q26_time_rollup_from_partials,
     "q27_exact_percentiles": q27_exact_percentiles,
     "u01_grouped_agg_udaf": u01_grouped_agg_udaf,
+    "q28_outer_join_coverage": q28_outer_join_coverage,
 }
 
 ORACLES = {
+    "q28_outer_join_coverage": Q28_SQL,
     "u01_grouped_agg_udaf": U01_SQL,
     "q26_time_rollup_from_partials": Q26_SQL,
     "q27_exact_percentiles": Q27_SQL,
