@@ -618,6 +618,45 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# t14: character-level polynomial rolling hash (h = h*31 + codepoint,
+# mod 2^31-1) — the classic content fingerprint, computed as a
+# sequential JVM-side fold over the cleaned text plus a 64-char prefix
+# variant (cheap near-head fingerprint for container-level dedup).
+# Cross-engine exact: both engines fold left-to-right over identical
+# codepoints in integer arithmetic.
+# --------------------------------------------------------------------------
+_MOD = 2147483647
+
+
+def _roll(col: Column) -> Column:
+    chars = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(chars, F.lit(0).cast("long"), lambda a, x: (a * 31 + x) % _MOD)
+
+
+def t14_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ctext = clean_text("text")
+    return d.select(
+        "doc_id",
+        _roll(ctext).alias("content_hash"),
+        _roll(F.substring(ctext, 1, 64)).alias("prefix64_hash"),
+    )
+
+
+T14_SQL = f"""
+WITH cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(ctext, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % {_MOD}) AS content_hash,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(substring(ctext, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % {_MOD}) AS prefix64_hash
+FROM cleaned
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -632,9 +671,11 @@ QUERIES = {
     "t11_fallback_tags": t11_fallback_tags,
     "t12_summary_word_freq": t12_summary_word_freq,
     "t13_hash_sample": t13_hash_sample,
+    "t14_rolling_hash": t14_rolling_hash,
 }
 
 ORACLES = {
+    "t14_rolling_hash": T14_SQL,
     "t11_fallback_tags": T11_SQL,
     "t12_summary_word_freq": T12_SQL,
     "t13_hash_sample": T13_SQL,
