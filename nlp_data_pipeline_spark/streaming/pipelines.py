@@ -102,6 +102,41 @@ def stateful_user_counters(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_purchase_attribution(
+    events: DataFrame, max_gap: str = "7 days", lateness: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to signups of the
+    same user that happened at-or-before it within ``max_gap``.
+
+    Both sides carry watermarks and the join has an event-time range
+    condition — the two requirements that let Spark BOUND the join
+    state: a buffered signup can be evicted once the watermark passes
+    signup_ts + max_gap, so state is O(events within the horizon), not
+    O(stream). Without the time condition a stream-stream join must
+    buffer forever; this shape is the scalable attribution join.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", lateness)
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("signup_ts"),
+    ).withWatermark("signup_ts", lateness)
+    return purchases.join(
+        signups,
+        F.expr(
+            f"""
+            p_user = s_user AND
+            signup_ts <= purchase_ts AND
+            signup_ts >= purchase_ts - INTERVAL {max_gap}
+            """
+        ),
+    )
+
+
 def run_foreach_batch_parquet(
     df: DataFrame, out_dir: str, timeout_s: int = 120
 ) -> list[int]:

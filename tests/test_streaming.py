@@ -139,6 +139,39 @@ def test_stateful_counters_match_batch_totals(spark, sf_dir):
         assert abs(got[uid][1] - v) < 0.05  # python float accumulation vs spark sum
 
 
+def test_stream_stream_join_matches_batch_join(spark, sf_dir):
+    """Stream-stream time-bounded join == the same join in batch
+    (availableNow replay; no late data, so watermarks drop nothing)."""
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+    from nlp_data_pipeline_spark.streaming.pipelines import (
+        stream_stream_purchase_attribution,
+    )
+
+    staged = tempfile.mkdtemp(prefix="events_ssj_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(staged, "events.parquet")
+    )
+    stream = read_events_stream(spark, staged)
+    joined = stream_stream_purchase_attribution(stream)
+    _, result = run_to_memory_sink(joined, output_mode="append")
+    stream_count = result.count()
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    batch_count = p.join(
+        s,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("signup_ts") <= F.col("purchase_ts"))
+        & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).count()
+    assert stream_count == batch_count > 0
+
+
 def test_foreach_batch_parquet_sink_exactly_once_layout(spark, sf_dir):
     """foreachBatch epoch-partitioned parquet: rows written == rows read;
     epoch dirs are idempotent overwrite targets."""
