@@ -30,9 +30,10 @@ class PipelineConfig:
     min_token_len: int = 3       # "len(word) > 2"
     min_sentence_len: int = 11   # "len(s.strip()) > 10"
 
-    # extension operators
-    minhash_num_hashes: int = 16
-    minhash_bands: int = 4
+    # extension operators (single source of truth — operators/dedup.py
+    # derives its signature/banding constants from these)
+    minhash_num_hashes: int = 8   # signature length
+    minhash_bands: int = 4        # LSH bands → band size = 8 // 4 = 2
     shingle_size: int = 3
     simhash_bits: int = 16
     ann_num_planes: int = 8

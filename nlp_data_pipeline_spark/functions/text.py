@@ -53,7 +53,12 @@ def clean_text(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     c = F.coalesce(c, F.lit(""))                       # "if not text: return ''"
     c = F.regexp_replace(c, r"\s+", " ")               # :55
-    c = F.regexp_replace(c, r"[^\w\s\.]", " ")         # :58
+    # the reference's r'[^\w\s\.]' uses Python's UNICODE \w; Java's \w is
+    # ASCII-only, so spell out the Unicode classes (\p{L}\p{N}_) to keep
+    # accented/non-Latin characters exactly like the reference does.
+    # (\s stays ASCII in both engines; the \s+ collapse above already
+    # normalized exotic whitespace to ' '.)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}_\s\.]", " ")  # :58
     c = F.lower(c)                                     # :61
     c = F.trim(F.regexp_replace(c, r" +", " "))        # :64 ' '.join(split())
     return c

@@ -34,12 +34,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nlp_data_pipeline_spark.config import DEFAULT_CONFIG
 from nlp_data_pipeline_spark.functions.text import clean_text, ngrams, tokenize
 from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL, _STOP_SQL
 from nlp_data_pipeline_spark.sources.catalog import load_table
 
-NUM_HASHES = 8  # minhash signature length
-BAND_SIZE = 2   # rows per LSH band → 4 bands; P(candidate) = 1-(1-s^2)^4
+# derived from the config surface so tuning the knobs actually changes
+# behavior; defaults: 8 hashes / 4 bands → band size 2,
+# P(candidate) = 1-(1-s^2)^4
+NUM_HASHES = DEFAULT_CONFIG.minhash_num_hashes
+BAND_SIZE = NUM_HASHES // DEFAULT_CONFIG.minhash_bands
 
 
 def _shingles(tokens_col: Column) -> Column:
@@ -328,6 +332,7 @@ def d06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(20):  # diameter bound; tiny graphs converge in 2-3
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -353,6 +358,13 @@ def d06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        # the oracle computes the FULL transitive closure; returning
+        # partially-propagated labels would ship wrong clusters silently
+        raise RuntimeError(
+            "d06 label propagation did not converge within the iteration cap; "
+            "raise the cap for graphs with diameter > 20"
+        )
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "cluster_id")

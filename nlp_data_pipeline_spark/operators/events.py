@@ -89,18 +89,18 @@ def e02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E02_SQL = """
 WITH ordered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ),
 flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
   FROM ordered
 ),
 numbered AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
 SELECT user_id,
