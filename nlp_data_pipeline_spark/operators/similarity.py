@@ -98,56 +98,89 @@ FROM ranked WHERE nn_rank <= {TOP_K}
 
 
 # --------------------------------------------------------------------------
-# s02: global top-10 most-similar pairs — blocked matrix multiply.
-# One side of the O(n²) comparison is broadcast as a dense float64
-# matrix; each Arrow batch of the scan computes `batch @ M.T` through
-# BLAS inside mapInPandas and keeps only its per-row top-10, so the
-# full pair matrix never materializes anywhere. ~30× faster than the
-# per-pair expression-tree dot product (4M-row cross join at sf0.1);
-# this is the standard dense-retrieval kernel shape.
-# Scale: broadcast caps the RIGHT side (~1 GB ≈ 2M vectors); beyond
-# that, block both sides (grid join on block id) or switch to the
-# LSH/IVF paths (s03/s04) — all-pairs exact search is inherently O(n²).
-# Embedding near-duplicate detection = this with a cosine >= threshold
-# filter instead of the limit.
+# s02: global top-10 most-similar pairs — two-sided block-grid matmul.
+# The corpus is hashed into N_BLOCKS blocks; each block is packed into
+# one row (collect_list of (vec_id, embedding)); the B×(B+1)/2 upper-
+# triangle block grid is joined and every block PAIR computes its
+# (n/B × n/B) cosine tile through BLAS inside mapInPandas, keeping only
+# its per-row top-10. Nothing ever materializes on the driver and no
+# executor holds more than two blocks — the corpus-sized state of the
+# naive broadcast design is gone. All-pairs exact search stays
+# inherently O(n²) in FLOPs; at 100 TB set N_BLOCKS ≈ n_vectors /
+# 500k so a block (≈128 MB of float32) fits an executor task, or use
+# the LSH/IVF paths (s03/s04) when approximate answers suffice.
+# Embedding near-duplicate detection = s06 (cosine ≥ τ on LSH buckets).
 # --------------------------------------------------------------------------
+N_BLOCKS = 8
+
+
 def s02_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    local = e.toPandas()
-    ids = local["vec_id"].to_numpy(dtype="int64")
-    M = np.stack(local["embedding"].to_numpy()).astype("float64")
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    ids, M = ids[order], M[order]
-    bc = spark.sparkContext.broadcast((ids, M))
+    # one row per block: aligned id list + ONE flat float array (ids[i]
+    # owns flat[i*DIM:(i+1)*DIM]) — a single Arrow buffer per side, so
+    # the Python side reshapes one numpy array instead of unpacking
+    # thousands of per-vector objects
+    vecs = F.collect_list(F.struct("vec_id", "embedding")).alias("vecs")
+    packed = (
+        e.withColumn("blk", F.pmod(F.col("vec_id"), N_BLOCKS))
+        .groupBy("blk")
+        .agg(vecs)
+        .select(
+            "blk",
+            F.transform("vecs", lambda v: v["vec_id"]).alias("ids"),
+            F.flatten(F.transform("vecs", lambda v: v["embedding"])).alias("flat"),
+        )
+    )
+    a = packed.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("flat").alias("flat_a")
+    )
+    b = packed.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("flat").alias("flat_b")
+    )
+    # B(B+1)/2 tiles; repartition so each tile's matmul is its own task
+    # (AQE would otherwise coalesce the few-MB grid into one partition
+    # and run every tile serially)
+    grid = (
+        a.join(b, F.col("blk_a") <= F.col("blk_b"))
+        .repartition(N_BLOCKS * (N_BLOCKS + 1) // 2, "blk_a", "blk_b")
+    )
 
-    def block_topk(batches):
-        b_ids, b_M = bc.value
+    def _unpack(ids_cell, flat_cell):
+        ids = np.asarray(ids_cell, dtype="int64")
+        M = np.asarray(flat_cell, dtype="float64").reshape(len(ids), DIM)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        return ids, M
+
+    def tile_topk(batches):
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q_ids = pdf["vec_id"].to_numpy(dtype="int64")
-            Q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-            G = Q @ b_M.T  # (batch × corpus) cosine matrix via BLAS
-            G[q_ids[:, None] >= b_ids[None, :]] = -2.0  # keep vec_a < vec_b only
-            k = min(10, G.shape[1])
-            idx = np.argpartition(-G, k - 1, axis=1)[:, :k]
-            rows = np.repeat(np.arange(G.shape[0]), k)
-            cols = idx.ravel()
-            keep = G[rows, cols] > -2.0
-            yield pd.DataFrame(
-                {
-                    "vec_a": q_ids[rows[keep]],
-                    "vec_b": b_ids[cols[keep]],
-                    "cosine": G[rows[keep], cols[keep]],
-                }
-            )
+            for _, row in pdf.iterrows():
+                ids_a, A = _unpack(row["ids_a"], row["flat_a"])
+                ids_b, B = _unpack(row["ids_b"], row["flat_b"])
+                G = A @ B.T  # cosine tile via BLAS (rows pre-normalized)
+                if row["blk_a"] == row["blk_b"]:
+                    # diagonal tile compares a block to itself: keep i<j
+                    # once. Off-diagonal tiles hold each unordered pair
+                    # exactly once already (ids interleave under pmod, so
+                    # no id-order mask applies there).
+                    G[ids_a[:, None] >= ids_b[None, :]] = -2.0
+                k = min(10, G.shape[1])
+                idx = np.argpartition(-G, k - 1, axis=1)[:, :k]
+                rows = np.repeat(np.arange(G.shape[0]), k)
+                cols = idx.ravel()
+                keep = G[rows, cols] > -2.0
+                la, lb = ids_a[rows[keep]], ids_b[cols[keep]]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(la, lb),  # canonical (lo, hi)
+                        "vec_b": np.maximum(la, lb),
+                        "cosine": G[rows[keep], cols[keep]],
+                    }
+                )
 
-    candidates = e.mapInPandas(block_topk, "vec_a long, vec_b long, cosine double")
+    candidates = grid.mapInPandas(tile_topk, "vec_a long, vec_b long, cosine double")
     return (
         candidates.orderBy(F.desc("cosine"), "vec_a", "vec_b")
         .limit(10)
@@ -303,12 +336,73 @@ ORDER BY label
 """
 
 
+# --------------------------------------------------------------------------
+# s06: embedding near-duplicate pairs — the scale path, not brute force:
+# candidates are generated by the s03 LSH bucketing (equi-join on bucket
+# key — pair count ∝ bucket collisions, not n²) and verified with exact
+# cosine ≥ τ. This is MinHash-LSH's dense-vector sibling: at 100 TB the
+# bucket join is the only shuffle and the verify runs per candidate.
+# τ=0.3 ≈ the 99th percentile of within-bucket cosine on the driver
+# corpus (which has no engineered vector dups — on a real corpus τ is
+# the dedup threshold, e.g. 0.95).
+# --------------------------------------------------------------------------
+NEARDUP_TAU = 0.3
+
+
+def s06_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    sign_bits = [
+        F.when(dot(F.array(*[F.lit(v) for v in PLANES[p]]), F.col("emb")) >= 0, "1").otherwise("0")
+        for p in range(N_PLANES)
+    ]
+    bucketed = e.select("vec_id", "emb", F.concat(*sign_bits).alias("bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cos = dot("a.emb", "b.emb") / (norm("a.emb") * norm("b.emb"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("raw_cos"),
+        )
+        .filter(F.col("raw_cos") >= NEARDUP_TAU)
+        .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+S06_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+bucketed AS (
+  SELECT vec_id, emb, {' || '.join(_plane_sql(p) for p in range(N_PLANES))} AS bucket FROM e
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.emb, b.emb)
+           / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS raw_cos
+  FROM bucketed a
+  JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(raw_cos, 6) AS cosine
+FROM pairs WHERE raw_cos >= {NEARDUP_TAU}
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
     "s03_lsh_buckets": s03_lsh_buckets,
     "s04_ivf_assign": s04_ivf_assign,
     "s05_embedding_label_stats": s05_embedding_label_stats,
+    "s06_embedding_neardup_pairs": s06_embedding_neardup_pairs,
 }
 
 ORACLES = {
@@ -317,4 +411,5 @@ ORACLES = {
     "s02_top_similar_pairs": S02_SQL,
     "s03_lsh_buckets": S03_SQL,
     "s04_ivf_assign": S04_SQL,
+    "s06_embedding_neardup_pairs": S06_SQL,
 }

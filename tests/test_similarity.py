@@ -40,6 +40,27 @@ def test_nearest_neighbor_of_1_1(spark):
     assert top["cosine"] == pytest.approx(1 / math.sqrt(2))
 
 
+def test_s02_is_fully_distributed(spark, sf_dir):
+    """s02 must not materialize the corpus driver-side (the round-1
+    design collected it via toPandas — a driver OOM at scale). Guard:
+    no driver-materialization calls in the operator source, and the
+    executed plan's pair kernel is the block-grid MapInPandas over the
+    packed-block join, not a broadcast of a driver-built matrix."""
+    import inspect
+
+    from nlp_data_pipeline_spark.operators.similarity import s02_top_similar_pairs
+
+    src = inspect.getsource(s02_top_similar_pairs)
+    for banned in ("toPandas", ".collect(", "sparkContext.broadcast"):
+        assert banned not in src, f"driver-side materialization in s02: {banned}"
+
+    plan = (
+        s02_top_similar_pairs(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
+
+
 def test_float32_widening_is_exact(spark, sf_dir):
     """embedding floats must be widened to double BEFORE arithmetic."""
     from nlp_data_pipeline_spark.sources.catalog import load_table
