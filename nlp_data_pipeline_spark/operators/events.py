@@ -141,10 +141,11 @@ FROM (
 # --------------------------------------------------------------------------
 # e04: the SAME tumbling aggregation as e01 executed through Structured
 # Streaming: readStream(parquet) → withWatermark → window agg →
-# availableNow trigger → memory sink. Complete output mode ⇒ the final
-# table equals the batch answer, which the e01 oracle already pins; the
-# driver records rows-only here because the result passes through a
-# sink table rather than a direct DataFrame.
+# availableNow trigger → memory sink. Complete output mode + a single
+# availableNow batch ⇒ the sink table IS the batch answer (no event is
+# ever late relative to a watermark computed in the same batch), so the
+# memory-sink result gets a full hash oracle (E04_SQL) — the streaming
+# path is held to the same exactness bar as the batch operators.
 # --------------------------------------------------------------------------
 def e04_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -186,6 +187,16 @@ def e04_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(sink).orderBy("window_start", "event_type")
+
+
+E04_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -238,5 +249,5 @@ ORACLES = {
     "e01_tumbling_hourly": E01_SQL,
     "e02_session_windows": E02_SQL,
     "e03_first_event_per_user_type": E03_SQL,
-    # e04: rows-only (streaming sink; semantics pinned by e01's oracle)
+    "e04_streaming_tumbling": E04_SQL,
 }

@@ -375,6 +375,65 @@ ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# q29: salted skew JOIN — the join-side mitigation q25 demonstrates for
+# aggregation (and DEPLOYMENT.md names for fact-fact joins). events'
+# join key (event_type, 5 values) is extremely skewed: a plain shuffle
+# join lands each key on ONE reducer. Mitigation: replicate the dim
+# side SALT_BUCKETS× (explode) and salt the fact side deterministically
+# with pmod(event_id, SALT_BUCKETS); the join key becomes
+# (event_type, salt) so each hot key spreads over SALT_BUCKETS
+# reducers. shuffle_hash hint keeps the demo honest (the tiny dim would
+# otherwise broadcast and hide the salt); semantics == plain join,
+# which the oracle proves. At 100 TB this is the manual fallback when
+# AQE's skew-join splitting can't help (e.g. bucketed tables).
+# --------------------------------------------------------------------------
+def q29_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast(D182)).cast("double") / F.count(F.lit(1))).alias(
+            "type_avg"
+        )
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+    )
+    fact = e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)))
+    joined = fact.join(dim_salted.hint("shuffle_hash"), ["event_type", "salt"])
+    return (
+        joined.groupBy("event_type", "type_avg")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("value") > F.col("type_avg"), 1).otherwise(0)).alias(
+                "n_above_avg"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_above_avg",
+            F.round("type_avg", 6).alias("type_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q29_SQL = """
+WITH dim AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS type_avg
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END) AS n_above_avg,
+       round(d.type_avg, 6) AS type_avg
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type, d.type_avg
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,
@@ -385,6 +444,7 @@ QUERIES = {
     "q27_exact_percentiles": q27_exact_percentiles,
     "u01_grouped_agg_udaf": u01_grouped_agg_udaf,
     "q28_outer_join_coverage": q28_outer_join_coverage,
+    "q29_salted_skew_join": q29_salted_skew_join,
 }
 
 ORACLES = {
@@ -397,4 +457,5 @@ ORACLES = {
     "q23_map_array_funcs": Q23_SQL,
     "q24_first_last_frames": Q24_SQL,
     "q25_salted_hot_key_agg": Q25_SQL,
+    "q29_salted_skew_join": Q29_SQL,
 }

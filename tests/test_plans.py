@@ -74,3 +74,13 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in executed
     assert "AQEShuffleRead coalesced" in executed
+
+
+def test_q29_salt_join_is_shuffle_not_broadcast(spark, sf_dir):
+    # the salted-join demo must actually shuffle on (event_type, salt):
+    # a broadcast of the replicated dim would hide the skew mitigation
+    from nlp_data_pipeline_spark.operators import relational_ext
+
+    df = relational_ext.q29_salted_skew_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan
