@@ -174,12 +174,19 @@ def t04_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df derives FROM tf (tf rows are already distinct (doc, token) pairs):
     # no second corpus scan, no explode+distinct — one extra tiny shuffle.
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = load_table(spark, sf_dir, "documents").count()  # scalar, driver-side
-    idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df").cast("double"))) + F.lit(1.0)
+    # n_docs as a broadcast 1-row aggregate joined into the plan — keeps
+    # the whole query ONE job instead of a separate driver-side count()
+    n_docs_df = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df").cast("double"))) + F.lit(1.0)
     # df_ is vocabulary-sized (≪ corpus) → broadcast; at open-vocab scale
     # drop the hint and AQE picks the strategy from runtime stats
-    scored = tf.join(F.broadcast(df_), "token").withColumn(
-        "tfidf", F.col("tf").cast("double") * idf
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn("tfidf", F.col("tf").cast("double") * idf)
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
