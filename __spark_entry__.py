@@ -66,6 +66,9 @@ _PRIORITY = [
     "v03_sentence_udtf",
     "v04_grouping_sets",
     "q29_salted_skew_join",
+    "q30_bucketed_colocated_join",
+    "u02_grouped_zscore",
+    "e06_stream_static_join",
 ]
 
 

@@ -236,12 +236,85 @@ ORDER BY window_start, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# e06: stream-STATIC join — the enrichment shape every production stream
+# runs (events joined to a dimension/feature table). The static side is
+# re-read per micro-batch by Structured Streaming (picking up dim
+# updates); here it is the per-type average value computed in batch.
+# Enriched stream → watermark → tumbling window agg counting events
+# above their type's historical average. Same single-batch availableNow
+# + complete-mode argument as e04 ⇒ full hash oracle.
+# --------------------------------------------------------------------------
+def e06_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    e_static = load_table(spark, sf_dir, "events")
+    dim = e_static.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast(D182)).cast("double") / F.count(F.lit(1))).alias(
+            "type_avg"
+        )
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stage_dir = tempfile.mkdtemp(prefix="e06_stream_")
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+    enriched = stream.join(F.broadcast(dim), "event_type")  # stream-static
+    agg = (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("value") > F.col("type_avg"), 1).otherwise(0)).alias(
+                "n_above_avg"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "n_above_avg")
+    )
+    sink = f"e06_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).orderBy("window_start", "event_type")
+
+
+E06_SQL = """
+WITH dim AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS type_avg
+  FROM events GROUP BY event_type
+)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       e.event_type AS event_type,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END) AS n_above_avg
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1, 2
+ORDER BY window_start, e.event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_session_windows": e02_session_windows,
     "e03_first_event_per_user_type": e03_first_event_per_user_type,
     "e04_streaming_tumbling": e04_streaming_tumbling,
     "e05_sliding_windows": e05_sliding_windows,
+    "e06_stream_static_join": e06_stream_static_join,
 }
 
 ORACLES = {
@@ -250,4 +323,5 @@ ORACLES = {
     "e02_session_windows": E02_SQL,
     "e03_first_event_per_user_type": E03_SQL,
     "e04_streaming_tumbling": E04_SQL,
+    "e06_stream_static_join": E06_SQL,
 }

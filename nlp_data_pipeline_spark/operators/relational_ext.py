@@ -434,6 +434,135 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q30: bucketed CO-LOCATED fact-fact join — the orders⋈lineitem strategy
+# DEPLOYMENT.md prescribes at 100 TB, verified as code. Both facts are
+# written ONCE as bucketed tables on the join key (8 buckets at test
+# scale; thousands at 100 TB); a same-key same-bucket-count join then
+# needs NO shuffle exchange on either side — bucket i joins bucket i.
+# The merge hint keeps the sort-merge path (broadcast would hide the
+# layout win at toy scale); the oracle proves the result equals the
+# plain join. Plan contract: tests/test_plans.py pins the reduced
+# Exchange count.
+# --------------------------------------------------------------------------
+N_JOIN_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders/lineitem as external bucketed tables (once per
+    session × sf_dir; the layout step IS part of the operator — at
+    deployment it is the one-time table build every later join reuses)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o_name, l_name = f"orders_bkt_{key}", f"lineitem_bkt_{key}"
+    if not spark.catalog.tableExists(o_name):
+        base = os.path.join(tempfile.gettempdir(), f"bucketed_{key}")
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.mode("overwrite")
+            .bucketBy(N_JOIN_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(base, "orders"))
+            .saveAsTable(o_name)
+        )
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.mode("overwrite")
+            .bucketBy(N_JOIN_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(base, "lineitem"))
+            .saveAsTable(l_name)
+        )
+    return o_name, l_name
+
+
+def q30_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_name, l_name = _bucketed_tables(spark, sf_dir)
+    o = spark.table(o_name).select("o_orderkey", "o_orderpriority")
+    l = spark.table(l_name)
+    joined = l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+    revenue = F.col("l_extendedprice").cast(D182) * (
+        F.lit(1).cast(D182) - F.col("l_discount").cast(D182)
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q30_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# u02: applyInPandas grouped-map — per-group standardization (z-score),
+# the canonical "model-ish per-group kernel Python actually owns" shape:
+# one shuffle on the group key, each group processed as a pandas frame.
+# Exactness contract: integer quantities sum exactly in int64; both
+# engines evaluate the identical float64 formula
+# (q - sum/n) / sqrt((sumsq - sum²/n)/n), so values are bit-equal
+# before the 6-dp presentation rounding.
+# --------------------------------------------------------------------------
+def u02_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"].to_numpy()
+        qi = q.astype("int64")  # driver data: integral quantities
+        n = len(qi)
+        s = qi.sum()
+        sq = (qi * qi).sum()
+        mean = s / n
+        std = np.sqrt((sq - s * s / n) / n)
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "l_returnflag": pdf["l_returnflag"],
+                "zscore": np.round((q - mean) / std, 6),
+            }
+        )
+
+    return l.groupBy("l_returnflag").applyInPandas(
+        zscore, "l_orderkey long, l_linenumber long, l_returnflag string, zscore double"
+    )
+
+
+U02_SQL = """
+WITH stats AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS s,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sq
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_orderkey, l_linenumber, l.l_returnflag,
+       round((l_quantity - CAST(s AS DOUBLE) / n)
+             / sqrt((sq - CAST(s AS DOUBLE) * s / n) / n), 6) AS zscore
+FROM lineitem l JOIN stats USING (l_returnflag)
+"""
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,
@@ -445,6 +574,8 @@ QUERIES = {
     "u01_grouped_agg_udaf": u01_grouped_agg_udaf,
     "q28_outer_join_coverage": q28_outer_join_coverage,
     "q29_salted_skew_join": q29_salted_skew_join,
+    "q30_bucketed_colocated_join": q30_bucketed_colocated_join,
+    "u02_grouped_zscore": u02_grouped_zscore,
 }
 
 ORACLES = {
@@ -458,4 +589,6 @@ ORACLES = {
     "q24_first_last_frames": Q24_SQL,
     "q25_salted_hot_key_agg": Q25_SQL,
     "q29_salted_skew_join": Q29_SQL,
+    "q30_bucketed_colocated_join": Q30_SQL,
+    "u02_grouped_zscore": U02_SQL,
 }

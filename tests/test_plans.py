@@ -84,3 +84,23 @@ def test_q29_salt_join_is_shuffle_not_broadcast(spark, sf_dir):
     df = relational_ext.q29_salted_skew_join(spark, sf_dir)
     plan = formatted_plan(df)
     assert "ShuffledHashJoin" in plan
+
+
+def test_q30_bucketed_join_eliminates_join_shuffles(spark, sf_dir):
+    # both facts bucketed on the join key with equal bucket counts:
+    # the sort-merge join must read buckets directly — its two join-side
+    # Exchanges disappear relative to the identical plain-scan join
+    from nlp_data_pipeline_spark.operators import relational_ext
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    bucketed = relational_ext.q30_bucketed_colocated_join(spark, sf_dir)
+    bplan = formatted_plan(bucketed)
+    assert "SortMergeJoin" in bplan and "Bucketed: true" in bplan
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    plain = (
+        l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority").count()
+    )
+    assert bplan.count("Exchange") < formatted_plan(plain).count("Exchange")
