@@ -69,6 +69,7 @@ _PRIORITY = [
     "q30_bucketed_colocated_join",
     "u02_grouped_zscore",
     "e06_stream_static_join",
+    "t15_fallback_summary",
 ]
 
 

@@ -666,6 +666,70 @@ FROM cleaned
 """
 
 
+# --------------------------------------------------------------------------
+# t15: first/middle/last fallback summary (reference R10, :108-116) as a
+# driver-checkable query. The driver corpus carries no sentence
+# punctuation, so the real [.!?] split never yields sentences; to
+# exercise the selection logic end-to-end the query derives
+# deterministic pseudo-sentences (8-token chunks of the token stream,
+# same len>10 filter as split_into_sentences) and then applies the
+# EXACT reference semantics via functions.text.fallback_summary:
+# indices [0, n//2, -1] joined '. ' + '.', early-exit to the clean text
+# when n <= 3. Both branches run on the driver corpus (doc lengths
+# straddle 4 chunks). The true [.!?] path is the same fallback_summary
+# expression, unit-tested on punctuated fixtures.
+# --------------------------------------------------------------------------
+_CHUNK = 8
+
+
+def t15_fallback_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_data_pipeline_spark.functions.text import fallback_summary, tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    ctext = clean_text("text")
+    toks = tokenize(ctext)
+    n_chunks = F.ceil(F.size(toks) / F.lit(_CHUNK)).cast("int")
+    chunk_ids = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        chunk_ids,
+        lambda i: F.array_join(F.slice(toks, i * _CHUNK + 1, _CHUNK), " "),
+    )
+    sents = F.filter(chunks, lambda s: F.length(s) > 10)
+    base = d.select("doc_id", ctext.alias("ctext"), sents.alias("sents"))
+    return base.select(
+        "doc_id",
+        F.size("sents").alias("n_sentences"),
+        fallback_summary(F.col("sents"), F.col("ctext")).alias("fallback_summary"),
+    )
+
+
+T15_SQL = f"""
+WITH cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents),
+toklists AS (
+  SELECT doc_id, ctext,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM cleaned
+),
+chunked AS (
+  SELECT doc_id, ctext,
+         list_filter(
+           list_transform(range(0, CAST(ceil(len(t) / {_CHUNK}.0) AS INT)),
+                          i -> array_to_string(t[i * {_CHUNK} + 1 : i * {_CHUNK} + {_CHUNK}], ' ')),
+           s -> length(s) > 10) AS sents
+  FROM toklists
+)
+SELECT doc_id,
+       len(sents) AS n_sentences,
+       CASE WHEN len(sents) <= 3 THEN ctext
+            ELSE concat_ws('. ', sents[1], sents[len(sents) // 2 + 1], sents[-1]) || '.'
+       END AS fallback_summary
+FROM chunked
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -681,9 +745,11 @@ QUERIES = {
     "t12_summary_word_freq": t12_summary_word_freq,
     "t13_hash_sample": t13_hash_sample,
     "t14_rolling_hash": t14_rolling_hash,
+    "t15_fallback_summary": t15_fallback_summary,
 }
 
 ORACLES = {
+    "t15_fallback_summary": T15_SQL,
     "t14_rolling_hash": T14_SQL,
     "t11_fallback_tags": T11_SQL,
     "t12_summary_word_freq": T12_SQL,
