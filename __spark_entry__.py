@@ -70,6 +70,9 @@ _PRIORITY = [
     "u02_grouped_zscore",
     "e06_stream_static_join",
     "t15_fallback_summary",
+    "e07_partitioned_day_scan",
+    "d07_dedup_materialize",
+    "m04_arrow_byte_stats",
 ]
 
 

@@ -407,6 +407,33 @@ ORDER BY cluster_id, doc_id
 D06_SQL = D06_SQL.replace("WITH cleaned AS", "WITH RECURSIVE cleaned AS", 1)
 
 
+# --------------------------------------------------------------------------
+# d07: dedup MATERIALIZATION — the "apply" half of dedup: keep exactly
+# one document per content hash (the d01 keepers) and emit the cleaned
+# corpus a training pipeline would consume downstream. Scale: the
+# keeper set is a semi-join on doc_id (keys only shipped); with d01's
+# min-id policy the result is deterministic at any partitioning.
+# --------------------------------------------------------------------------
+def d07_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keepers = d01_exact_dedup(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    return (
+        d.join(keepers, "doc_id", "left_semi")
+        .select("doc_id", "source", F.length("text").cast("long").alias("text_len"))
+        .orderBy("doc_id")
+    )
+
+
+D07_SQL = """
+SELECT doc_id, source, length(text) AS text_len
+FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_signatures": d02_minhash_signatures,
@@ -414,6 +441,7 @@ QUERIES = {
     "d04_simhash": d04_simhash,
     "d05_shingle_jaccard_topk": d05_shingle_jaccard_topk,
     "d06_neardup_clusters": d06_neardup_clusters,
+    "d07_dedup_materialize": d07_dedup_materialize,
 }
 
 ORACLES = {
@@ -423,4 +451,5 @@ ORACLES = {
     "d03_lsh_candidate_pairs": D03_SQL,
     "d04_simhash": D04_SQL,
     "d05_shingle_jaccard_topk": D05_SQL,
+    "d07_dedup_materialize": D07_SQL,
 }

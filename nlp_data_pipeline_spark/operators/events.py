@@ -308,6 +308,68 @@ ORDER BY window_start, e.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# e07: date-PARTITIONED time-series layout + partition-pruned scan —
+# DEPLOYMENT.md's "events partitioned by day at 100 TB" as verified
+# code. One-time layout step writes events partitioned by dt (derived
+# date); the query then filters a one-week range, which Catalyst turns
+# into PartitionFilters — pruned directories are never opened, the
+# I/O win that makes petabyte time-series queryable. Oracle computes
+# the same week from the raw table; tests/test_plans.py pins the
+# PartitionFilters plan shape.
+# --------------------------------------------------------------------------
+_E07_WEEK = ("2024-01-08", "2024-01-15")  # [start, end)
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"evt|{sf_dir}".encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"events_by_day_{key}")
+    marker = os.path.join(out, "_PARTITIONED")
+    if not os.path.isdir(marker):
+        e = load_table(spark, sf_dir, "events")
+        (
+            e.withColumn("dt", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(out)
+        )
+        os.makedirs(marker, exist_ok=True)
+    return out
+
+
+def e07_partitioned_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _partitioned_events(spark, sf_dir)
+    start, end = _E07_WEEK
+    e = spark.read.parquet(path).filter(
+        (F.col("dt") >= F.lit(start)) & (F.col("dt") < F.lit(end))
+    )
+    return (
+        e.groupBy("dt", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D182)).cast("double").alias("total_value"),
+        )
+        .select(F.col("dt").cast("string").alias("day"), "event_type", "n_events", "total_value")
+        .orderBy("day", "event_type")
+    )
+
+
+E07_SQL = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '{_E07_WEEK[0]}' AND CAST(ts AS DATE) < DATE '{_E07_WEEK[1]}'
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_session_windows": e02_session_windows,
@@ -315,6 +377,7 @@ QUERIES = {
     "e04_streaming_tumbling": e04_streaming_tumbling,
     "e05_sliding_windows": e05_sliding_windows,
     "e06_stream_static_join": e06_stream_static_join,
+    "e07_partitioned_day_scan": e07_partitioned_day_scan,
 }
 
 ORACLES = {
@@ -324,4 +387,5 @@ ORACLES = {
     "e03_first_event_per_user_type": E03_SQL,
     "e04_streaming_tumbling": E04_SQL,
     "e06_stream_static_join": E06_SQL,
+    "e07_partitioned_day_scan": E07_SQL,
 }

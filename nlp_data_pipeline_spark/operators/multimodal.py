@@ -160,14 +160,76 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# m04: mapInArrow byte-level kernel — the zero-copy sibling of
+# mapInPandas: the Python worker receives pyarrow RecordBatches and the
+# kernel reads the binary payload buffers directly with numpy (no
+# pandas object boxing — the right API for tight byte/tensor kernels
+# like image preprocessing at 100 TB). Per-payload byte statistics are
+# pure functions of the bytes, so the oracle is exact (corpus is ASCII:
+# UTF-8 bytes == character codes, same trick t14 relies on).
+# --------------------------------------------------------------------------
+def m04_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def byte_stats(batches):
+        for batch in batches:
+            doc_ids = batch.column("doc_id")
+            payloads = batch.column("payload")
+            sums, mins, maxs, lens = [], [], [], []
+            for i in range(batch.num_rows):
+                buf = payloads[i].as_py()
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                lens.append(len(arr))
+                sums.append(int(arr.sum()))
+                mins.append(int(arr.min()) if len(arr) else None)
+                maxs.append(int(arr.max()) if len(arr) else None)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(lens, type=pa.int64()),
+                    pa.array(sums, type=pa.int64()),
+                    pa.array(mins, type=pa.int32()),
+                    pa.array(maxs, type=pa.int32()),
+                ],
+                names=["doc_id", "n_bytes", "byte_sum", "byte_min", "byte_max"],
+            )
+
+    return with_payload.mapInArrow(
+        byte_stats,
+        "doc_id long, n_bytes long, byte_sum long, byte_min int, byte_max int",
+    )
+
+
+M04_SQL = """
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+  FROM documents
+)
+SELECT doc_id,
+       len(cs) AS n_bytes,
+       CAST(list_aggregate(cs, 'sum') AS BIGINT) AS byte_sum,
+       CAST(list_aggregate(cs, 'min') AS INT) AS byte_min,
+       CAST(list_aggregate(cs, 'max') AS INT) AS byte_max
+FROM codes
+"""
+
+
 QUERIES = {
     "m01_binary_metadata": m01_binary_metadata,
     "m02_decode_stub_pipeline": m02_decode_stub_pipeline,
     "m03_feature_extract_stub": m03_feature_extract_stub,
+    "m04_arrow_byte_stats": m04_arrow_byte_stats,
 }
 
 ORACLES = {
     "m01_binary_metadata": M01_SQL,
     "m02_decode_stub_pipeline": M02_SQL,
     "m03_feature_extract_stub": M03_SQL,
+    "m04_arrow_byte_stats": M04_SQL,
 }

@@ -104,3 +104,13 @@ def test_q30_bucketed_join_eliminates_join_shuffles(spark, sf_dir):
         .groupBy("o_orderpriority").count()
     )
     assert bplan.count("Exchange") < formatted_plan(plain).count("Exchange")
+
+
+def test_e07_scan_is_partition_pruned(spark, sf_dir):
+    # the date filter must reach the partitioned scan as PartitionFilters
+    # (pruned day directories are never opened)
+    from nlp_data_pipeline_spark.operators import events
+
+    df = events.e07_partitioned_day_scan(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "dt" in plan
