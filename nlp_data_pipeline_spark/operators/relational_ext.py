@@ -563,6 +563,44 @@ FROM lineitem l JOIN stats USING (l_returnflag)
 """
 
 
+# --------------------------------------------------------------------------
+# q31: join-key SKEW PROFILER — the diagnostic you run BEFORE choosing
+# a join strategy at 100 TB: per-key counts, their spread, and the
+# skew ratio (max/avg). Two cheap aggregations (partial-agg'd count,
+# then scalar stats over the vocabulary-sized key table); the output
+# tells you whether q25/q29-style salting or plain AQE suffices.
+# --------------------------------------------------------------------------
+def q31_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.min("cnt").alias("min_per_key"),
+        F.max("cnt").alias("max_per_key"),
+        F.round(F.sum("cnt").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_per_key"
+        ),
+        F.round(
+            F.max("cnt").cast("double")
+            / (F.sum("cnt").cast("double") / F.count(F.lit(1))),
+            6,
+        ).alias("skew_ratio"),
+    )
+
+
+Q31_SQL = """
+WITH per_key AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+SELECT COUNT(*) AS n_keys,
+       SUM(cnt) AS n_rows,
+       MIN(cnt) AS min_per_key,
+       MAX(cnt) AS max_per_key,
+       round(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6) AS avg_per_key,
+       round(CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*)), 6) AS skew_ratio
+FROM per_key
+"""
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,
@@ -575,6 +613,7 @@ QUERIES = {
     "q28_outer_join_coverage": q28_outer_join_coverage,
     "q29_salted_skew_join": q29_salted_skew_join,
     "q30_bucketed_colocated_join": q30_bucketed_colocated_join,
+    "q31_key_skew_profile": q31_key_skew_profile,
     "u02_grouped_zscore": u02_grouped_zscore,
 }
 
@@ -590,5 +629,6 @@ ORACLES = {
     "q25_salted_hot_key_agg": Q25_SQL,
     "q29_salted_skew_join": Q29_SQL,
     "q30_bucketed_colocated_join": Q30_SQL,
+    "q31_key_skew_profile": Q31_SQL,
     "u02_grouped_zscore": U02_SQL,
 }

@@ -730,6 +730,41 @@ FROM chunked
 """
 
 
+# --------------------------------------------------------------------------
+# t16: STRATIFIED (balanced) sampling — cap every stratum at K docs,
+# chosen by md5 order (deterministic at any partitioning/engine, unlike
+# df.sample). This is the training-mix rebalancing step: a 100 TB
+# corpus with skewed source sizes gets equal-ish strata in one window
+# pass per stratum, no driver state. t13 is the global-rate sibling.
+# --------------------------------------------------------------------------
+_STRATUM_CAP = 30
+
+
+def t16_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _STRATUM_CAP)
+        .select("source", "doc_id", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )
+
+
+T16_SQL = f"""
+SELECT source, doc_id, sample_rank
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents
+) t
+WHERE sample_rank <= {_STRATUM_CAP}
+ORDER BY source, sample_rank
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -746,9 +781,11 @@ QUERIES = {
     "t13_hash_sample": t13_hash_sample,
     "t14_rolling_hash": t14_rolling_hash,
     "t15_fallback_summary": t15_fallback_summary,
+    "t16_stratified_sample": t16_stratified_sample,
 }
 
 ORACLES = {
+    "t16_stratified_sample": T16_SQL,
     "t15_fallback_summary": T15_SQL,
     "t14_rolling_hash": T14_SQL,
     "t11_fallback_tags": T11_SQL,
