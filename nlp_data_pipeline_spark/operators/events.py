@@ -370,6 +370,69 @@ ORDER BY day, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# e08: APPEND-mode streaming with watermark finalization — the
+# late-data policy made observable. Unlike e04's complete mode (always
+# the full table), append emits a window only once it can never change:
+# when the watermark (max event time − 10 min) passes the window end.
+# availableNow runs a final no-data micro-batch that flushes every
+# finalized window, so the emitted set is exactly
+#   { hourly windows | window_end <= max(ts) − 10 min }
+# — a closed-form the oracle states directly. This pins the eviction
+# semantics that bound streaming state at 100 TB (state ∝ windows
+# between watermark and now, not total history).
+# --------------------------------------------------------------------------
+def e08_streaming_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stage_dir = tempfile.mkdtemp(prefix="e08_stream_")
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    sink = f"e08_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).orderBy("window_start", "event_type")
+
+
+E08_SQL = """
+WITH horizon AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM events, horizon
+GROUP BY 1, 2, 3
+HAVING window_end <= ANY_VALUE(wm)
+ORDER BY window_start, event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_session_windows": e02_session_windows,
@@ -378,6 +441,7 @@ QUERIES = {
     "e05_sliding_windows": e05_sliding_windows,
     "e06_stream_static_join": e06_stream_static_join,
     "e07_partitioned_day_scan": e07_partitioned_day_scan,
+    "e08_streaming_append_finalized": e08_streaming_append_finalized,
 }
 
 ORACLES = {
@@ -388,4 +452,5 @@ ORACLES = {
     "e04_streaming_tumbling": E04_SQL,
     "e06_stream_static_join": E06_SQL,
     "e07_partitioned_day_scan": E07_SQL,
+    "e08_streaming_append_finalized": E08_SQL,
 }

@@ -200,3 +200,43 @@ def test_dedup_within_watermark_bounds(spark, sf_dir):
     _, result = run_to_memory_sink(dedup_within_watermark(stream), output_mode="append")
     got = result.groupBy("user_id", "event_type").count()
     assert got.filter(F.col("count") > 1).count() == 0  # no dup pairs emitted
+
+
+def test_checkpoint_resume_does_not_reprocess(spark):
+    """Exactly-once across restarts: a file-sink query restarted from
+    its checkpoint must process only files that arrived while it was
+    down — never re-emit rows from already-committed batches."""
+    base = tempfile.mkdtemp(prefix="ckpt_test_")
+    stream_dir = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(stream_dir)
+    schema = "event_id long, value double"
+
+    def arrive(rows, tag):
+        df = spark.createDataFrame(rows, schema)
+        sub = os.path.join(base, tag)
+        df.coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(sub, f), os.path.join(stream_dir, f"{tag}_{f}"))
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema).parquet(stream_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    arrive([(1, 1.0), (2, 2.0), (3, 3.0)], "a")
+    run_once()
+    assert spark.read.parquet(out).count() == 3
+
+    arrive([(4, 4.0), (5, 5.0)], "b")
+    run_once()  # restart from checkpoint
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]  # batch a NOT re-emitted
