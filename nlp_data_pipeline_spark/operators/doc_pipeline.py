@@ -161,6 +161,49 @@ FROM cleaned
 
 
 # --------------------------------------------------------------------------
+# r02: corrupt-record JSON ingestion — robust reading, the property a
+# 100 TB pipeline cannot skip (bad records are a statistical certainty
+# at scale). A JSONL export is built with a deterministic fault
+# injection (every doc_id ≡ 3 mod 7 gets a truncated line), then read
+# back PERMISSIVE with an explicit _corrupt_record column: good rows
+# parse, bad rows land in the corrupt column instead of killing the
+# job. The oracle knows the fault pattern and states the expected
+# good/corrupt split and the good-row checksum directly.
+# --------------------------------------------------------------------------
+def r02_corrupt_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    line = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(', "source": "')),
+    ).otherwise(F.to_json(F.struct("doc_id", "source")))
+    out = os.path.join(tempfile.mkdtemp(prefix="json_ingest_"), "docs_jsonl")
+    d.select(line.alias("value")).write.mode("overwrite").text(out)
+
+    back = spark.read.schema(
+        "doc_id long, source string, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record").json(out)
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("doc_id"))).alias(
+            "good_docid_sum"
+        ),
+        F.count_distinct(
+            F.when(F.col("_corrupt_record").isNull(), F.col("source"))
+        ).alias("n_good_sources"),
+    )
+
+
+R02_SQL = """
+SELECT COUNT(*) FILTER (doc_id % 7 != 3) AS n_good,
+       COUNT(*) FILTER (doc_id % 7 = 3) AS n_corrupt,
+       SUM(doc_id) FILTER (doc_id % 7 != 3) AS good_docid_sum,
+       COUNT(DISTINCT source) FILTER (doc_id % 7 != 3) AS n_good_sources
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # a01: approximate aggregates — HLL++ distinct + approx percentiles.
 # Sketches are engine-specific (Spark HLL++ vs DuckDB HLL give
 # different estimates), so rows-only; the tolerance-vs-exact invariant
@@ -183,6 +226,7 @@ QUERIES = {
     "p02_export_projection": p02_export_projection,
     "p03_records_with_tags": p03_records_with_tags,
     "r01_csv_roundtrip": r01_csv_roundtrip,
+    "r02_corrupt_json_ingest": r02_corrupt_json_ingest,
     "a01_approx_stats": a01_approx_stats,
 }
 
@@ -190,5 +234,6 @@ ORACLES = {
     "p01_document_records": P01_SQL,
     "p02_export_projection": P02_SQL,
     "r01_csv_roundtrip": R01_SQL,
+    "r02_corrupt_json_ingest": R02_SQL,
     # p03: rows-only (LDA tags); a01: rows-only (engine-specific sketches)
 }
