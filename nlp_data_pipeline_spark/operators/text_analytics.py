@@ -765,6 +765,74 @@ ORDER BY source, sample_rank
 """
 
 
+# --------------------------------------------------------------------------
+# t17: Count-Min Sketch token counting — the sub-linear-memory counter
+# a 100 TB pipeline uses when the token vocabulary doesn't fit anywhere
+# (D×W integers of state instead of |vocab|): D md5-seeded hash rows ×
+# W buckets, estimate = min over rows of the bucket totals (always ≥
+# the true count, over-counting only on collisions). Because the hash
+# family is md5 (engine-portable), the sketch is bit-identical in
+# DuckDB, so this *approximate* operator still gets an EXACT oracle —
+# both the estimates and the true counts are pinned. Output: top-20
+# tokens by true count, true vs CMS estimate.
+# --------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 64
+
+
+def _cms_bucket(token_col, d: int) -> Column:
+    h = F.substring(F.md5(F.concat(F.lit(f"cms{d}|"), token_col)), 1, 7)
+    return F.conv(h, 16, 10).cast("long") % _CMS_W
+
+
+def t17_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir).select("token")
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = None
+    for d in range(_CMS_D):
+        buckets = (
+            tf.groupBy(_cms_bucket(F.col("token"), d).alias("bucket"))
+            .agg(F.sum("true_cnt").alias("bucket_total"))
+        )
+        joined = tf.select("token", _cms_bucket(F.col("token"), d).alias("bucket")).join(
+            F.broadcast(buckets), "bucket"
+        ).select("token", F.col("bucket_total").alias(f"e{d}"))
+        est = joined if est is None else est.join(joined, "token")
+    result = tf.join(est, "token").select(
+        "token",
+        "true_cnt",
+        F.least(*[F.col(f"e{d}") for d in range(_CMS_D)]).alias("cms_estimate"),
+    )
+    return (
+        result.orderBy(F.desc("true_cnt"), "token")
+        .limit(20)
+        .select("token", "true_cnt", "cms_estimate")
+    )
+
+
+def _cms_bucket_sql(tok: str, d: int) -> str:
+    return f"CAST(('0x' || substring(md5('cms{d}|' || {tok}), 1, 7)) AS BIGINT) % {_CMS_W}"
+
+
+T17_SQL = (
+    _TOKENS_CTE
+    + f""",
+tf AS (SELECT token, COUNT(*) AS true_cnt FROM tokens GROUP BY token),
+{', '.join(
+    f"b{d} AS (SELECT {_cms_bucket_sql('token', d)} AS bucket, SUM(true_cnt) AS total "
+    f"FROM tf GROUP BY 1)"
+    for d in range(_CMS_D)
+)}
+SELECT token, true_cnt,
+       least({', '.join(f'b{d}.total' for d in range(_CMS_D))}) AS cms_estimate
+FROM tf
+{' '.join(f'JOIN b{d} ON {_cms_bucket_sql("token", d)} = b{d}.bucket' for d in range(_CMS_D))}
+ORDER BY true_cnt DESC, token
+LIMIT 20
+"""
+)
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -782,9 +850,11 @@ QUERIES = {
     "t14_rolling_hash": t14_rolling_hash,
     "t15_fallback_summary": t15_fallback_summary,
     "t16_stratified_sample": t16_stratified_sample,
+    "t17_count_min_sketch": t17_count_min_sketch,
 }
 
 ORACLES = {
+    "t17_count_min_sketch": T17_SQL,
     "t16_stratified_sample": T16_SQL,
     "t15_fallback_summary": T15_SQL,
     "t14_rolling_hash": T14_SQL,
