@@ -32,27 +32,45 @@ _MODULES = [
 ]
 
 
-# CORRECTNESS_r01 recorded exactly the first 50 dict entries, so the
-# driver appears to cap its per-round check at 50 queries in iteration
-# order. Self-rotating coverage: queries that have never appeared in
-# ANY recorded CORRECTNESS_r*.json run FIRST, so every query
-# accumulates a driver-recorded row across rounds without manual
-# reordering. Secondary order stays the module/dict order (which keeps
-# n01 before p03, sharing the warm LDA fit).
-def _ever_driver_checked() -> set:
+# The driver caps its per-round CORRECTNESS check at the FIRST 50
+# dict entries, so ordering decides what gets (re-)verified. Rank by
+# verification need so the 50-query window always covers the queries
+# that most need a driver row:
+#   0. never green — no (rows+schema+hash) pass in ANY recorded
+#      CORRECTNESS_r*.json (covers both never-checked and red/err rows;
+#      red queries rotate back in until they earn a green row)
+#   1. green at least once — least-recently-checked round first, so
+#      regressions in once-green queries eventually resurface.
+# Ties keep module/dict order (keeps n01 before n02/n03/p03, sharing
+# the warm LDA fit within a driver run).
+def _verification_rank() -> dict:
+    """name -> (has_green: bool, last_checked_round: int)."""
     import glob
     import json
     import os
+    import re
 
-    seen: set = set()
+    rank: dict = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                rows = json.load(f)
         except Exception:
             continue  # unreadable round file: ignore
-    return seen
+        for name, row in rows.items():
+            green = (
+                isinstance(row, dict)
+                and bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and bool(row.get("hash_match"))
+                and not row.get("err")
+            )
+            prev_green, prev_rnd = rank.get(name, (False, 0))
+            rank[name] = (prev_green or green, max(prev_rnd, rnd))
+    return rank
 
 
 def _collect(attr: str) -> dict:
@@ -65,10 +83,18 @@ def _collect(attr: str) -> dict:
         except ImportError:
             continue  # module not built yet
         out.update(getattr(mod, attr, {}))
-    checked = _ever_driver_checked()
-    ordered = {k: v for k, v in out.items() if k not in checked}
-    ordered.update({k: v for k, v in out.items() if k in checked})
-    return ordered
+    rank = _verification_rank()
+    names = list(out)
+    # (needs-verification first, then oldest last-check, then dict order)
+    order = sorted(
+        range(len(names)),
+        key=lambda i: (
+            rank.get(names[i], (False, 0))[0],  # False (never green) first
+            rank.get(names[i], (False, 0))[1],  # least-recently-checked
+            i,
+        ),
+    )
+    return {names[i]: out[names[i]] for i in order}
 
 
 def entry(spark: SparkSession) -> DataFrame:

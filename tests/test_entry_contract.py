@@ -32,6 +32,27 @@ def test_oracle_keys_subset_of_queries():
     assert len(qs) >= 40
 
 
+def test_rotation_puts_never_green_queries_first():
+    """The driver checks only the first 50 queries() entries; any query
+    without a green (rows+schema+hash) row in a recorded round must be
+    inside that window so it gets (re-)verified."""
+    rank = entry_mod._verification_rank()
+    names = list(entry_mod.queries())
+    never_green = [n for n in names if not rank.get(n, (False, 0))[0]]
+    window = set(names[:50])
+    assert all(n in window for n in never_green), [
+        n for n in never_green if n not in window
+    ]
+    # never-green queries strictly precede every ever-green query
+    if never_green:
+        last_red = max(names.index(n) for n in never_green)
+        first_green = min(
+            (names.index(n) for n in names if rank.get(n, (False, 0))[0]),
+            default=len(names),
+        )
+        assert last_red < first_green
+
+
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     con = duckdb.connect()
