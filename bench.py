@@ -71,8 +71,12 @@ def main() -> int:
     from nlp_data_pipeline_spark.session import get_spark
 
     spark = get_spark("bench")
-    if os.environ.get("SPARK_GRAFT_BENCH_PREP", "1") != "0":
+    prep_enabled = os.environ.get("SPARK_GRAFT_BENCH_PREP", "1") != "0"
+    prep_meta = {"enabled": prep_enabled, "layout": "as-given single-file"}
+    if prep_enabled:
         sf_dir = _prep_multifile(spark, sf_dir)
+        prep_meta["layout"] = "multi-file rewrite under tmp"
+        prep_meta["n_files"] = 32
 
     # Warm one-time machinery so per-query numbers measure compute, not
     # initialization: JVM/codegen, the parquet read path, and the Python
@@ -118,6 +122,10 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # physical-layout provenance: numbers measured after the
+        # multi-file prep are NOT comparable to timings on the driver's
+        # single-row-group files (see _prep_multifile docstring)
+        "prep": prep_meta,
     }
     if failures:
         out["failures"] = failures

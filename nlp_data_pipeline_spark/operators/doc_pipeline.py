@@ -13,11 +13,11 @@ reference's sequential per-file loop disappears: every stage is
 partition-parallel.
 
 p01/p02 are the oracle surface: every deterministic column of the
-reference's export schema (:515-526). p03 adds the LDA tags column
-(rows-only: model-dependent). r01 exercises the csv sink+source round
-trip. a01 covers the approximate-aggregate envelope (HLL distinct,
-approximate percentiles) — engine-specific sketches, so rows-only with
-a tolerance unit test (tests/test_doc_pipeline.py).
+reference's export schema (:515-526). p03 adds the tags column via the
+reference's deterministic fallback-tag path (oracle-exact; the LDA
+variant stays internal). r01 exercises the csv sink+source round trip.
+a01 covers the approximate-aggregate envelope (HLL distinct,
+approximate percentiles) verified in-row against exact oracled twins.
 """
 
 from __future__ import annotations
@@ -108,25 +108,86 @@ FROM cleaned
 
 # --------------------------------------------------------------------------
 # p03: full records WITH tags — the complete reference app output
-# (:426-429 + :515-526). Rows-only: tags come from the fitted LDA.
+# (:426-429 + :515-526). The declared query uses the reference's own
+# deterministic fallback-tag path (generate_tags with no model falls
+# back to frequency tags, :214-215 → fallback_tags :217-237, our t11),
+# so the whole export row — including tags — is oracle-exact. The
+# LDA-tag variant (model-dependent, rows-only by nature) is kept as
+# p03_records_with_lda_tags below, NOT declared in QUERIES.
 # --------------------------------------------------------------------------
 def p03_records_with_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from nlp_data_pipeline_spark.operators.text_analytics import t11_fallback_tags
+
+    rec = p01_document_records(spark, sf_dir).withColumn(
+        "doc_id", F.regexp_extract("filename", r"doc_(\d+)\.txt", 1).cast("long")
+    )
+    ranked = t11_fallback_tags(spark, sf_dir)  # (doc_id, tag, cnt, tag_rank)
+    tags = ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tag_rank", "tag"))),
+                lambda s: s.tag,
+            ),
+            ", ",
+        ).alias("tags_joined")  # :521 ', '.join in rank order
+    )
+    return rec.join(tags, "doc_id").select(
+        "filename", "summary", "tags_joined", "text_length", "summary_length"
+    )
+
+
+P03_SQL = f"""
+WITH cleaned AS (SELECT doc_id, text, {_CLEAN_SQL} AS ctext FROM documents),
+toklists AS (
+  SELECT doc_id, text, ctext,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM cleaned
+),
+terms AS (
+  SELECT doc_id, unnest(t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS term
+  FROM toklists
+),
+counts AS (SELECT doc_id, term, COUNT(*) AS cnt FROM terms GROUP BY doc_id, term),
+ranked AS (
+  SELECT doc_id, term,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, term ASC) AS tag_rank
+  FROM counts
+),
+tags AS (
+  SELECT doc_id, string_agg(term, ', ' ORDER BY tag_rank) AS tags_joined
+  FROM ranked WHERE tag_rank <= 5 GROUP BY doc_id
+)
+SELECT 'doc_' || c.doc_id || '.txt' AS filename,
+       {_SUMMARY_SQL} AS summary,
+       g.tags_joined,
+       length(c.text) AS text_length,
+       length({_SUMMARY_SQL}) AS summary_length
+FROM cleaned c JOIN tags g USING (doc_id)
+"""
+
+
+def p03_records_with_lda_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDA-tag export variant (reference :426-429 when a model IS fitted).
+
+    Model-dependent output — verified by invariant unit tests
+    (tests/test_nlp_model.py), not by the SQL oracle; see module
+    docstring of nlp_model.py for why cross-library numeric equality
+    is meaningless here.
+    """
     from nlp_data_pipeline_spark.operators.nlp_model import n02_doc_tags
 
-    d = load_table(spark, sf_dir, "documents")
     rec = p01_document_records(spark, sf_dir).withColumn(
         "doc_id", F.regexp_extract("filename", r"doc_(\d+)\.txt", 1).cast("long")
     )
     tags = n02_doc_tags(spark, sf_dir)
-    return (
-        rec.join(tags, "doc_id")
-        .select(
-            "filename",
-            "summary",
-            F.array_join("tags", ", ").alias("tags_joined"),  # :521 ', '.join
-            "text_length",
-            "summary_length",
-        )
+    return rec.join(tags, "doc_id").select(
+        "filename",
+        "summary",
+        F.col("tags_csv").alias("tags_joined"),  # :521 ', '.join
+        "text_length",
+        "summary_length",
     )
 
 
@@ -204,21 +265,107 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
-# a01: approximate aggregates — HLL++ distinct + approx percentiles.
-# Sketches are engine-specific (Spark HLL++ vs DuckDB HLL give
-# different estimates), so rows-only; the tolerance-vs-exact invariant
-# is unit-tested instead. At 100 TB these replace exact distinct/
-# percentile wherever a ±2% answer is acceptable — no giant shuffle.
+# a01: approximate aggregates — HLL++ distinct + approx percentiles —
+# verified against exact twins IN THE SAME RESULT ROW. Sketch estimates
+# are engine-specific (Spark HLL++ vs DuckDB HLL differ), so the
+# declared columns are (a) the exact stats, oracle-checked value-for-
+# value, and (b) booleans asserting the Spark sketch lands within
+# tolerance of the exact value — the oracle states TRUE. Percentiles
+# use an explicit rank formula (value at row_number ceil(p*n) ordered
+# by price) so both engines compute the identical scalar with no
+# interpolation-semantics risk. At 100 TB the sketches replace the
+# exact twins wherever ±2% is acceptable — approx_count_distinct is a
+# fixed-size mergeable sketch (no giant distinct shuffle) and
+# percentile_approx a KLL-style summary; the exact twins here are the
+# small-data verification harness for them.
 # --------------------------------------------------------------------------
 def a01_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_percentiles"
-        ),
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_extendedprice"
+    )
+    agg = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-    ).orderBy("l_returnflag")
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts_est"),
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.95, 0.99], 10000
+        ).alias("pct_est"),
+    )
+    ranked = l.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        ),
+    )
+    pick = lambda p: F.max(
+        F.when(F.col("rk") == F.ceil(F.lit(p) * F.col("n_rows")), F.col("l_extendedprice"))
+    )
+    exact_pct = (
+        ranked.join(
+            F.broadcast(agg.select("l_returnflag", "n_rows")), "l_returnflag"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            pick(0.5).alias("p50"),
+            pick(0.95).alias("p95"),
+            pick(0.99).alias("p99"),
+        )
+    )
+    within = lambda est, exact, tol: (
+        F.abs(est.cast("double") - F.col(exact)) <= F.lit(tol) * F.col(exact)
+    )
+    return (
+        agg.join(F.broadcast(exact_pct), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "exact_parts",
+            F.col("p50").cast("decimal(18,2)").alias("p50"),
+            F.col("p95").cast("decimal(18,2)").alias("p95"),
+            F.col("p99").cast("decimal(18,2)").alias("p99"),
+            within(F.col("approx_parts_est"), "exact_parts", 0.05).alias(
+                "hll_within_5pct"
+            ),
+            (
+                within(F.element_at("pct_est", 1), "p50", 0.01)
+                & within(F.element_at("pct_est", 2), "p95", 0.01)
+                & within(F.element_at("pct_est", 3), "p99", 0.01)
+            ).alias("pct_sketch_within_1pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+A01_SQL = """
+WITH agg AS (
+  SELECT l_returnflag, COUNT(*) AS n_rows,
+         COUNT(DISTINCT l_partkey) AS exact_parts
+  FROM lineitem GROUP BY l_returnflag
+),
+ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk
+  FROM lineitem
+),
+pct AS (
+  SELECT r.l_returnflag,
+         MAX(CASE WHEN rk = CEIL(0.5 * n_rows) THEN l_extendedprice END) AS p50,
+         MAX(CASE WHEN rk = CEIL(0.95 * n_rows) THEN l_extendedprice END) AS p95,
+         MAX(CASE WHEN rk = CEIL(0.99 * n_rows) THEN l_extendedprice END) AS p99
+  FROM ranked r JOIN agg USING (l_returnflag)
+  GROUP BY r.l_returnflag
+)
+SELECT a.l_returnflag, a.n_rows, a.exact_parts,
+       CAST(p.p50 AS DECIMAL(18,2)) AS p50,
+       CAST(p.p95 AS DECIMAL(18,2)) AS p95,
+       CAST(p.p99 AS DECIMAL(18,2)) AS p99,
+       TRUE AS hll_within_5pct,
+       TRUE AS pct_sketch_within_1pct
+FROM agg a JOIN pct p USING (l_returnflag)
+ORDER BY a.l_returnflag
+"""
 
 
 QUERIES = {
@@ -233,7 +380,8 @@ QUERIES = {
 ORACLES = {
     "p01_document_records": P01_SQL,
     "p02_export_projection": P02_SQL,
+    "p03_records_with_tags": P03_SQL,
     "r01_csv_roundtrip": R01_SQL,
     "r02_corrupt_json_ingest": R02_SQL,
-    # p03: rows-only (LDA tags); a01: rows-only (engine-specific sketches)
+    "a01_approx_stats": A01_SQL,
 }

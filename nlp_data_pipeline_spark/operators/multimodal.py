@@ -119,40 +119,44 @@ FRAME_STRIDE = 100
 
 
 def m03_feature_extract_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
+    # Feature dims surface as scalar columns feat_0..feat_{D-1}: a fixed
+    # small embedding is as queryable as an array, and scalar columns
+    # keep the result canonicalizable by the driver (array cells break
+    # its hasher). The kernel is pure numpy broadcasting over the batch —
+    # no per-row Python lists — which is the shape a real torchvision/
+    # ffmpeg kernel would take at production batch sizes.
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = pdf["payload"].map(len)
-            feats = [
-                [round((int(ln) % (13 + 7 * j)) / (13.0 + 7 * j), 6) for j in range(FEAT_DIM)]
-                for ln in n
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "feature": feats,
-                    "resized_w": [TARGET_W] * len(pdf),
-                    "resized_h": [TARGET_H] * len(pdf),
-                    "n_frames_sampled": (n // FRAME_STRIDE + 1).astype("int32"),
-                }
-            )
+            n = pdf["payload"].map(len).to_numpy(dtype=np.int64)
+            out = {"doc_id": pdf["doc_id"]}
+            for j in range(FEAT_DIM):
+                m = 13 + 7 * j
+                out[f"feat_{j}"] = np.round((n % m) / float(m), 6)
+            out["resized_w"] = np.full(len(n), TARGET_W, dtype=np.int32)
+            out["resized_h"] = np.full(len(n), TARGET_H, dtype=np.int32)
+            out["n_frames_sampled"] = (n // FRAME_STRIDE + 1).astype(np.int32)
+            yield pd.DataFrame(out)
 
+    feat_schema = ", ".join(f"feat_{j} double" for j in range(FEAT_DIM))
     return with_payload.mapInPandas(
         extract,
-        "doc_id long, feature array<double>, resized_w int, resized_h int, n_frames_sampled int",
+        f"doc_id long, {feat_schema}, resized_w int, resized_h int, n_frames_sampled int",
     )
 
 
 _FEAT_SQL = ", ".join(
-    f"round((octet_length(encode(text)) % ({13 + 7 * j})) / {13.0 + 7 * j}, 6)"
+    f"round((octet_length(encode(text)) % ({13 + 7 * j})) / {13.0 + 7 * j}, 6) AS feat_{j}"
     for j in range(FEAT_DIM)
 )
 
 M03_SQL = f"""
 SELECT doc_id,
-       [{_FEAT_SQL}]::DOUBLE[] AS feature,
+       {_FEAT_SQL},
        {TARGET_W} AS resized_w,
        {TARGET_H} AS resized_h,
        (octet_length(encode(text)) // {FRAME_STRIDE} + 1)::INT AS n_frames_sampled
@@ -207,15 +211,18 @@ def m04_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 M04_SQL = """
 WITH codes AS (
-  SELECT doc_id,
+  SELECT doc_id, length(text) AS n_chars,
          list_transform(string_split(text, ''), c -> ascii(c)) AS cs
   FROM documents
 )
 SELECT doc_id,
-       len(cs) AS n_bytes,
-       CAST(list_aggregate(cs, 'sum') AS BIGINT) AS byte_sum,
-       CAST(list_aggregate(cs, 'min') AS INT) AS byte_min,
-       CAST(list_aggregate(cs, 'max') AS INT) AS byte_max
+       CAST(n_chars AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN n_chars = 0 THEN 0
+                 ELSE list_aggregate(cs, 'sum') END AS BIGINT) AS byte_sum,
+       CAST(CASE WHEN n_chars = 0 THEN NULL
+                 ELSE list_aggregate(cs, 'min') END AS INT) AS byte_min,
+       CAST(CASE WHEN n_chars = 0 THEN NULL
+                 ELSE list_aggregate(cs, 'max') END AS INT) AS byte_max
 FROM codes
 """
 

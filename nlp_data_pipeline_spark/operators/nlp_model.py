@@ -154,17 +154,21 @@ def n01_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n02: per-document tags (generate_tags parity, :186-215): top-2 topics
 # by inferred distribution → 3 terms each → ordered dedup → cap n_tags.
 # --------------------------------------------------------------------------
-_TAGS_CACHE: dict[str, DataFrame] = {}
+_TAGS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def n02_doc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import vector_to_array
 
     # Cache the materialized tags: the LDA-inference subtree is the most
-    # expensive plan in the repo, and n02/n03/p03 (and bench retries) all
-    # consume it. One .cache() of a tiny (doc_id, tags) frame turns four
-    # executions into one. cache() is lazy — first action materializes.
-    cached = _TAGS_CACHE.get(sf_dir)
+    # expensive plan in the repo, and n02 consumers (and bench retries)
+    # all reuse it. One .cache() of a tiny (doc_id, tags) frame turns
+    # repeated executions into one. Keyed by (session, sf_dir): a cached
+    # DataFrame is bound to the SparkSession that built it, so a second
+    # session in the same process must not see the first one's frame.
+    # Data changes under an unchanged sf_dir still require a new session.
+    cache_key = (id(spark), sf_dir)
+    cached = _TAGS_CACHE.get(cache_key)
     if cached is not None:
         return cached
 
@@ -195,10 +199,14 @@ def n02_doc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags = F.flatten(F.transform(top2, lambda s: topic_map[s.i]))
     # ordered dedup preserving first occurrence (:211 dict.fromkeys) then cap
     tags = F.slice(F.array_distinct(tags), 1, cfg.n_tags)
-    out = scored.select("doc_id", tags.alias("tags")).withColumn(
-        "n_tags", F.size("tags")
+    # surface tags as a scalar csv column (:521 ', '.join) — array-typed
+    # output columns break the driver's result canonicalizer
+    out = scored.select(
+        "doc_id",
+        F.array_join(tags, ", ").alias("tags_csv"),
+        F.size(tags).alias("n_tags"),
     ).cache()
-    _TAGS_CACHE[sf_dir] = out
+    _TAGS_CACHE[cache_key] = out
     return out
 
 
@@ -218,11 +226,74 @@ def n03_topic_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# n04: DataFrame-native count-vectorizer twin (R12 semantics, :144-151:
+# 1-2grams, minDF=1, maxDF=0.8, vocab capped at 100) with an explicit
+# deterministic tie-break (corpus tf desc, term asc) — the SQL-checkable
+# mirror of the MLlib CountVectorizer stage feeding the LDA. MLlib's
+# own vocabulary ordering is tie-nondeterministic, so THIS operator is
+# the oracle surface for the featurization layer, and
+# tests/test_nlp_model.py cross-checks the two vocabularies against
+# each other above the tie boundary. maxDF as integer arithmetic
+# (df*5 <= n_docs*4) so both engines cut at exactly 0.8.
+# Scale: term stats are one explode + one groupBy; the top-100 pick is
+# TakeOrdered (no global sort materialization).
+# --------------------------------------------------------------------------
+def n04_count_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from nlp_data_pipeline_spark.functions.text import ngrams, tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokenize(clean_text("text")).alias("t"))
+    terms = F.concat(F.col("t"), ngrams(F.col("t"), 2))
+    exploded = base.select("doc_id", F.explode(terms).alias("term"))
+    stats = exploded.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"), F.count_distinct("doc_id").alias("df")
+    )
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    filtered = stats.crossJoin(F.broadcast(ndocs)).where(
+        F.col("df") * 5 <= F.col("n_docs") * 4
+    )
+    top = filtered.orderBy(F.desc("tf"), F.asc("term")).limit(DEFAULT_CONFIG.vocab_size)
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return top.select(
+        F.row_number().over(w).alias("vocab_rank"), "term", "tf", "df"
+    )
+
+
+def _n04_sql() -> str:
+    from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL, _STOP_SQL
+
+    return f"""
+WITH cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents),
+toklists AS (
+  SELECT doc_id,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM cleaned
+),
+terms AS (
+  SELECT doc_id, unnest(t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS term
+  FROM toklists
+),
+stats AS (SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT vocab_rank, term, tf, df FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) AS vocab_rank, term, tf, df
+  FROM stats, nd WHERE df * 5 <= n_docs * 4
+) z WHERE vocab_rank <= {DEFAULT_CONFIG.vocab_size}
+"""
+
+
 QUERIES = {
     "n01_lda_topics": n01_lda_topics,
     "n02_doc_tags": n02_doc_tags,
     "n03_topic_metrics": n03_topic_metrics,
+    "n04_count_vectorize": n04_count_vectorize,
 }
 
-# model-dependent results: rows-only driver checks by design (SURVEY.md §5.2)
-ORACLES: dict[str, str] = {}
+# n01–n03 are model-dependent (MLlib LDA): rows-only driver checks by
+# design — see module docstring and README "verification story". n04 is
+# the deterministic oracle surface for the featurization layer.
+ORACLES: dict[str, str] = {"n04_count_vectorize": _n04_sql()}

@@ -780,53 +780,71 @@ _CMS_D = 4
 _CMS_W = 64
 
 
-def _cms_bucket(token_col, d: int) -> Column:
-    h = F.substring(F.md5(F.concat(F.lit(f"cms{d}|"), token_col)), 1, 7)
-    return F.conv(h, 16, 10).cast("long") % _CMS_W
-
-
 def t17_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass sketch build: explode each vocab term into its d hash
+    # rows, ONE groupBy((d, bucket)) builds the whole d×w sketch, one
+    # broadcast join back reads it, and the min-over-d estimate reuses
+    # tf's token partitioning (no extra exchange — pinned by plan test).
+    # At 100 TB this is the CMS property that matters: sketch size is
+    # d×w cells regardless of corpus size, and the build is a single
+    # map-side-combinable aggregation.
     toks = _tokens_df(spark, sf_dir).select("token")
-    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
-    est = None
-    for d in range(_CMS_D):
-        buckets = (
-            tf.groupBy(_cms_bucket(F.col("token"), d).alias("bucket"))
-            .agg(F.sum("true_cnt").alias("bucket_total"))
-        )
-        joined = tf.select("token", _cms_bucket(F.col("token"), d).alias("bucket")).join(
-            F.broadcast(buckets), "bucket"
-        ).select("token", F.col("bucket_total").alias(f"e{d}"))
-        est = joined if est is None else est.join(joined, "token")
-    result = tf.join(est, "token").select(
+    # tf is vocab-sized and read three times (sketch build, estimate
+    # read-back, final join) — cache it so the corpus-sized tokenize +
+    # groupBy shuffle happens exactly once
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt")).cache()
+    hashed = tf.select(
         "token",
         "true_cnt",
-        F.least(*[F.col(f"e{d}") for d in range(_CMS_D)]).alias("cms_estimate"),
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"), F.col("d").cast("string"), F.lit("|"), F.col("token")
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W,
+    )
+    cells = hashed.groupBy("d", "bucket").agg(F.sum("true_cnt").alias("total"))
+    est = (
+        hashed.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("token")
+        .agg(F.min("total").alias("cms_estimate"))
     )
     return (
-        result.orderBy(F.desc("true_cnt"), "token")
+        tf.join(est, "token")
+        .orderBy(F.desc("true_cnt"), "token")
         .limit(20)
         .select("token", "true_cnt", "cms_estimate")
     )
-
-
-def _cms_bucket_sql(tok: str, d: int) -> str:
-    return f"CAST(('0x' || substring(md5('cms{d}|' || {tok}), 1, 7)) AS BIGINT) % {_CMS_W}"
 
 
 T17_SQL = (
     _TOKENS_CTE
     + f""",
 tf AS (SELECT token, COUNT(*) AS true_cnt FROM tokens GROUP BY token),
-{', '.join(
-    f"b{d} AS (SELECT {_cms_bucket_sql('token', d)} AS bucket, SUM(true_cnt) AS total "
-    f"FROM tf GROUP BY 1)"
-    for d in range(_CMS_D)
-)}
-SELECT token, true_cnt,
-       least({', '.join(f'b{d}.total' for d in range(_CMS_D))}) AS cms_estimate
-FROM tf
-{' '.join(f'JOIN b{d} ON {_cms_bucket_sql("token", d)} = b{d}.bucket' for d in range(_CMS_D))}
+hashed AS (
+  SELECT token, true_cnt, d,
+         CAST(('0x' || substring(md5('cms' || d || '|' || token), 1, 7)) AS BIGINT)
+           % {_CMS_W} AS bucket
+  FROM tf, range({_CMS_D}) r(d)
+),
+cells AS (SELECT d, bucket, SUM(true_cnt) AS total FROM hashed GROUP BY d, bucket),
+est AS (
+  SELECT token, CAST(MIN(total) AS BIGINT) AS cms_estimate
+  FROM hashed JOIN cells USING (d, bucket) GROUP BY token
+)
+SELECT token, true_cnt, cms_estimate
+FROM tf JOIN est USING (token)
 ORDER BY true_cnt DESC, token
 LIMIT 20
 """

@@ -50,7 +50,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # must hold for ANY caller-provided session (the driver builds its
         # own); runtime-settable SQL conf, so set it here, not only in the
-        # session factory
+        # session factory. DELIBERATELY left set for the session rather
+        # than save/restored: the conf is consulted again when the lazy
+        # scan actually executes, so an eager restore would corrupt the
+        # returned DataFrame. Session invariant: nanosAsLong=true is
+        # compatible with every other table (none carries TIMESTAMP(NANOS),
+        # so their scans are unaffected), and all reads go through
+        # load_table.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

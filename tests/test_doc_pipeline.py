@@ -31,8 +31,9 @@ def test_p02_compression_ratio_bounds(spark, sf_dir):
 
 
 def test_a01_approx_within_tolerance_of_exact(spark, sf_dir):
-    """HLL++ (rsd=0.02) vs exact distinct; approx median vs exact."""
-    approx = {r["l_returnflag"]: r for r in a01_approx_stats(spark, sf_dir).collect()}
+    """Sketch-vs-exact tolerance booleans must hold; exact stats must
+    agree with an independently-computed exact aggregation."""
+    rows = {r["l_returnflag"]: r for r in a01_approx_stats(spark, sf_dir).collect()}
     l = load_table(spark, sf_dir, "lineitem")
     exact = {
         r["l_returnflag"]: r
@@ -43,7 +44,10 @@ def test_a01_approx_within_tolerance_of_exact(spark, sf_dir):
         )
         .collect()
     }
-    for flag, a in approx.items():
+    assert rows
+    for flag, a in rows.items():
         e = exact[flag]
-        assert a["approx_parts"] == pytest.approx(e["parts"], rel=0.1)
-        assert a["price_percentiles"][0] == pytest.approx(e["median"], rel=0.05)
+        assert a["hll_within_5pct"] and a["pct_sketch_within_1pct"]
+        assert a["exact_parts"] == e["parts"]
+        # rank-based p50 vs interpolated percentile: same neighborhood
+        assert float(a["p50"]) == pytest.approx(e["median"], rel=0.01)

@@ -34,9 +34,11 @@ def test_tags_bounded_and_within_vocab(spark, sf_dir, fitted):
     rows = n02_doc_tags(spark, sf_dir).collect()
     assert len(rows) > 0
     for r in rows:
+        tags = r["tags_csv"].split(", ") if r["tags_csv"] else []
         assert r["n_tags"] <= 5           # :212 cap
-        assert len(set(r["tags"])) == len(r["tags"])  # dedup (:211)
-        assert all(t in vocab for t in r["tags"])     # tags ⊆ vocabulary
+        assert len(tags) == r["n_tags"]
+        assert len(set(tags)) == len(tags)        # dedup (:211)
+        assert all(t in vocab for t in tags)      # tags ⊆ vocabulary
 
 
 def test_ordered_dedup_semantics_f7(spark):
@@ -44,6 +46,24 @@ def test_ordered_dedup_semantics_f7(spark):
     df = spark.createDataFrame([(["x", "y", "z", "y", "w", "v"],)], ["tags"])
     got = df.select(F.slice(F.array_distinct("tags"), 1, 5).alias("t")).first()["t"]
     assert got == ["x", "y", "z", "w", "v"]
+
+
+def test_n04_vocab_matches_mllib_countvectorizer(spark, sf_dir, fitted):
+    """n04 (the oracle-checkable featurization twin) must agree with the
+    MLlib CountVectorizer the LDA actually consumes. MLlib breaks tf
+    ties nondeterministically at the vocab-size boundary, so compare the
+    sets of terms with tf strictly above the rank-100 tf (those are
+    unambiguous members of both vocabularies), plus the cap itself."""
+    from nlp_data_pipeline_spark.operators.nlp_model import n04_count_vectorize
+
+    cv_model, _, _ = fitted
+    mllib_vocab = set(cv_model.vocabulary)
+    rows = n04_count_vectorize(spark, sf_dir).collect()
+    assert len(rows) <= 100
+    assert len(rows) == len(mllib_vocab)
+    boundary_tf = min(r["tf"] for r in rows)
+    above = {r["term"] for r in rows if r["tf"] > boundary_tf}
+    assert above <= mllib_vocab, sorted(above - mllib_vocab)[:5]
 
 
 def test_topic_metrics_ranges(spark, sf_dir):

@@ -106,6 +106,31 @@ def test_q30_bucketed_join_eliminates_join_shuffles(spark, sf_dir):
     assert bplan.count("Exchange") < formatted_plan(plain).count("Exchange")
 
 
+def test_t17_cms_is_single_pass(spark, sf_dir):
+    # the sketch build must be ONE groupBy((d,bucket)) pass over the
+    # cached vocab-sized tf, not d chained self-joins: at most 3 shuffle
+    # exchanges total (tf build, 256-cell sketch agg, estimate agg) and
+    # the sketch side must come back as a broadcast
+    import re
+
+    df = text_analytics.t17_count_min_sketch(spark, sf_dir)
+    plan = formatted_plan(df)
+    shuffles = [
+        ln for ln in plan.splitlines() if re.match(r"\(\d+\) Exchange", ln.strip())
+    ]
+    assert len(shuffles) <= 3, plan
+    assert "BroadcastExchange" in plan
+
+
+def test_d05_shingle_jaccard_shuffle_budget(spark, sf_dir):
+    # long-form explode + two aggregations + one join: the pairwise
+    # Jaccard must stay an equi-join on shingle, never a cartesian
+    from nlp_data_pipeline_spark.operators import dedup
+
+    plan = formatted_plan(dedup.d05_shingle_jaccard_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_e07_scan_is_partition_pruned(spark, sf_dir):
     # the date filter must reach the partitioned scan as PartitionFilters
     # (pruned day directories are never opened)

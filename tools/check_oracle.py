@@ -35,8 +35,14 @@ def _norm(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+    if isinstance(v, (list, tuple, dict, set)):
+        # The driver's canonicalizer (pandas factorize) hard-fails on
+        # unhashable cells; mirror that strictness so an array-typed
+        # output column fails HERE, before a driver round records it.
+        raise TypeError(
+            f"non-scalar result cell {type(v).__name__}: declared query "
+            "outputs must be scalar columns (flatten arrays at the edge)"
+        )
     return v
 
 
