@@ -434,6 +434,108 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# d08: INCREMENTAL dedup — the nightly-ingest pattern: a new batch
+# (simulated as doc_id % 10 == 9) is checked against the existing
+# corpus WITHOUT re-clustering everything. New docs are flagged by
+# (a) exact content-hash collision and (b) MinHash band-key collision
+# (near-dup candidate) against corpus docs only. Scale: both probes are
+# equi-joins of the (small) batch against corpus-side indexes that a
+# real deployment keeps materialized and bucketed — cost scales with
+# the batch, not the corpus. Output: one row per new doc with its
+# dup evidence.
+# --------------------------------------------------------------------------
+def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 9
+    # exact probe: content hash of new docs vs corpus hashes
+    hashes = d.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("h"), is_new.alias("new")
+    )
+    corpus_h = hashes.filter(~F.col("new")).select(F.col("h"), F.col("doc_id").alias("cid"))
+    exact = (
+        hashes.filter("new")
+        .join(corpus_h, "h", "left")
+        .groupBy("doc_id")
+        .agg(F.min("cid").alias("exact_match_doc"))
+    )
+    # near probe: band keys of new docs vs corpus band keys
+    sig = d02_minhash_signatures(spark, sf_dir)
+    n_bands = NUM_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    new_b = banded.filter(F.col("doc_id") % 10 == 9)
+    corpus_b = banded.filter(~(F.col("doc_id") % 10 == 9)).select(
+        "band_id", "band_key", F.col("doc_id").alias("cid")
+    )
+    near = (
+        new_b.join(corpus_b, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("cid").alias("n_near_candidates"),
+            F.min("cid").alias("first_near_doc"),
+        )
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("exact_match_doc"),
+            F.coalesce("n_near_candidates", F.lit(0)).alias("n_near_candidates"),
+            "first_near_doc",
+            (F.col("exact_match_doc").isNotNull() | (F.coalesce("n_near_candidates", F.lit(0)) > 0)).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+D08_SQL = (
+    _TOKLIST_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('seed{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES))
+    + " FROM shingle_set GROUP BY doc_id), "
+    + f"banded AS ({_BANDS_SQL}) "
+    + """
+, hashes AS (SELECT doc_id, sha256(text) AS h, doc_id % 10 = 9 AS new FROM documents),
+exact AS (
+  SELECT n.doc_id, MIN(c.doc_id) AS exact_match_doc
+  FROM hashes n LEFT JOIN hashes c ON c.h = n.h AND NOT c.new
+  WHERE n.new GROUP BY n.doc_id
+),
+near AS (
+  SELECT n.doc_id,
+         COUNT(DISTINCT c.doc_id) AS n_near_candidates,
+         MIN(c.doc_id) AS first_near_doc
+  FROM banded n
+  JOIN banded c ON c.band_id = n.band_id AND c.band_key = n.band_key
+               AND c.doc_id % 10 != 9
+  WHERE n.doc_id % 10 = 9
+  GROUP BY n.doc_id
+)
+SELECT e.doc_id, e.exact_match_doc,
+       COALESCE(r.n_near_candidates, 0) AS n_near_candidates,
+       r.first_near_doc,
+       (e.exact_match_doc IS NOT NULL OR COALESCE(r.n_near_candidates, 0) > 0) AS is_dup
+FROM exact e LEFT JOIN near r USING (doc_id)
+ORDER BY e.doc_id
+"""
+)
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_signatures": d02_minhash_signatures,
@@ -442,9 +544,11 @@ QUERIES = {
     "d05_shingle_jaccard_topk": d05_shingle_jaccard_topk,
     "d06_neardup_clusters": d06_neardup_clusters,
     "d07_dedup_materialize": d07_dedup_materialize,
+    "d08_incremental_dedup": d08_incremental_dedup,
 }
 
 ORACLES = {
+    "d08_incremental_dedup": D08_SQL,
     "d06_neardup_clusters": D06_SQL,
     "d01_exact_dedup": D01_SQL,
     "d02_minhash_signatures": D02_SQL,

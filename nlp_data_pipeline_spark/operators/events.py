@@ -433,6 +433,62 @@ ORDER BY window_start, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# e09: streaming DEDUPLICATION — exactly-once results from at-least-
+# once delivery. The stage dir holds the events file TWICE (two
+# symlinks = every event delivered twice, the classic redelivery
+# scenario); ``dropDuplicates`` keyed on (event_id, ts) under a
+# watermark collapses the redeliveries, and the downstream aggregate
+# matches a single-delivery batch oracle exactly. The watermark delay
+# is set beyond the bounded replay's span so no dedup state is evicted
+# mid-run regardless of how the file source batches the two files — in
+# a live deployment the delay is the max expected redelivery lag, and
+# state size is bounded by (events within the lag window), the scale
+# property that makes this viable on an unbounded 100 TB/day stream.
+# --------------------------------------------------------------------------
+def e09_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stage_dir = tempfile.mkdtemp(prefix="e09_stream_")
+    for copy in ("a", "b"):  # duplicate delivery
+        link = os.path.join(stage_dir, f"events_{copy}.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    deduped = stream.withWatermark("ts", "366 days").dropDuplicates(["event_id", "ts"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(D182)).cast("double").alias("total_value"),
+    )
+    sink = f"e09_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink).orderBy("event_type")
+
+
+E09_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_session_windows": e02_session_windows,
@@ -442,9 +498,11 @@ QUERIES = {
     "e06_stream_static_join": e06_stream_static_join,
     "e07_partitioned_day_scan": e07_partitioned_day_scan,
     "e08_streaming_append_finalized": e08_streaming_append_finalized,
+    "e09_streaming_dedup": e09_streaming_dedup,
 }
 
 ORACLES = {
+    "e09_streaming_dedup": E09_SQL,
     "e05_sliding_windows": E05_SQL,
     "e01_tumbling_hourly": E01_SQL,
     "e02_session_windows": E02_SQL,

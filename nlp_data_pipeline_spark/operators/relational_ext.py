@@ -601,6 +601,73 @@ FROM per_key
 """
 
 
+# --------------------------------------------------------------------------
+# q32: EXISTS / NOT EXISTS decorrelation — the TPC-H Q4 shape. Per
+# order priority: how many orders have at least one item shipped >60
+# days after the order date (EXISTS → left-semi join) and how many have
+# no returned item at all (NOT EXISTS → left-anti join). Scale: both
+# subqueries decorrelate to one pass each over lineitem keyed on
+# l_orderkey — never a per-row subquery loop; the filters (shipdate
+# window, returnflag) are pushed below the joins so the semi/anti probe
+# sides are pre-shrunk.
+# --------------------------------------------------------------------------
+def q32_exists_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    late = (
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.date_add("o_orderdate", 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+    no_ret = (
+        o.join(
+            l.filter(F.col("l_returnflag") == "R"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_anti",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_no_returns"))
+    )
+    total = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        total.join(late, "o_orderpriority", "left")
+        .join(no_ret, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.coalesce("n_late", F.lit(0)).alias("n_late"),
+            F.coalesce("n_no_returns", F.lit(0)).alias("n_no_returns"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q32_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (EXISTS (
+         SELECT 1 FROM lineitem l
+         WHERE l.l_orderkey = o.o_orderkey
+           AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)) AS n_late,
+       COUNT(*) FILTER (NOT EXISTS (
+         SELECT 1 FROM lineitem l
+         WHERE l.l_orderkey = o.o_orderkey
+           AND l.l_returnflag = 'R')) AS n_no_returns
+FROM orders o
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,
@@ -615,9 +682,11 @@ QUERIES = {
     "q30_bucketed_colocated_join": q30_bucketed_colocated_join,
     "q31_key_skew_profile": q31_key_skew_profile,
     "u02_grouped_zscore": u02_grouped_zscore,
+    "q32_exists_order_audit": q32_exists_order_audit,
 }
 
 ORACLES = {
+    "q32_exists_order_audit": Q32_SQL,
     "q28_outer_join_coverage": Q28_SQL,
     "u01_grouped_agg_udaf": U01_SQL,
     "q26_time_rollup_from_partials": Q26_SQL,

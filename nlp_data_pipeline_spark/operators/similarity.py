@@ -396,6 +396,102 @@ ORDER BY vec_a, vec_b
 """
 
 
+# --------------------------------------------------------------------------
+# s07: IVF PROBE search — the query half of the IVF index (s04 is the
+# build half): each query scores only the clusters of its NPROBE
+# nearest centroids instead of the whole corpus. Recall/latency knob =
+# NPROBE/N_CENTROIDS (here 4/16 → ~25% of the corpus scanned per
+# query). Scale: the assignment is precomputed and bucketed by
+# centroid_id in a real deployment, so the probe is a partition-pruned
+# equi-join on centroid_id — per-query cost scales with probed-cluster
+# size, not corpus size; centroids stay broadcast.
+# --------------------------------------------------------------------------
+NPROBE = 4
+
+
+def s07_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    # corpus → nearest centroid (the s04 assignment)
+    ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    assigned = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "emb", "centroid_id", ccos.alias("cos"))
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "emb", "centroid_id")
+    )
+    # query → NPROBE nearest centroids
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    qcos = dot("cemb", "qemb") / (norm("cemb") * norm("qemb"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "qemb", "centroid_id", qcos.alias("cos"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= NPROBE)
+        .select("query_id", "qemb", "centroid_id")
+    )
+    # exact re-rank within the probed clusters only
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    rcos = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", rcos.alias("cosine"))
+        .withColumn("nn_rank", F.row_number().over(wr))
+        .filter(F.col("nn_rank") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "nn_rank")
+    )
+
+
+S07_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+ascore AS (
+  SELECT e.vec_id, e.emb, c.centroid_id,
+         list_dot_product(c.cemb, e.emb)
+           / (sqrt(list_dot_product(c.cemb, c.cemb)) * sqrt(list_dot_product(e.emb, e.emb))) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(c.cemb, e.emb)
+           / (sqrt(list_dot_product(c.cemb, c.cemb)) * sqrt(list_dot_product(e.emb, e.emb))) DESC,
+           c.centroid_id ASC) AS r
+  FROM e CROSS JOIN c
+),
+assigned AS (SELECT vec_id, emb, centroid_id FROM ascore WHERE r = 1),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+qscore AS (
+  SELECT q.query_id, q.qemb, c.centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY list_dot_product(c.cemb, q.qemb)
+           / (sqrt(list_dot_product(c.cemb, c.cemb)) * sqrt(list_dot_product(q.qemb, q.qemb))) DESC,
+           c.centroid_id ASC) AS r
+  FROM q CROSS JOIN c
+),
+probes AS (SELECT query_id, qemb, centroid_id FROM qscore WHERE r <= {NPROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(p.qemb, a.emb)
+           / (sqrt(list_dot_product(p.qemb, p.qemb)) * sqrt(list_dot_product(a.emb, a.emb))) AS cosine
+  FROM assigned a JOIN probes p USING (centroid_id)
+  WHERE a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS nn_rank
+  FROM cand
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, nn_rank
+FROM ranked WHERE nn_rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
@@ -403,9 +499,11 @@ QUERIES = {
     "s04_ivf_assign": s04_ivf_assign,
     "s05_embedding_label_stats": s05_embedding_label_stats,
     "s06_embedding_neardup_pairs": s06_embedding_neardup_pairs,
+    "s07_ivf_probe_search": s07_ivf_probe_search,
 }
 
 ORACLES = {
+    "s07_ivf_probe_search": S07_SQL,
     "s05_embedding_label_stats": S05_SQL,
     "s01_cosine_topk": S01_SQL,
     "s02_top_similar_pairs": S02_SQL,

@@ -851,6 +851,199 @@ LIMIT 20
 )
 
 
+# --------------------------------------------------------------------------
+# t18: repeated n-gram ratio — the Gopher/C4-family repetition signal
+# for training-data curation: fraction of a document's bigrams that are
+# duplicates (1 - distinct/total). High ratio ⇒ boilerplate / generated
+# spam. Pure array expressions per row: zero shuffle, linear scan —
+# the ideal 100 TB shape (embarrassingly parallel, pushdown-friendly).
+# --------------------------------------------------------------------------
+def t18_repeated_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(clean_text("text"))
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    bi = ngrams(F.col("t"), 2)
+    return base.select(
+        "doc_id",
+        F.size(bi).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bi)).cast("long").alias("n_distinct_bigrams"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(bi)) / F.size(bi), 6
+        ).alias("dup_bigram_ratio"),
+    )
+
+
+T18_SQL = f"""
+WITH cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents),
+toklists AS (
+  SELECT doc_id,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM cleaned
+),
+bi AS (
+  SELECT doc_id, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b
+  FROM toklists WHERE len(t) >= 2
+)
+SELECT doc_id,
+       len(b) AS n_bigrams,
+       len(list_distinct(b)) AS n_distinct_bigrams,
+       round(1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 6) AS dup_bigram_ratio
+FROM bi
+"""
+
+
+# --------------------------------------------------------------------------
+# t19: corpus bigram language-model statistics — conditional
+# probabilities P(w2 | w1) = c(w1 w2) / c(w1·), the building block of
+# n-gram LM scoring / perplexity filters over a pretraining corpus.
+# Two aggregations sharing one partitioning on w1 (the c(w1·) count is
+# a window sum over the grouped bigram counts — no second scan of the
+# corpus), then a global top-20. At 100 TB: one explode + one shuffle
+# on (w1,w2) + a vocab-sized window — the same shape as t01.
+# --------------------------------------------------------------------------
+def t19_bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(clean_text("text"))
+    base = d.select(toks.alias("t")).filter(F.size("t") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    w1_total = Window.partitionBy("w1")
+    return (
+        c2.withColumn("w1_cnt", F.sum("pair_cnt").over(w1_total))
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            "w1_cnt",
+            F.round(F.col("pair_cnt") / F.col("w1_cnt"), 6).alias("cond_prob"),
+        )
+        .orderBy(F.desc("pair_cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+T19_SQL = f"""
+WITH cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents),
+toklists AS (
+  SELECT doc_id,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM cleaned
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> {{'w1': t[i], 'w2': t[i+1]}}), recursive := true)
+  FROM toklists WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS pair_cnt FROM pairs GROUP BY w1, w2)
+SELECT w1, w2, pair_cnt,
+       SUM(pair_cnt) OVER (PARTITION BY w1) AS w1_cnt,
+       round(CAST(pair_cnt AS DOUBLE) / SUM(pair_cnt) OVER (PARTITION BY w1), 6) AS cond_prob
+FROM c2
+ORDER BY pair_cnt DESC, w1 ASC, w2 ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# t20: composite quality filter — the Gopher/C4-style keep/drop rule
+# set a pretraining pipeline applies before anything else: word-count
+# bounds, mean word length bounds, stopword fraction, and the t18
+# repetition signal, conjoined into one keep flag. Every signal is a
+# per-row array expression (no shuffle); the thresholds are the
+# published Gopher ones where applicable. Output keeps the signals so
+# downstream can re-cut without recomputing.
+# --------------------------------------------------------------------------
+_QF_MIN_WORDS, _QF_MAX_WORDS = 10, 100_000
+_QF_MIN_MWL, _QF_MAX_MWL = 3.0, 10.0
+_QF_MAX_DUP_BIGRAM = 0.5
+
+
+def t20_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # materialize the arrays FIRST: element_at inside an ngram lambda
+    # over the raw tokenize(clean_text(...)) expression re-evaluates the
+    # whole regex chain per element (measured 10x slowdown); a two-step
+    # select pins each array to a column evaluated once per row
+    base = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit("")).alias(
+            "words"
+        ),
+        tokenize(clean_text("text")).alias("t"),
+    )
+    n_words = F.size("words")
+    total_chars = F.aggregate("words", F.lit(0), lambda acc, w: acc + F.length(w))
+    guard = lambda c: F.when(n_words > 0, c)  # empty doc → NULL signals
+    mean_wl = guard(F.round(total_chars / n_words, 6))
+    stops = F.array(*[F.lit(s) for s in STOP_WORDS_SORTED])
+    n_stop = F.size(F.filter("words", lambda w: F.array_contains(stops, F.lower(w))))
+    stop_frac = guard(F.round(n_stop / n_words, 6))
+    bi = ngrams(F.col("t"), 2)
+    dup_ratio = F.when(
+        F.size(bi) > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(bi)) / F.size(bi), 6),
+    ).otherwise(F.lit(0.0))
+    sig = base.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_frac.alias("stop_frac"),
+        dup_ratio.alias("dup_bigram_ratio"),
+    )
+    keep = (
+        F.col("n_words").between(_QF_MIN_WORDS, _QF_MAX_WORDS)
+        & F.col("mean_word_len").between(_QF_MIN_MWL, _QF_MAX_MWL)
+        & (F.col("stop_frac") > 0.0)
+        & (F.col("dup_bigram_ratio") <= _QF_MAX_DUP_BIGRAM)
+    )
+    return sig.withColumn("keep", F.coalesce(keep, F.lit(False)))
+
+
+T20_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS words,
+         list_filter(string_split({_CLEAN_SQL}, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CASE WHEN len(words) > 0 THEN
+           round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words), 6)
+         END AS mean_word_len,
+         CASE WHEN len(words) > 0 THEN
+           round(CAST(len(list_filter(words, x -> lower(x) IN ({_STOP_SQL}))) AS DOUBLE)
+             / len(words), 6)
+         END AS stop_frac,
+         CASE WHEN len(t) >= 2 THEN
+           round(1.0 - CAST(len(list_distinct(
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+           )) AS DOUBLE) / (len(t) - 1), 6)
+         ELSE 0.0 END AS dup_bigram_ratio
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, stop_frac, dup_bigram_ratio,
+       COALESCE(n_words BETWEEN {_QF_MIN_WORDS} AND {_QF_MAX_WORDS}
+        AND mean_word_len BETWEEN {_QF_MIN_MWL} AND {_QF_MAX_MWL}
+        AND stop_frac > 0.0
+        AND dup_bigram_ratio <= {_QF_MAX_DUP_BIGRAM}, FALSE) AS keep
+FROM sig
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -869,10 +1062,16 @@ QUERIES = {
     "t15_fallback_summary": t15_fallback_summary,
     "t16_stratified_sample": t16_stratified_sample,
     "t17_count_min_sketch": t17_count_min_sketch,
+    "t18_repeated_ngram_ratio": t18_repeated_ngram_ratio,
+    "t19_bigram_lm_topk": t19_bigram_lm_topk,
+    "t20_quality_filter": t20_quality_filter,
 }
 
 ORACLES = {
     "t17_count_min_sketch": T17_SQL,
+    "t18_repeated_ngram_ratio": T18_SQL,
+    "t19_bigram_lm_topk": T19_SQL,
+    "t20_quality_filter": T20_SQL,
     "t16_stratified_sample": T16_SQL,
     "t15_fallback_summary": T15_SQL,
     "t14_rolling_hash": T14_SQL,

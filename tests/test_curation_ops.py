@@ -1,0 +1,127 @@
+"""Round-3 curation/search operator invariants: quality filters (t18/
+t19/t20), incremental dedup (d08), IVF probe search (s07), streaming
+dedup (e09), EXISTS audit (q32). Cross-engine value equality is the
+oracle's job (tools/check_oracle.py); these pin semantic invariants
+the hash check can't express."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_t18_dup_ratio_bounds(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.text_analytics import t18_repeated_ngram_ratio
+
+    rows = t18_repeated_ngram_ratio(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_bigram_ratio"] < 1.0
+        assert r["n_distinct_bigrams"] <= r["n_bigrams"]
+
+
+def test_t19_conditional_probs_sum_to_one(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.text_analytics import t19_bigram_lm_topk
+
+    rows = t19_bigram_lm_topk(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 < r["cond_prob"] <= 1.0
+        assert r["pair_cnt"] <= r["w1_cnt"]
+
+
+def test_t20_keep_flag_matches_signals(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _QF_MAX_DUP_BIGRAM,
+        _QF_MAX_MWL,
+        _QF_MAX_WORDS,
+        _QF_MIN_MWL,
+        _QF_MIN_WORDS,
+        t20_quality_filter,
+    )
+
+    rows = t20_quality_filter(spark, sf_dir).collect()
+    assert rows
+    n_keep = 0
+    for r in rows:
+        expect = (
+            _QF_MIN_WORDS <= r["n_words"] <= _QF_MAX_WORDS
+            and r["mean_word_len"] is not None
+            and _QF_MIN_MWL <= r["mean_word_len"] <= _QF_MAX_MWL
+            and r["stop_frac"] is not None
+            and r["stop_frac"] > 0.0
+            and r["dup_bigram_ratio"] <= _QF_MAX_DUP_BIGRAM
+        )
+        assert r["keep"] == expect
+        n_keep += r["keep"]
+    assert n_keep > 0  # the rule set must not reject the whole corpus
+
+
+def test_d08_covers_exactly_the_new_batch(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.dedup import d08_incremental_dedup
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    out = d08_incremental_dedup(spark, sf_dir)
+    rows = out.collect()
+    expected = (
+        load_table(spark, sf_dir, "documents").filter("doc_id % 10 = 9").count()
+    )
+    assert len(rows) == expected
+    for r in rows:
+        assert r["doc_id"] % 10 == 9
+        assert r["is_dup"] == (
+            r["exact_match_doc"] is not None or r["n_near_candidates"] > 0
+        )
+
+
+def test_s07_probe_results_subset_of_probed_clusters(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.similarity import (
+        TOP_K,
+        s01_cosine_topk,
+        s07_ivf_probe_search,
+    )
+
+    ivf = s07_ivf_probe_search(spark, sf_dir).collect()
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) == TOP_K
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["nn_rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+    # IVF recall vs exact: the probed top-1 should usually equal the
+    # brute-force top-1 (probing the query's own cluster); require >= 3/5
+    brute = {
+        r["query_id"]: r["vec_id"]
+        for r in s01_cosine_topk(spark, sf_dir).collect()
+        if r["nn_rank"] == 1
+    }
+    ivf1 = {r["query_id"]: r["vec_id"] for r in ivf if r["nn_rank"] == 1}
+    hits = sum(1 for q in brute if ivf1.get(q) == brute[q])
+    assert hits >= 3, (brute, ivf1)
+
+
+def test_e09_dedup_restores_single_delivery_counts(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.events import e09_streaming_dedup
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    got = {
+        r["event_type"]: r["n_events"]
+        for r in e09_streaming_dedup(spark, sf_dir).collect()
+    }
+    want = {
+        r["event_type"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want  # doubled delivery, single-delivery result
+
+
+def test_q32_audit_counts_consistent(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.relational_ext import q32_exists_order_audit
+
+    rows = q32_exists_order_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_late"] <= r["n_orders"]
+        assert 0 <= r["n_no_returns"] <= r["n_orders"]
