@@ -368,16 +368,154 @@ ORDER BY a.l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# r03: ORC sink → source round trip — Spark's second columnar format
+# (ORC support is built into the distribution). Same discipline as r01:
+# integer/string columns only so the round trip is value-exact, and the
+# oracle computes the same aggregate straight from the parquet truth.
+# --------------------------------------------------------------------------
+def r03_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("text_len")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="orc_export_"), "docs_orc")
+    d.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("text_len").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+R03_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# r04: SCHEMA EVOLUTION — two parquet batches with different schemas
+# (an old writer without `lang`, a new writer with it) read back as one
+# dataset via mergeSchema: missing columns become NULLs, the exact
+# semantics a long-lived 100 TB lake must rely on when producers roll
+# out schema changes. The deterministic split (even doc_ids = old
+# schema) lets the oracle state the merged result in closed form.
+# --------------------------------------------------------------------------
+def r04_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "batch=old"))
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "lang").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "batch=new"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(out, "batch=old"), os.path.join(out, "batch=new")
+    )
+    return (
+        back.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("docid_sum"))
+        .orderBy(F.asc_nulls_first("lang"))
+    )
+
+
+R04_SQL = """
+SELECT CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+       COUNT(*) AS n_docs,
+       SUM(doc_id) AS docid_sum
+FROM documents
+GROUP BY 1
+ORDER BY lang NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# r05: CDC UPSERT (MERGE INTO semantics) without a table format: a
+# deterministic change batch — updates (orderkey % 13 = 0 → status 'X')
+# and inserts (clones of orderkey % 97 = 0 shifted by +10M) — applied
+# to the orders base as left join (WHEN MATCHED THEN UPDATE) + union
+# (WHEN NOT MATCHED THEN INSERT). Scale: this is exactly what Delta/
+# Iceberg MERGE compiles to (join on the merge key + file rewrite);
+# expressing it as a plain plan keeps the engine format-agnostic. The
+# oracle states the merged table's per-status profile in closed form.
+# --------------------------------------------------------------------------
+def r05_cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", F.lit("X").alias("new_status")
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    merged = (
+        o.join(updates, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("new_status", "o_orderstatus").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        .unionByName(inserts)
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+R05_SQL = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "p01_document_records": p01_document_records,
     "p02_export_projection": p02_export_projection,
     "p03_records_with_tags": p03_records_with_tags,
     "r01_csv_roundtrip": r01_csv_roundtrip,
     "r02_corrupt_json_ingest": r02_corrupt_json_ingest,
+    "r03_orc_roundtrip": r03_orc_roundtrip,
+    "r04_schema_evolution": r04_schema_evolution,
+    "r05_cdc_upsert_merge": r05_cdc_upsert_merge,
     "a01_approx_stats": a01_approx_stats,
 }
 
 ORACLES = {
+    "r03_orc_roundtrip": R03_SQL,
+    "r04_schema_evolution": R04_SQL,
+    "r05_cdc_upsert_merge": R05_SQL,
     "p01_document_records": P01_SQL,
     "p02_export_projection": P02_SQL,
     "p03_records_with_tags": P03_SQL,

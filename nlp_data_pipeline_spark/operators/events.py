@@ -489,6 +489,64 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# e10: CUSTOM STATEFUL streaming operator as a driver-checkable query —
+# per-user cumulative counters via applyInPandasWithState (the
+# extension point for state machines Spark's built-ins can't express;
+# streaming/pipelines.py::stateful_user_counters). Append mode emits
+# one row per user per micro-batch; the declared result keeps each
+# user's LAST emission (max n_events), which equals the batch aggregate
+# regardless of how the file source batches — that invariance is what
+# the oracle checks. Value totals accumulate as float inside the state
+# kernel; rounding at 2 decimals recovers the exact cent value (inputs
+# are 2-decimal doubles; accumulated error ≪ 0.005), matching the
+# oracle's DECIMAL(18,2) sum bit-for-bit.
+# --------------------------------------------------------------------------
+def e10_stateful_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from nlp_data_pipeline_spark.streaming.pipelines import (
+        read_events_stream,
+        stateful_user_counters,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stage_dir = tempfile.mkdtemp(prefix="e10_stream_")
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    counters = stateful_user_counters(read_events_stream(spark, stage_dir))
+    sink = f"e10_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        counters.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(sink)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+    )
+
+
+E10_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_session_windows": e02_session_windows,
@@ -499,10 +557,12 @@ QUERIES = {
     "e07_partitioned_day_scan": e07_partitioned_day_scan,
     "e08_streaming_append_finalized": e08_streaming_append_finalized,
     "e09_streaming_dedup": e09_streaming_dedup,
+    "e10_stateful_user_counters": e10_stateful_user_counters,
 }
 
 ORACLES = {
     "e09_streaming_dedup": E09_SQL,
+    "e10_stateful_user_counters": E10_SQL,
     "e05_sliding_windows": E05_SQL,
     "e01_tumbling_hourly": E01_SQL,
     "e02_session_windows": E02_SQL,

@@ -227,14 +227,55 @@ FROM codes
 """
 
 
+# --------------------------------------------------------------------------
+# m05: frame-sample EXPANSION — the row-multiplying half of video
+# preprocessing: each binary payload expands to one row per sampled
+# frame offset (stride FRAME_STRIDE), the shape a decode stage consumes
+# (doc, frame_idx, byte_offset). posexplode keeps the ordinal without a
+# window. Scale: explode of a sequence is a narrow transform — the
+# expansion happens partition-local with no shuffle, and downstream
+# per-frame kernels (mapInPandas) see bounded batches regardless of
+# per-video frame counts.
+# --------------------------------------------------------------------------
+def m05_frame_sample_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    base = d.select("doc_id", F.octet_length(payload).cast("long").alias("n_bytes"))
+    offsets = F.sequence(F.lit(0), F.col("n_bytes") - 1, F.lit(FRAME_STRIDE))
+    return (
+        base.filter(F.col("n_bytes") > 0)
+        .select("doc_id", "n_bytes", F.posexplode(offsets).alias("frame_idx", "byte_offset"))
+        .select("doc_id", "n_bytes", "frame_idx", F.col("byte_offset").cast("long").alias("byte_offset"))
+    )
+
+
+M05_SQL = f"""
+WITH base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+frames AS (
+  SELECT doc_id, n_bytes,
+         unnest(range(0, n_bytes, {FRAME_STRIDE})) AS byte_offset
+  FROM base
+)
+SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(byte_offset // {FRAME_STRIDE} AS INT) AS frame_idx,
+       CAST(byte_offset AS BIGINT) AS byte_offset
+FROM frames
+"""
+
+
 QUERIES = {
     "m01_binary_metadata": m01_binary_metadata,
     "m02_decode_stub_pipeline": m02_decode_stub_pipeline,
     "m03_feature_extract_stub": m03_feature_extract_stub,
     "m04_arrow_byte_stats": m04_arrow_byte_stats,
+    "m05_frame_sample_expand": m05_frame_sample_expand,
 }
 
 ORACLES = {
+    "m05_frame_sample_expand": M05_SQL,
     "m01_binary_metadata": M01_SQL,
     "m02_decode_stub_pipeline": M02_SQL,
     "m03_feature_extract_stub": M03_SQL,

@@ -117,6 +117,48 @@ def test_e09_dedup_restores_single_delivery_counts(spark, sf_dir):
     assert got == want  # doubled delivery, single-delivery result
 
 
+def test_r04_old_batch_rows_get_null_lang(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.doc_pipeline import r04_schema_evolution
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    rows = {r["lang"]: r for r in r04_schema_evolution(spark, sf_dir).collect()}
+    n_even = load_table(spark, sf_dir, "documents").filter("doc_id % 2 = 0").count()
+    assert None in rows  # the pre-evolution batch surfaces as NULL lang
+    assert rows[None]["n_docs"] == n_even
+
+
+def test_r05_merge_updates_and_inserts(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.doc_pipeline import r05_cdc_upsert_merge
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    rows = {r["o_orderstatus"]: r for r in r05_cdc_upsert_merge(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    assert rows["X"]["n_orders"] == o.filter("o_orderkey % 13 = 0").count()
+    assert rows["N"]["n_orders"] == o.filter("o_orderkey % 97 = 0").count()
+    total = sum(r["n_orders"] for r in rows.values())
+    assert total == o.count() + rows["N"]["n_orders"]  # updates don't add rows
+
+
+def test_m05_frame_expansion_shape(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.multimodal import (
+        FRAME_STRIDE,
+        m05_frame_sample_expand,
+    )
+
+    rows = m05_frame_sample_expand(spark, sf_dir).collect()
+    assert rows
+    per_doc = {}
+    for r in rows:
+        assert r["byte_offset"] == r["frame_idx"] * FRAME_STRIDE
+        assert 0 <= r["byte_offset"] < r["n_bytes"]
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in per_doc.items():
+        # frame count = ceil(n_bytes / stride), indices contiguous from 0
+        n = rs[0]["n_bytes"]
+        idxs = sorted(r["frame_idx"] for r in rs)
+        assert idxs == list(range((n - 1) // FRAME_STRIDE + 1))
+
+
 def test_q32_audit_counts_consistent(spark, sf_dir):
     from nlp_data_pipeline_spark.operators.relational_ext import q32_exists_order_audit
 
