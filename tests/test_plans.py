@@ -131,6 +131,33 @@ def test_d05_shingle_jaccard_shuffle_budget(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q32_exists_decorrelates_to_semi_and_anti_joins(spark, sf_dir):
+    # EXISTS/NOT EXISTS must become one semi + one anti join pass over
+    # lineitem — never a per-row subquery or nested-loop shape
+    from nlp_data_pipeline_spark.operators import relational_ext
+
+    plan = formatted_plan(relational_ext.q32_exists_order_audit(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_d08_incremental_probes_are_equi_joins(spark, sf_dir):
+    # batch-vs-corpus probes must be hash/band-key equi-joins; any
+    # nested-loop shape would scale with batch x corpus
+    from nlp_data_pipeline_spark.operators import dedup
+
+    plan = formatted_plan(dedup.d08_incremental_dedup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_s07_centroid_tables_stay_broadcast(spark, sf_dir):
+    # both centroid joins and the probe join must broadcast the tiny
+    # side; the corpus side must never shuffle for the scoring joins
+    df = similarity.s07_ivf_probe_search(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
 def test_e07_scan_is_partition_pruned(spark, sf_dir):
     # the date filter must reach the partitioned scan as PartitionFilters
     # (pruned day directories are never opened)
