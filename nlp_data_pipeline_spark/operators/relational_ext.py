@@ -602,6 +602,42 @@ FROM per_key
 
 
 # --------------------------------------------------------------------------
+# q33: time-valued RANGE frame — per event, activity within the
+# TRAILING HOUR of the same user (count + value sum). This is the
+# per-row sliding time window (rate limiting, burst detection) that
+# rows-frames can't express when events are irregularly spaced. Both
+# engines order by integer epoch-seconds so the frame bound is the
+# identical [ts-3600s, ts] closed interval. Scale: one shuffle on
+# user_id; the frame scan is sort-local per partition.
+# --------------------------------------------------------------------------
+def q33_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, 0)
+    )
+    return e.filter(F.col("user_id") < 20).select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+        F.sum(F.col("value").cast(D182)).over(w).cast("double").alias("value_last_hour"),
+    )
+
+
+Q33_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS events_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_last_hour
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
 # q32: EXISTS / NOT EXISTS decorrelation — the TPC-H Q4 shape. Per
 # order priority: how many orders have at least one item shipped >60
 # days after the order date (EXISTS → left-semi join) and how many have
@@ -683,10 +719,12 @@ QUERIES = {
     "q31_key_skew_profile": q31_key_skew_profile,
     "u02_grouped_zscore": u02_grouped_zscore,
     "q32_exists_order_audit": q32_exists_order_audit,
+    "q33_time_range_window": q33_time_range_window,
 }
 
 ORACLES = {
     "q32_exists_order_audit": Q32_SQL,
+    "q33_time_range_window": Q33_SQL,
     "q28_outer_join_coverage": Q28_SQL,
     "u01_grouped_agg_udaf": U01_SQL,
     "q26_time_rollup_from_partials": Q26_SQL,
