@@ -28,6 +28,37 @@ from nlp_data_pipeline_spark.sources.catalog import load_table
 D182 = "decimal(18,2)"
 
 
+def _stage_events(sf_dir: str, prefix: str, copies: int = 1) -> str:
+    """Stage the events table into a fresh temp dir of leaf-file
+    symlinks for the file stream source (which wants a directory of
+    arriving files, as a queue/Kafka landing zone would be).
+
+    Handles BOTH physical layouts: a single parquet file (the driver's
+    testdata) and a directory of part-files (any rewritten multi-file
+    layout). Symlinking the directory itself would be invisible to
+    Spark's non-recursive file listing — the stream would silently
+    read ZERO rows. ``copies`` > 1 stages every leaf N times
+    (at-least-once redelivery scenarios, e09).
+    """
+    import glob
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    leaves = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not leaves:
+        raise FileNotFoundError(f"no parquet leaves under {path}")
+    stage_dir = tempfile.mkdtemp(prefix=prefix)
+    for c in range(copies):
+        for i, leaf in enumerate(leaves):
+            os.symlink(leaf, os.path.join(stage_dir, f"part_{c}_{i:05d}.parquet"))
+    return stage_dir
+
+
 # --------------------------------------------------------------------------
 # e01: tumbling 1-hour windows × event_type.
 # --------------------------------------------------------------------------
@@ -151,15 +182,8 @@ def e04_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import uuid
 
-    import tempfile
-
     path = os.path.join(sf_dir, "events.parquet")
-    # FileStreamSource wants a directory: stage a symlink in a temp dir
-    # (at deployment the stream source IS a directory of arriving files)
-    stage_dir = tempfile.mkdtemp(prefix="e04_stream_")
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    stage_dir = _stage_events(sf_dir, "e04_stream_")
     # the RAW parquet schema (ts = int64 nanos under nanosAsLong), not the
     # catalog's converted one — streaming readers validate against the file
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -247,7 +271,6 @@ ORDER BY window_start, event_type
 # --------------------------------------------------------------------------
 def e06_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
     import uuid
 
     e_static = load_table(spark, sf_dir, "events")
@@ -258,10 +281,7 @@ def e06_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = os.path.join(sf_dir, "events.parquet")
-    stage_dir = tempfile.mkdtemp(prefix="e06_stream_")
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    stage_dir = _stage_events(sf_dir, "e06_stream_")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
@@ -384,14 +404,10 @@ ORDER BY day, event_type
 # --------------------------------------------------------------------------
 def e08_streaming_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
     import uuid
 
     path = os.path.join(sf_dir, "events.parquet")
-    stage_dir = tempfile.mkdtemp(prefix="e08_stream_")
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    stage_dir = _stage_events(sf_dir, "e08_stream_")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
@@ -448,15 +464,10 @@ ORDER BY window_start, event_type
 # --------------------------------------------------------------------------
 def e09_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
     import uuid
 
     path = os.path.join(sf_dir, "events.parquet")
-    stage_dir = tempfile.mkdtemp(prefix="e09_stream_")
-    for copy in ("a", "b"):  # duplicate delivery
-        link = os.path.join(stage_dir, f"events_{copy}.parquet")
-        if not os.path.exists(link):
-            os.symlink(path, link)
+    stage_dir = _stage_events(sf_dir, "e09_stream_", copies=2)  # duplicate delivery
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
@@ -503,8 +514,6 @@ ORDER BY event_type
 # oracle's DECIMAL(18,2) sum bit-for-bit.
 # --------------------------------------------------------------------------
 def e10_stateful_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
     import uuid
 
     from nlp_data_pipeline_spark.streaming.pipelines import (
@@ -512,11 +521,7 @@ def e10_stateful_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_user_counters,
     )
 
-    path = os.path.join(sf_dir, "events.parquet")
-    stage_dir = tempfile.mkdtemp(prefix="e10_stream_")
-    link = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    stage_dir = _stage_events(sf_dir, "e10_stream_")
     counters = stateful_user_counters(read_events_stream(spark, stage_dir))
     sink = f"e10_sink_{uuid.uuid4().hex[:8]}"
     q = (
