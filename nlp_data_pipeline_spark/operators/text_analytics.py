@@ -1044,6 +1044,179 @@ FROM sig
 """
 
 
+# --------------------------------------------------------------------------
+# t21: PII detection + redaction — the scrub pass every training-data
+# pipeline runs before anything ships. Emails, IPv4s, then phone-shaped
+# number runs are counted and replaced IN THAT ORDER (each stage sees
+# the previous stage's redactions, so an email's digits can never
+# double-count as a phone). The driver corpus is digit-free word salad,
+# so the PII is synthesized deterministically from doc_id — identically
+# in both engines — making every signal column non-trivial while the
+# kernel stays the real production regex chain. All per-row JVM regex
+# (codegen, zero shuffle, scan-parallel); the md5 of the redacted text
+# pins byte-exact redaction across engines without hauling full text.
+# Patterns restricted to the Java∩RE2 common dialect (no lookaround).
+# --------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+
+def t21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@corp.io")).otherwise(
+            F.lit("")
+        ),
+        F.lit(" or +1 555 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" now"),
+    )
+    base = d.select("doc_id", full.alias("full_text"))
+    s1 = base.select(
+        "doc_id",
+        F.regexp_count("full_text", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_replace("full_text", _PII_EMAIL, "<EMAIL>").alias("x"),
+    )
+    s2 = s1.select(
+        "doc_id",
+        "n_emails",
+        F.regexp_count("x", F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_replace("x", _PII_IPV4, "<IP>").alias("y"),
+    )
+    return s2.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        F.regexp_count("y", F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.length(F.regexp_replace("y", _PII_PHONE, "<PHONE>")).cast("long").alias(
+            "redacted_len"
+        ),
+        F.md5(F.regexp_replace("y", _PII_PHONE, "<PHONE>").cast("binary")).alias(
+            "redacted_md5"
+        ),
+    )
+
+
+T21_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.io' ELSE '' END
+           || ' or +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+           || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+           || CAST((doc_id * 7) % 256 AS VARCHAR) || ' now' AS full_text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(full_text, '{_PII_EMAIL}')) AS n_emails,
+         regexp_replace(full_text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS x
+  FROM base
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(x, '{_PII_IPV4}')) AS n_ips,
+         regexp_replace(x, '{_PII_IPV4}', '<IP>', 'g') AS y
+  FROM s1
+)
+SELECT doc_id, n_emails, n_ips,
+       len(regexp_extract_all(y, '{_PII_PHONE}')) AS n_phones,
+       length(regexp_replace(y, '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_len,
+       md5(regexp_replace(y, '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM s2
+"""
+
+
+# --------------------------------------------------------------------------
+# t23: Zipf law fit over the token frequency distribution — the
+# classic corpus-health diagnostic (natural text slopes ≈ -1; spam and
+# template farms deviate hard). Least-squares of ln(freq) on ln(rank)
+# over the top-1000 tokens: slope = cov(x,y)/var(x). Shape at 100 TB:
+# one explode + one shuffle to token counts (vocab-sized), then a
+# single-partition window over ≤1000 rows and a scalar aggregate —
+# driver-safe by construction.
+# --------------------------------------------------------------------------
+def t23_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(clean_text("text"))
+    tf = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = (
+        tf.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 1000)
+        .select(F.log("r").alias("lx"), F.log("cnt").alias("ly"))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.round(F.covar_pop("lx", "ly") / F.var_pop("lx"), 6).alias("zipf_slope"),
+        F.round(
+            F.avg("ly") - F.covar_pop("lx", "ly") / F.var_pop("lx") * F.avg("lx"), 6
+        ).alias("zipf_intercept"),
+    )
+
+
+T23_SQL = f"""
+{_TOKENS_CTE},
+tf AS (SELECT token, COUNT(*) AS cnt FROM tokens GROUP BY token),
+ranked AS (
+  SELECT ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC)) AS lx,
+         ln(cnt) AS ly
+  FROM tf
+  QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) <= 1000
+)
+SELECT COUNT(*) AS n_ranks,
+       round(covar_pop(lx, ly) / var_pop(lx), 6) AS zipf_slope,
+       round(avg(ly) - covar_pop(lx, ly) / var_pop(lx) * avg(lx), 6) AS zipf_intercept
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
+# t24: document length histogram — fixed-width 100-char bins over
+# n_chars, the first plot anyone makes of a new corpus and the input
+# to length-based curation cuts. Pure integer arithmetic (bin ids and
+# sums are exact in both engines); one shuffle to bin-sized output.
+# --------------------------------------------------------------------------
+def t24_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select((F.floor(F.col("n_chars") / 100) * 100).alias("bin_start"), "n_chars")
+        .groupBy("bin_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias("avg_chars"),
+        )
+        .orderBy("bin_start")
+    )
+
+
+T24_SQL = """
+SELECT (n_chars // 100) * 100 AS bin_start,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+FROM documents
+GROUP BY 1
+ORDER BY bin_start
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -1065,9 +1238,15 @@ QUERIES = {
     "t18_repeated_ngram_ratio": t18_repeated_ngram_ratio,
     "t19_bigram_lm_topk": t19_bigram_lm_topk,
     "t20_quality_filter": t20_quality_filter,
+    "t21_pii_redaction": t21_pii_redaction,
+    "t23_zipf_slope": t23_zipf_slope,
+    "t24_length_histogram": t24_length_histogram,
 }
 
 ORACLES = {
+    "t21_pii_redaction": T21_SQL,
+    "t23_zipf_slope": T23_SQL,
+    "t24_length_histogram": T24_SQL,
     "t17_count_min_sketch": T17_SQL,
     "t18_repeated_ngram_ratio": T18_SQL,
     "t19_bigram_lm_topk": T19_SQL,

@@ -167,3 +167,39 @@ def test_q32_audit_counts_consistent(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_late"] <= r["n_orders"]
         assert 0 <= r["n_no_returns"] <= r["n_orders"]
+
+
+def test_t21_pii_all_redacted(spark, sf_dir):
+    """After the three-stage scrub, no PII pattern survives and the
+    synthesized counts match the doc_id construction rule."""
+    from nlp_data_pipeline_spark.operators.text_analytics import t21_pii_redaction
+
+    rows = t21_pii_redaction(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expected_emails = 2 if r["doc_id"] % 3 == 0 else 1
+        assert r["n_emails"] == expected_emails
+        assert r["n_ips"] == 1
+        assert r["n_phones"] == 1
+        assert len(r["redacted_md5"]) == 32
+
+
+def test_t23_zipf_slope_negative(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.text_analytics import t23_zipf_slope
+
+    row = t23_zipf_slope(spark, sf_dir).collect()[0]
+    assert row["n_ranks"] >= 10
+    # frequencies are non-increasing in rank => least-squares slope <= 0
+    assert row["zipf_slope"] <= 0.0
+
+
+def test_t24_histogram_partitions_corpus(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.text_analytics import t24_length_histogram
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    rows = t24_length_histogram(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_docs"] for r in rows)
+    assert total == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r["bin_start"] <= r["min_chars"] <= r["max_chars"] < r["bin_start"] + 100
