@@ -536,6 +536,89 @@ ORDER BY e.doc_id
 )
 
 
+# --------------------------------------------------------------------------
+# d09: MinHash estimator calibration — for the d05 top-20 exact-Jaccard
+# pairs, the signature-agreement estimate ĵ = |{i : hᵢ(a)=hᵢ(b)}| / H
+# next to the exact value, with the absolute error. This is the query
+# that justifies the whole LSH stack: it measures, on real pairs, how
+# tight the H=NUM_HASHES sketch is (E[ĵ]=j, σ=√(j(1-j)/H)). Scale: the
+# pair set is top-k-sized and broadcast; signatures join by doc key —
+# no new quadratic work beyond d05's own (already-bounded) candidates.
+# --------------------------------------------------------------------------
+def d09_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d05_shingle_jaccard_topk(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    sig = d02_minhash_signatures(spark, sf_dir)
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    matches = None
+    for i in range(NUM_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        pairs.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            matches.cast("long").alias("n_hash_matches"),
+            F.round(matches / NUM_HASHES, 6).alias("est_jaccard"),
+            F.round(F.abs(matches / NUM_HASHES - F.col("jaccard")), 6).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+D09_SQL = (
+    _TOKLIST_CTE
+    + f""",
+with_src AS (
+  SELECT s.doc_id, d.source, s.shingle
+  FROM shingle_set s JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingle_set GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM with_src a
+  JOIN with_src b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+topk AS (
+  SELECT doc_a, doc_b,
+         round(CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  ORDER BY jaccard DESC, doc_a, doc_b
+  LIMIT 20
+),
+sig AS (
+  SELECT doc_id, {', '.join(f"min(md5('seed{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES))}
+  FROM shingle_set GROUP BY doc_id
+),
+m AS (
+  SELECT t.doc_a, t.doc_b, t.jaccard,
+         ({' + '.join(f'CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END' for i in range(NUM_HASHES))}) AS n_hash_matches
+  FROM topk t
+  JOIN sig sa ON t.doc_a = sa.doc_id
+  JOIN sig sb ON t.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, jaccard,
+       CAST(n_hash_matches AS BIGINT) AS n_hash_matches,
+       round(CAST(n_hash_matches AS DOUBLE) / {NUM_HASHES}, 6) AS est_jaccard,
+       round(abs(CAST(n_hash_matches AS DOUBLE) / {NUM_HASHES} - jaccard), 6) AS abs_err
+FROM m
+ORDER BY doc_a, doc_b
+"""
+)
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_signatures": d02_minhash_signatures,
@@ -545,9 +628,11 @@ QUERIES = {
     "d06_neardup_clusters": d06_neardup_clusters,
     "d07_dedup_materialize": d07_dedup_materialize,
     "d08_incremental_dedup": d08_incremental_dedup,
+    "d09_minhash_calibration": d09_minhash_calibration,
 }
 
 ORACLES = {
+    "d09_minhash_calibration": D09_SQL,
     "d08_incremental_dedup": D08_SQL,
     "d06_neardup_clusters": D06_SQL,
     "d01_exact_dedup": D01_SQL,

@@ -48,6 +48,33 @@ ORDER BY day
 
 
 # --------------------------------------------------------------------------
+# q34: unpivot (melt) — the inverse of q21's pivot, wide event matrix
+# back to long (day, event_type, n_events) form. Round-trip property:
+# unpivot(pivot(events)) minus the zero-fill equals the plain long-form
+# aggregate, which is exactly what the oracle states. Narrow per-row
+# transform (no extra shuffle beyond q21's aggregation); at 100 TB the
+# wide matrix is day-count sized, so the melt is driver-trivial.
+# --------------------------------------------------------------------------
+def q34_unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q21_pivot_event_matrix(spark, sf_dir)
+    return (
+        wide.unpivot("day", list(EVENT_TYPES), "event_type", "n_events")
+        .filter(F.col("n_events") > 0)
+        .orderBy("day", "event_type")
+    )
+
+
+Q34_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # q22: analytic window functions — ntile / percent_rank / cume_dist.
 # All rank-derived ratios are exact integer divisions → cross-engine
 # deterministic doubles.
@@ -720,11 +747,13 @@ QUERIES = {
     "u02_grouped_zscore": u02_grouped_zscore,
     "q32_exists_order_audit": q32_exists_order_audit,
     "q33_time_range_window": q33_time_range_window,
+    "q34_unpivot_event_matrix": q34_unpivot_event_matrix,
 }
 
 ORACLES = {
     "q32_exists_order_audit": Q32_SQL,
     "q33_time_range_window": Q33_SQL,
+    "q34_unpivot_event_matrix": Q34_SQL,
     "q28_outer_join_coverage": Q28_SQL,
     "u01_grouped_agg_udaf": U01_SQL,
     "q26_time_rollup_from_partials": Q26_SQL,

@@ -492,6 +492,48 @@ FROM ranked WHERE nn_rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# s08: ANN quality measurement — recall@K of the IVF probe search (s07)
+# against the brute-force ground truth (s01), per query. This is the
+# metric that governs the NPROBE/N_CENTROIDS trade at scale: the probe
+# path scans ~NPROBE/N_CENTROIDS of the corpus; recall@K tells you what
+# that discount costs. Both inputs are top-K-sized, so the audit join
+# is trivially broadcastable no matter the corpus size.
+# --------------------------------------------------------------------------
+def s08_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = s01_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = s07_ivf_probe_search(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("avec_id")
+    )
+    hits = (
+        truth.join(
+            approx,
+            (truth.query_id == approx.query_id) & (truth.vec_id == approx.avec_id),
+            "left",
+        )
+        .groupBy(truth.query_id.alias("query_id"))
+        .agg(F.count("avec_id").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits") / TOP_K, 6).alias("recall_at_k"),
+    ).orderBy("query_id")
+
+
+S08_SQL = f"""
+WITH brute AS ({S01_SQL}),
+probe AS ({S07_SQL})
+SELECT b.query_id,
+       COUNT(p.vec_id) AS n_hits,
+       round(CAST(COUNT(p.vec_id) AS DOUBLE) / {TOP_K}, 6) AS recall_at_k
+FROM brute b
+LEFT JOIN probe p ON b.query_id = p.query_id AND b.vec_id = p.vec_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
@@ -500,9 +542,11 @@ QUERIES = {
     "s05_embedding_label_stats": s05_embedding_label_stats,
     "s06_embedding_neardup_pairs": s06_embedding_neardup_pairs,
     "s07_ivf_probe_search": s07_ivf_probe_search,
+    "s08_ann_recall": s08_ann_recall,
 }
 
 ORACLES = {
+    "s08_ann_recall": S08_SQL,
     "s07_ivf_probe_search": S07_SQL,
     "s05_embedding_label_stats": S05_SQL,
     "s01_cosine_topk": S01_SQL,

@@ -203,3 +203,38 @@ def test_t24_histogram_partitions_corpus(spark, sf_dir):
     assert total == load_table(spark, sf_dir, "documents").count()
     for r in rows:
         assert r["bin_start"] <= r["min_chars"] <= r["max_chars"] < r["bin_start"] + 100
+
+
+def test_q34_unpivot_roundtrips_q21(spark, sf_dir):
+    """unpivot(pivot(events)) minus zero-fill == long-form aggregate."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        q21_pivot_event_matrix,
+        q34_unpivot_event_matrix,
+    )
+
+    long_rows = q34_unpivot_event_matrix(spark, sf_dir).collect()
+    assert long_rows
+    wide = {r["day"]: r.asDict() for r in q21_pivot_event_matrix(spark, sf_dir).collect()}
+    for r in long_rows:
+        assert wide[r["day"]][r["event_type"]] == r["n_events"]
+
+
+def test_d09_estimator_is_unbiased_shape(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.dedup import NUM_HASHES, d09_minhash_calibration
+
+    rows = d09_minhash_calibration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hash_matches"] <= NUM_HASHES
+        assert abs(r["est_jaccard"] - r["n_hash_matches"] / NUM_HASHES) < 1e-9
+        assert r["abs_err"] <= 1.0
+
+
+def test_s08_recall_bounds_and_truth_coverage(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.similarity import N_QUERIES, TOP_K, s08_ann_recall
+
+    rows = s08_ann_recall(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES  # every brute-force query gets a row
+    for r in rows:
+        assert 0 <= r["n_hits"] <= TOP_K
+        assert abs(r["recall_at_k"] - r["n_hits"] / TOP_K) < 1e-9
