@@ -500,6 +500,45 @@ ORDER BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# r06: JSON-lines roundtrip — the interchange format every ingestion
+# boundary speaks. Documents metadata is exported as JSONL (one object
+# per line, the layout web-crawl corpora arrive in), read back with an
+# EXPLICIT schema (never infer at scale: inference is an extra full
+# scan and a schema-drift hazard), and aggregated per language. The
+# oracle states the same profile straight off the parquet base, so the
+# check proves the sink+source pair is lossless for these types.
+# --------------------------------------------------------------------------
+def r06_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="json_export_"), "export")
+    d.write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id long, lang string, source string, n_chars long").json(
+        out
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+R06_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "p01_document_records": p01_document_records,
     "p02_export_projection": p02_export_projection,
@@ -509,10 +548,12 @@ QUERIES = {
     "r03_orc_roundtrip": r03_orc_roundtrip,
     "r04_schema_evolution": r04_schema_evolution,
     "r05_cdc_upsert_merge": r05_cdc_upsert_merge,
+    "r06_json_roundtrip": r06_json_roundtrip,
     "a01_approx_stats": a01_approx_stats,
 }
 
 ORACLES = {
+    "r06_json_roundtrip": R06_SQL,
     "r03_orc_roundtrip": R03_SQL,
     "r04_schema_evolution": R04_SQL,
     "r05_cdc_upsert_merge": R05_SQL,

@@ -552,6 +552,64 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# e11: foreachBatch → idempotent FILE sink — the production write path
+# (every sink so far is the memory format; real deployments land
+# parquet/Delta partitions). Complete-mode daily aggregate where each
+# micro-batch OVERWRITES the target with the full current state: batch
+# retries and restarts rewrite the same answer instead of duplicating
+# it — idempotence is what upgrades at-least-once execution to
+# exactly-once RESULTS. The declared result re-reads the landed files,
+# so the oracle checks the full stream→foreachBatch→parquet→scan loop.
+# At scale the same pattern writes partitionBy(day) and MERGEs only
+# changed partitions (r05's shape); the overwrite here is the
+# format-agnostic core.
+# --------------------------------------------------------------------------
+def e11_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stage_dir = _stage_events(sf_dir, "e11_stream_")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D182)).cast("double").alias("total_value"),
+        )
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="e11_sink_"), "daily")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir).orderBy("day", "event_type")
+
+
+E11_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_session_windows": e02_session_windows,
@@ -563,9 +621,11 @@ QUERIES = {
     "e08_streaming_append_finalized": e08_streaming_append_finalized,
     "e09_streaming_dedup": e09_streaming_dedup,
     "e10_stateful_user_counters": e10_stateful_user_counters,
+    "e11_foreachbatch_sink": e11_foreachbatch_sink,
 }
 
 ORACLES = {
+    "e11_foreachbatch_sink": E11_SQL,
     "e09_streaming_dedup": E09_SQL,
     "e10_stateful_user_counters": E10_SQL,
     "e05_sliding_windows": E05_SQL,

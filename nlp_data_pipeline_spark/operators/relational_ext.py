@@ -75,6 +75,54 @@ ORDER BY day, event_type
 
 
 # --------------------------------------------------------------------------
+# q35: null-safe equi-join (<=> / IS NOT DISTINCT FROM) — the join
+# variant data engineers reach for when the key is nullable and NULL
+# means a real category ("unknown") that must match itself. Plain
+# equality silently drops every NULL row; the null-safe form keeps
+# them, and THAT row is the one this query exists to show. Spark plans
+# <=> as an ordinary hash join (NULL hashes like any value), so the
+# scale shape is identical to q03's equi-join.
+# --------------------------------------------------------------------------
+def q35_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # nullable derived key: bucket 0 plays "unknown" → NULL
+    k = F.when(F.col("o_custkey") % 50 == 0, F.lit(None)).otherwise(
+        F.col("o_custkey") % 50
+    )
+    left = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    right = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return (
+        left.join(right, left.k.eqNullSafe(right.k))
+        .select(left.k.alias("k"), "n_f", "n_o")
+        .orderBy(F.asc_nulls_first("k"))
+    )
+
+
+Q35_SQL = """
+WITH keyed AS (
+  SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL ELSE o_custkey % 50 END AS k,
+         o_orderstatus
+  FROM orders
+),
+l AS (SELECT k, COUNT(*) AS n_f FROM keyed WHERE o_orderstatus = 'F' GROUP BY k),
+r AS (SELECT k, COUNT(*) AS n_o FROM keyed WHERE o_orderstatus = 'O' GROUP BY k)
+SELECT l.k, n_f, n_o
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+ORDER BY l.k NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
 # q22: analytic window functions — ntile / percent_rank / cume_dist.
 # All rank-derived ratios are exact integer divisions → cross-engine
 # deterministic doubles.
@@ -748,12 +796,14 @@ QUERIES = {
     "q32_exists_order_audit": q32_exists_order_audit,
     "q33_time_range_window": q33_time_range_window,
     "q34_unpivot_event_matrix": q34_unpivot_event_matrix,
+    "q35_nullsafe_join": q35_nullsafe_join,
 }
 
 ORACLES = {
     "q32_exists_order_audit": Q32_SQL,
     "q33_time_range_window": Q33_SQL,
     "q34_unpivot_event_matrix": Q34_SQL,
+    "q35_nullsafe_join": Q35_SQL,
     "q28_outer_join_coverage": Q28_SQL,
     "u01_grouped_agg_udaf": U01_SQL,
     "q26_time_rollup_from_partials": Q26_SQL,

@@ -238,3 +238,44 @@ def test_s08_recall_bounds_and_truth_coverage(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_hits"] <= TOP_K
         assert abs(r["recall_at_k"] - r["n_hits"] / TOP_K) < 1e-9
+
+
+def test_q35_nullsafe_join_keeps_null_key(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.relational_ext import q35_nullsafe_join
+
+    rows = q35_nullsafe_join(spark, sf_dir).collect()
+    assert rows
+    # the unknown bucket must survive the join — that's the point of <=>
+    assert rows[0]["k"] is None
+    assert rows[0]["n_f"] > 0 and rows[0]["n_o"] > 0
+
+
+def test_e11_sink_files_equal_batch_answer(spark, sf_dir):
+    """The landed parquet equals the batch aggregate — idempotent sink."""
+    from nlp_data_pipeline_spark.operators.events import D182, e11_foreachbatch_sink
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in e11_foreachbatch_sink(spark, sf_dir).collect()
+    }
+    want = {
+        (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D182)).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_r06_roundtrip_lossless(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.doc_pipeline import r06_json_roundtrip
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    total = sum(r["n_docs"] for r in r06_json_roundtrip(spark, sf_dir).collect())
+    assert total == load_table(spark, sf_dir, "documents").count()
