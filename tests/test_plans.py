@@ -166,3 +166,23 @@ def test_e07_scan_is_partition_pruned(spark, sf_dir):
     df = events.e07_partitioned_day_scan(spark, sf_dir)
     plan = formatted_plan(df)
     assert "PartitionFilters" in plan and "dt" in plan
+
+
+def test_t21_pii_is_scan_parallel_no_shuffle(spark, sf_dir):
+    """The scrub chain must stay a narrow per-row map: no Exchange, no
+    Python stage — pure JVM regex over the scan."""
+    from nlp_data_pipeline_spark.operators.text_analytics import t21_pii_redaction
+
+    plan = formatted_plan(t21_pii_redaction(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert not has_python_eval(t21_pii_redaction(spark, sf_dir))
+
+
+def test_q35_nullsafe_join_is_not_cartesian(spark, sf_dir):
+    """<=> must plan as a hash/merge join on the key, never a
+    nested-loop cartesian with a post-filter."""
+    from nlp_data_pipeline_spark.operators.relational_ext import q35_nullsafe_join
+
+    plan = formatted_plan(q35_nullsafe_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
