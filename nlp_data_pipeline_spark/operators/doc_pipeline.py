@@ -280,11 +280,14 @@ FROM documents
 # small-data verification harness for them.
 # --------------------------------------------------------------------------
 def a01_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_partkey", "l_extendedprice"
     )
+    # ONE aggregation pass carries both the sketches and their exact
+    # twins (exact interpolated percentile ≡ DuckDB quantile_cont, the
+    # q27 precedent), so the whole audit is a single shuffle — the
+    # earlier rank-window formulation sorted the full table in
+    # group-count partitions and was the suite's slowest plan.
     agg = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("l_partkey").alias("exact_parts"),
@@ -292,79 +295,42 @@ def a01_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx(
             "l_extendedprice", [0.5, 0.95, 0.99], 10000
         ).alias("pct_est"),
-    )
-    ranked = l.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        ),
-    )
-    pick = lambda p: F.max(
-        F.when(F.col("rk") == F.ceil(F.lit(p) * F.col("n_rows")), F.col("l_extendedprice"))
-    )
-    exact_pct = (
-        ranked.join(
-            F.broadcast(agg.select("l_returnflag", "n_rows")), "l_returnflag"
-        )
-        .groupBy("l_returnflag")
-        .agg(
-            pick(0.5).alias("p50"),
-            pick(0.95).alias("p95"),
-            pick(0.99).alias("p99"),
-        )
+        F.expr(
+            "percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))"
+        ).alias("pct_exact"),
     )
     within = lambda est, exact, tol: (
-        F.abs(est.cast("double") - F.col(exact)) <= F.lit(tol) * F.col(exact)
+        F.abs(est.cast("double") - exact) <= F.lit(tol) * exact
     )
-    return (
-        agg.join(F.broadcast(exact_pct), "l_returnflag")
-        .select(
-            "l_returnflag",
-            "n_rows",
-            "exact_parts",
-            F.col("p50").cast("decimal(18,2)").alias("p50"),
-            F.col("p95").cast("decimal(18,2)").alias("p95"),
-            F.col("p99").cast("decimal(18,2)").alias("p99"),
-            within(F.col("approx_parts_est"), "exact_parts", 0.05).alias(
-                "hll_within_5pct"
-            ),
-            (
-                within(F.element_at("pct_est", 1), "p50", 0.01)
-                & within(F.element_at("pct_est", 2), "p95", 0.01)
-                & within(F.element_at("pct_est", 3), "p99", 0.01)
-            ).alias("pct_sketch_within_1pct"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        F.round(F.element_at("pct_exact", 1), 4).alias("p50"),
+        F.round(F.element_at("pct_exact", 2), 4).alias("p95"),
+        F.round(F.element_at("pct_exact", 3), 4).alias("p99"),
+        within(F.col("approx_parts_est"), F.col("exact_parts"), 0.05).alias(
+            "hll_within_5pct"
+        ),
+        (
+            within(F.element_at("pct_est", 1), F.element_at("pct_exact", 1), 0.01)
+            & within(F.element_at("pct_est", 2), F.element_at("pct_exact", 2), 0.01)
+            & within(F.element_at("pct_est", 3), F.element_at("pct_exact", 3), 0.01)
+        ).alias("pct_sketch_within_1pct"),
+    ).orderBy("l_returnflag")
 
 
 A01_SQL = """
-WITH agg AS (
-  SELECT l_returnflag, COUNT(*) AS n_rows,
-         COUNT(DISTINCT l_partkey) AS exact_parts
-  FROM lineitem GROUP BY l_returnflag
-),
-ranked AS (
-  SELECT l_returnflag, l_extendedprice,
-         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk
-  FROM lineitem
-),
-pct AS (
-  SELECT r.l_returnflag,
-         MAX(CASE WHEN rk = CEIL(0.5 * n_rows) THEN l_extendedprice END) AS p50,
-         MAX(CASE WHEN rk = CEIL(0.95 * n_rows) THEN l_extendedprice END) AS p95,
-         MAX(CASE WHEN rk = CEIL(0.99 * n_rows) THEN l_extendedprice END) AS p99
-  FROM ranked r JOIN agg USING (l_returnflag)
-  GROUP BY r.l_returnflag
-)
-SELECT a.l_returnflag, a.n_rows, a.exact_parts,
-       CAST(p.p50 AS DECIMAL(18,2)) AS p50,
-       CAST(p.p95 AS DECIMAL(18,2)) AS p95,
-       CAST(p.p99 AS DECIMAL(18,2)) AS p99,
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
        TRUE AS hll_within_5pct,
        TRUE AS pct_sketch_within_1pct
-FROM agg a JOIN pct p USING (l_returnflag)
-ORDER BY a.l_returnflag
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
 """
 
 

@@ -170,14 +170,112 @@ ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
 """
 
 
+# --------------------------------------------------------------------------
+# v05: SQL PIVOT syntax — the spark.sql twin of q21's DataFrame pivot
+# (same conditional-aggregation plan; proves the SQL front door parses
+# and plans the clause). Absent day×type combos surface as NULL from
+# PIVOT and are zero-filled to match the closed-form oracle.
+# --------------------------------------------------------------------------
+def v05_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT day,
+               COALESCE(click, 0) AS click, COALESCE(error, 0) AS error,
+               COALESCE(purchase, 0) AS purchase, COALESCE(signup, 0) AS signup,
+               COALESCE(view, 0) AS view
+        FROM (SELECT date_trunc('day', ts) AS day, event_type FROM events)
+        PIVOT (COUNT(*) FOR event_type IN ('click' AS click, 'error' AS error,
+               'purchase' AS purchase, 'signup' AS signup, 'view' AS view))
+        ORDER BY day
+        """
+    )
+
+
+V05_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'error') AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# v06: LATERAL VIEW explode + scalar subquery — the remaining SQL-only
+# surface: a table-generating function in the FROM clause (the SQL
+# spelling of the DataFrame explode every t* query uses) and an
+# uncorrelated scalar subquery in SELECT. Per-source token counts next
+# to the corpus-wide total each source is a share of.
+# --------------------------------------------------------------------------
+def v06_sql_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_data_pipeline_spark.functions.text import STOP_WORDS_SORTED
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW stop_words AS SELECT * FROM VALUES "
+        + ", ".join(f"('{w}')" for w in STOP_WORDS_SORTED)
+        + " AS t(word)"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW doc_tokens AS
+        SELECT doc_id, source, token
+        FROM (
+          SELECT doc_id, source,
+                 filter(
+                   split(trim(regexp_replace(lower(regexp_replace(regexp_replace(text,
+                     '\\\\s+', ' '), '[^\\\\p{L}\\\\p{N}_\\\\s\\\\.]', ' ')), ' +', ' ')), ' '),
+                   t -> length(t) > 2 AND t != ''
+                 ) AS toks
+          FROM documents
+        ) LATERAL VIEW explode(toks) AS token
+        WHERE token NOT IN (SELECT word FROM stop_words)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT source,
+               COUNT(*) AS n_tokens,
+               (SELECT COUNT(*) FROM doc_tokens) AS corpus_tokens,
+               ROUND(COUNT(*) / (SELECT COUNT(*) FROM doc_tokens), 6) AS share
+        FROM doc_tokens
+        GROUP BY source
+        ORDER BY source
+        """
+    )
+
+
+from nlp_data_pipeline_spark.operators.text_analytics import _TOKENS_CTE  # noqa: E402
+
+V06_SQL = f"""
+{_TOKENS_CTE},
+total AS (SELECT COUNT(*) AS corpus_tokens FROM tokens)
+SELECT source, COUNT(*) AS n_tokens,
+       ANY_VALUE(corpus_tokens) AS corpus_tokens,
+       round(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(corpus_tokens), 6) AS share
+FROM tokens, total
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "v01_sql_big_spenders": v01_sql_big_spenders,
     "v02_sql_correlated_subquery": v02_sql_correlated_subquery,
     "v03_sentence_udtf": v03_sentence_udtf,
     "v04_grouping_sets": v04_grouping_sets,
+    "v05_sql_pivot": v05_sql_pivot,
+    "v06_sql_lateral_explode": v06_sql_lateral_explode,
 }
 
 ORACLES = {
+    "v05_sql_pivot": V05_SQL,
+    "v06_sql_lateral_explode": V06_SQL,
     "v04_grouping_sets": V04_SQL,
     "v01_sql_big_spenders": V01_SQL,
     "v02_sql_correlated_subquery": V02_SQL,
