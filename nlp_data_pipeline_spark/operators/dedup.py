@@ -619,6 +619,61 @@ ORDER BY doc_a, doc_b
 )
 
 
+# --------------------------------------------------------------------------
+# d10: benchmark DECONTAMINATION — the train/test hygiene pass every
+# serious pretraining pipeline runs: score each document by the
+# fraction of its shingles that appear in a held-out benchmark set
+# (here a deterministic doc_id % 97 pseudo-benchmark), so contaminated
+# documents can be dropped before training. Scale shape: the benchmark
+# shingle set is benchmark-sized (small) → broadcast left join against
+# the exploded corpus shingles, one groupBy back to per-doc scores;
+# the 100 TB corpus is touched once and never shuffled on anything
+# wider than doc_id.
+# --------------------------------------------------------------------------
+def d10_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ss = _shingle_set_df(spark, sf_dir)
+    bench = (
+        ss.filter(F.col("doc_id") % 97 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        ss.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+                "contamination"
+            ),
+            (F.col("doc_id") % 97 == 0).alias("is_benchmark"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+D10_SQL = (
+    _TOKLIST_CTE
+    + """,
+bench AS (SELECT DISTINCT shingle FROM shingle_set WHERE doc_id % 97 = 0)
+SELECT s.doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(b.shingle) AS n_contaminated,
+       round(CAST(COUNT(b.shingle) AS DOUBLE) / COUNT(*), 6) AS contamination,
+       s.doc_id % 97 = 0 AS is_benchmark
+FROM shingle_set s LEFT JOIN bench b USING (shingle)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+)
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_signatures": d02_minhash_signatures,
@@ -629,10 +684,12 @@ QUERIES = {
     "d07_dedup_materialize": d07_dedup_materialize,
     "d08_incremental_dedup": d08_incremental_dedup,
     "d09_minhash_calibration": d09_minhash_calibration,
+    "d10_benchmark_decontamination": d10_benchmark_decontamination,
 }
 
 ORACLES = {
     "d09_minhash_calibration": D09_SQL,
+    "d10_benchmark_decontamination": D10_SQL,
     "d08_incremental_dedup": D08_SQL,
     "d06_neardup_clusters": D06_SQL,
     "d01_exact_dedup": D01_SQL,

@@ -610,6 +610,65 @@ ORDER BY day, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# e12: STREAM-STREAM join as a driver-checked query — purchases joined
+# to same-user signups within a 7-day trailing window, both sides
+# watermarked and the join range-bounded on event time (the two
+# conditions that let Spark evict buffered state; see
+# streaming/pipelines.py::stream_stream_purchase_attribution). Inner
+# joins emit eagerly, so a single availableNow pass produces the full
+# batch-equivalent match set; the declared result aggregates it to
+# per-user attribution counts, stated in closed form by the oracle.
+# --------------------------------------------------------------------------
+def e12_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nlp_data_pipeline_spark.streaming.pipelines import (
+        read_events_stream,
+        stream_stream_purchase_attribution,
+    )
+
+    stage_dir = _stage_events(sf_dir, "e12_stream_")
+    joined = stream_stream_purchase_attribution(read_events_stream(spark, stage_dir))
+    sink = f"e12_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(sink)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("purchase_id").alias("n_attributed_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
+E12_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT event_id AS signup_id, user_id, ts AS sts
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.user_id AS user_id,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT purchase_id) AS n_attributed_purchases
+FROM p JOIN s ON p.user_id = s.user_id
+              AND sts <= pts AND sts >= pts - INTERVAL 7 DAY
+GROUP BY p.user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_session_windows": e02_session_windows,
@@ -622,10 +681,12 @@ QUERIES = {
     "e09_streaming_dedup": e09_streaming_dedup,
     "e10_stateful_user_counters": e10_stateful_user_counters,
     "e11_foreachbatch_sink": e11_foreachbatch_sink,
+    "e12_stream_stream_join": e12_stream_stream_join,
 }
 
 ORACLES = {
     "e11_foreachbatch_sink": E11_SQL,
+    "e12_stream_stream_join": E12_SQL,
     "e09_streaming_dedup": E09_SQL,
     "e10_stateful_user_counters": E10_SQL,
     "e05_sliding_windows": E05_SQL,

@@ -279,3 +279,37 @@ def test_r06_roundtrip_lossless(spark, sf_dir):
 
     total = sum(r["n_docs"] for r in r06_json_roundtrip(spark, sf_dir).collect())
     assert total == load_table(spark, sf_dir, "documents").count()
+
+
+def test_d10_benchmark_docs_fully_contaminated(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.dedup import d10_benchmark_decontamination
+
+    rows = d10_benchmark_decontamination(spark, sf_dir).collect()
+    assert rows
+    bench = [r for r in rows if r["is_benchmark"]]
+    assert bench, "pseudo-benchmark slice must be non-empty"
+    for r in bench:
+        assert r["contamination"] == 1.0  # every benchmark shingle is in the set
+    for r in rows:
+        assert 0.0 <= r["contamination"] <= 1.0
+        assert r["n_contaminated"] <= r["n_shingles"]
+
+
+def test_e12_stream_stream_matches_batch(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.events import e12_stream_stream_join
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    got = {r["user_id"]: (r["n_pairs"], r["n_attributed_purchases"])
+           for r in e12_stream_stream_join(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("u"), F.col("ts").alias("pts"))
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("sts"))
+    want = {r["u"]: (r["n"], r["np"]) for r in (
+        p.join(s, (F.col("u") == F.col("u2")) & (F.col("sts") <= F.col("pts"))
+               & (F.col("sts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")))
+        .groupBy("u").agg(F.count(F.lit(1)).alias("n"), F.count_distinct("pid").alias("np"))
+        .collect())}
+    assert got == want
