@@ -1217,6 +1217,66 @@ ORDER BY bin_start
 """
 
 
+# --------------------------------------------------------------------------
+# t25: source-mix drift — KL(P_source ‖ P_corpus) over token
+# distributions, the report a data-mixing pipeline watches to catch a
+# source whose language suddenly shifts (scraper broke, spam influx)
+# and to weight sources in the training mix. One token shuffle to
+# (source, token) counts; corpus totals ride the same aggregate via a
+# vocab-sized window — no second corpus scan. KL is a sum over the
+# (bounded) vocabulary, so the final aggregate is tiny at any corpus
+# size.
+# --------------------------------------------------------------------------
+def t25_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _tokens_df(spark, sf_dir).select("source", "token")
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    w_src = Window.partitionBy("source")
+    w_tok = Window.partitionBy("token")
+    w_all = Window.partitionBy()
+    enriched = st.select(
+        "source",
+        "token",
+        "c_st",
+        F.sum("c_st").over(w_src).alias("c_s"),
+        F.sum("c_st").over(w_tok).alias("c_t"),
+        F.sum("c_st").over(w_all).alias("c_all"),
+    )
+    # p = P(token|source), q = P(token) over the whole corpus
+    p = F.col("c_st") / F.col("c_s")
+    q = F.col("c_t") / F.col("c_all")
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.max("c_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+T25_SQL = f"""
+{_TOKENS_CTE},
+st AS (SELECT source, token, COUNT(*) AS c_st FROM tokens GROUP BY source, token),
+enriched AS (
+  SELECT source, token, c_st,
+         SUM(c_st) OVER (PARTITION BY source) AS c_s,
+         SUM(c_st) OVER (PARTITION BY token) AS c_t,
+         SUM(c_st) OVER () AS c_all
+  FROM st
+)
+SELECT source,
+       MAX(c_s) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       round(SUM((CAST(c_st AS DOUBLE) / c_s)
+             * ln((CAST(c_st AS DOUBLE) / c_s) / (CAST(c_t AS DOUBLE) / c_all))), 6)
+         AS kl_vs_corpus
+FROM enriched
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -1241,9 +1301,11 @@ QUERIES = {
     "t21_pii_redaction": t21_pii_redaction,
     "t23_zipf_slope": t23_zipf_slope,
     "t24_length_histogram": t24_length_histogram,
+    "t25_source_kl_drift": t25_source_kl_drift,
 }
 
 ORACLES = {
+    "t25_source_kl_drift": T25_SQL,
     "t21_pii_redaction": T21_SQL,
     "t23_zipf_slope": T23_SQL,
     "t24_length_histogram": T24_SQL,

@@ -313,3 +313,17 @@ def test_e12_stream_stream_matches_batch(spark, sf_dir):
         .groupBy("u").agg(F.count(F.lit(1)).alias("n"), F.count_distinct("pid").alias("np"))
         .collect())}
     assert got == want
+
+
+def test_t25_kl_nonnegative_and_token_conservation(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _tokens_df,
+        t25_source_kl_drift,
+    )
+
+    rows = t25_source_kl_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["kl_vs_corpus"] >= 0.0  # Gibbs' inequality
+        assert r["n_distinct"] <= r["n_tokens"]
+    assert sum(r["n_tokens"] for r in rows) == _tokens_df(spark, sf_dir).count()
