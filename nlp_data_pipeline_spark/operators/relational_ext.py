@@ -779,6 +779,81 @@ ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# u03: scalar Pandas UDF — the Arrow-vectorized series→series kernel,
+# the ONLY acceptable shape when custom Python must run per-row at
+# scale (whole Arrow batches cross the boundary; numpy does the math).
+# Tier-based fee: demonstrative, deliberately simple — both engines
+# evaluate the identical IEEE double ops, so the oracle is exact.
+# --------------------------------------------------------------------------
+def u03_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR functionType: postponed annotations (module-wide
+    # `from __future__ import annotations`) break hint inference
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def fee(balance):
+        return balance * balance.gt(5000.0).map({True: 0.05, False: 0.01})
+
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") < 500)
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.round(fee("c_acctbal"), 4).alias("account_fee"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+U03_SQL = """
+SELECT c_custkey, c_acctbal,
+       round(c_acctbal * CASE WHEN c_acctbal > 5000.0 THEN 0.05 ELSE 0.01 END, 4)
+         AS account_fee
+FROM customer
+WHERE c_custkey < 500
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# u04: Arrow-optimized row UDF (@udf(useArrow=True), Spark 3.5+) — the
+# remaining UDF API variant: per-row Python semantics with Arrow batch
+# transport (≈2-3× pickled row serialization, still ≫ slower than u03's
+# vectorized kernel — registered as API coverage, kept out of hot
+# paths like v03's UDTF). String formatting only, so the oracle is
+# byte-exact.
+# --------------------------------------------------------------------------
+def u04_arrow_row_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udf
+
+    @udf("string", useArrow=True)
+    def order_label(status: str, price: float) -> str:
+        return f"{status}-{'HIGH' if price > 150000.0 else 'LOW'}"
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice"),
+            order_label("o_orderstatus", "o_totalprice").alias("order_label"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+U04_SQL = """
+SELECT o_orderkey, o_totalprice,
+       o_orderstatus || '-' || CASE WHEN o_totalprice > 150000.0 THEN 'HIGH' ELSE 'LOW' END
+         AS order_label
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,
@@ -793,6 +868,8 @@ QUERIES = {
     "q30_bucketed_colocated_join": q30_bucketed_colocated_join,
     "q31_key_skew_profile": q31_key_skew_profile,
     "u02_grouped_zscore": u02_grouped_zscore,
+    "u03_scalar_pandas_udf": u03_scalar_pandas_udf,
+    "u04_arrow_row_udf": u04_arrow_row_udf,
     "q32_exists_order_audit": q32_exists_order_audit,
     "q33_time_range_window": q33_time_range_window,
     "q34_unpivot_event_matrix": q34_unpivot_event_matrix,
@@ -817,4 +894,6 @@ ORACLES = {
     "q30_bucketed_colocated_join": Q30_SQL,
     "q31_key_skew_profile": Q31_SQL,
     "u02_grouped_zscore": U02_SQL,
+    "u03_scalar_pandas_udf": U03_SQL,
+    "u04_arrow_row_udf": U04_SQL,
 }
