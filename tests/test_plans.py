@@ -186,3 +186,11 @@ def test_q35_nullsafe_join_is_not_cartesian(spark, sf_dir):
     plan = formatted_plan(q35_nullsafe_join(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d10_benchmark_set_is_broadcast(spark, sf_dir):
+    """The benchmark shingle set must broadcast: the corpus side of the
+    decontamination join may be 100 TB and must not shuffle on shingle."""
+    from nlp_data_pipeline_spark.operators.dedup import d10_benchmark_decontamination
+
+    assert uses_broadcast_join(d10_benchmark_decontamination(spark, sf_dir))

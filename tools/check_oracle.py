@@ -75,7 +75,7 @@ def compare(name: str, spark_df, duck_rows, duck_cols):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    only = tuple(sys.argv[2:])  # exact names OR prefixes (e.g. "t2" or "e")
 
     import duckdb
 
@@ -92,7 +92,7 @@ def main():
     oracles = e.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
-        if only and name not in only:
+        if only and not name.startswith(only):
             continue
         t0 = time.time()
         try:
