@@ -534,6 +534,88 @@ ORDER BY b.query_id
 """
 
 
+# --------------------------------------------------------------------------
+# s09: SEMANTIC dedup (SemDeDup shape) — cluster the corpus by nearest
+# centroid (the s04 IVF assignment), then WITHIN each cluster mark a
+# vector as a duplicate when a lower-id member sits at cosine ≥ τ; the
+# lowest-id member of each near-identical neighborhood is the keeper.
+# This is the embedding-space twin of d07's text dedup and the scale
+# answer to "all-pairs cosine is quadratic": the pairwise work is
+# confined to clusters (n/k members each), exactly the published
+# SemDeDup design. Centroids broadcast; one shuffle on centroid_id.
+# --------------------------------------------------------------------------
+def s09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    assigned = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "emb", "centroid_id", ccos.alias("cos"))
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "emb", "centroid_id")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pcos = dot("a.emb", "b.emb") / (norm("a.emb") * norm("b.emb"))
+    dups = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"), pcos.alias("cos"))
+        .filter(F.col("cos") >= NEARDUP_TAU)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_lower_neardups"))
+    )
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce("n_lower_neardups", F.lit(0)).cast("long").alias(
+                "n_lower_neardups"
+            ),
+            (F.coalesce("n_lower_neardups", F.lit(0)) == 0).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+S09_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+ascore AS (
+  SELECT e.vec_id, e.emb, c.centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(c.cemb, e.emb)
+           / (sqrt(list_dot_product(c.cemb, c.cemb)) * sqrt(list_dot_product(e.emb, e.emb))) DESC,
+           c.centroid_id ASC) AS r
+  FROM e CROSS JOIN c
+),
+assigned AS (SELECT vec_id, emb, centroid_id FROM ascore WHERE r = 1),
+dups AS (
+  SELECT a.vec_id, COUNT(*) AS n_lower_neardups
+  FROM assigned a
+  JOIN assigned b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+  WHERE list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+        >= {NEARDUP_TAU}
+  GROUP BY a.vec_id
+)
+SELECT s.vec_id, s.centroid_id,
+       COALESCE(d.n_lower_neardups, 0) AS n_lower_neardups,
+       COALESCE(d.n_lower_neardups, 0) = 0 AS keep
+FROM assigned s LEFT JOIN dups d USING (vec_id)
+ORDER BY s.vec_id
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
@@ -543,9 +625,11 @@ QUERIES = {
     "s06_embedding_neardup_pairs": s06_embedding_neardup_pairs,
     "s07_ivf_probe_search": s07_ivf_probe_search,
     "s08_ann_recall": s08_ann_recall,
+    "s09_semantic_dedup": s09_semantic_dedup,
 }
 
 ORACLES = {
+    "s09_semantic_dedup": S09_SQL,
     "s08_ann_recall": S08_SQL,
     "s07_ivf_probe_search": S07_SQL,
     "s05_embedding_label_stats": S05_SQL,

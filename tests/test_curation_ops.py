@@ -327,3 +327,65 @@ def test_t25_kl_nonnegative_and_token_conservation(spark, sf_dir):
         assert r["kl_vs_corpus"] >= 0.0  # Gibbs' inequality
         assert r["n_distinct"] <= r["n_tokens"]
     assert sum(r["n_tokens"] for r in rows) == _tokens_df(spark, sf_dir).count()
+
+
+def test_s09_semantic_dedup_keeper_invariants(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.similarity import s09_semantic_dedup
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    rows = s09_semantic_dedup(spark, sf_dir).collect()
+    assert len(rows) == load_table(spark, sf_dir, "embeddings").count()
+    # the lowest vec_id of every cluster has no lower neighbor → kept
+    lowest = {}
+    for r in rows:
+        if r["centroid_id"] not in lowest or r["vec_id"] < lowest[r["centroid_id"]][0]:
+            lowest[r["centroid_id"]] = (r["vec_id"], r["keep"])
+    assert all(keep for _, keep in lowest.values())
+    for r in rows:
+        assert r["keep"] == (r["n_lower_neardups"] == 0)
+
+
+def test_t21_redaction_is_idempotent(spark, sf_dir):
+    """Scrubbing already-scrubbed text must find zero PII — the property
+    that makes re-running the pass safe in an incremental pipeline."""
+    from pyspark.sql import functions as F
+
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_PHONE,
+        t21_pii_redaction,
+    )
+
+    first = t21_pii_redaction(spark, sf_dir)
+    # re-derive the redacted text the same way the operator does and
+    # count again: a second pass over <EMAIL>/<IP>/<PHONE> markers
+    # must match nothing
+    # (t21 outputs only the md5; recompute the redacted string inline)
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    full = F.concat(
+        F.col("text"), F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@corp.io")).otherwise(F.lit("")),
+        F.lit(" or +1 555 01"), F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"), F.lit(" now"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(full, _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    second = d.select(
+        (
+            F.regexp_count(redacted, F.lit(_PII_EMAIL))
+            + F.regexp_count(redacted, F.lit(_PII_IPV4))
+            + F.regexp_count(redacted, F.lit(_PII_PHONE))
+        ).alias("leftover")
+    ).agg(F.sum("leftover").alias("total")).collect()[0]["total"]
+    assert second == 0
+    assert first.count() > 0
