@@ -543,6 +543,9 @@ ORDER BY b.query_id
 # answer to "all-pairs cosine is quadratic": the pairwise work is
 # confined to clusters (n/k members each), exactly the published
 # SemDeDup design. Centroids broadcast; one shuffle on centroid_id.
+# When clusters outgrow the expression-level pair join (≫10³ members),
+# swap the join for s02's packed-block BLAS tile kernel applied per
+# cluster — same semantics, matmul throughput.
 # --------------------------------------------------------------------------
 def s09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
