@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from nlp_data_pipeline_spark.config import DEFAULT_CONFIG
 from nlp_data_pipeline_spark.functions.text import clean_text, ngrams, tokenize
@@ -674,6 +675,91 @@ ORDER BY s.doc_id
 )
 
 
+# --------------------------------------------------------------------------
+# d11: span-level dedup plan — ExactSubstr-style (RefinedWeb / Lee et
+# al. "Deduplicating Training Data Makes Language Models Better"):
+# hash fixed-stride token windows (W=8, stride 4), keep the first
+# corpus occurrence of each duplicated span, and report per-document
+# how many spans a substring-dedup pass would remove. The production
+# algorithm uses suffix arrays; the windowed-hash form expresses the
+# same duplicated-span detection as pure shuffle relational algebra:
+# explode → two same-key window functions (ONE shuffle on span_hash)
+# → groupBy(doc_id). No driver state, no cross join — holds at 100 TB
+# where a suffix array over the corpus would not fit anywhere.
+# --------------------------------------------------------------------------
+_SPAN_W = 8
+_SPAN_S = 4
+
+
+def d11_span_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wins = (
+        d.select("doc_id", tokenize(clean_text("text")).alias("t"))
+        .filter(F.size("t") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(floor((size(t) - {_SPAN_W}) / {_SPAN_S}) AS INT)),"
+                    f" i -> md5(array_join(slice(t, i * {_SPAN_S} + 1, {_SPAN_W}), ' ')))"
+                )
+            ).alias("win_idx", "span_hash"),
+        )
+    )
+    wh = Window.partitionBy("span_hash")
+    worder = wh.orderBy("doc_id", "win_idx")
+    marked = wins.select(
+        "doc_id",
+        F.count(F.lit(1)).over(wh).alias("n_occ"),
+        F.row_number().over(worder).alias("rn"),
+    )
+    removed = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+            removed.alias("n_removed"),
+            F.round(removed / F.count(F.lit(1)), 6).alias("removed_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+D11_SQL = f"""
+WITH cleaned AS (
+  SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents
+),
+toklists AS (
+  SELECT doc_id,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM cleaned
+),
+wins AS (
+  SELECT doc_id, i AS win_idx,
+         md5(array_to_string(list_slice(t, i * {_SPAN_S} + 1, i * {_SPAN_S} + {_SPAN_W}), ' ')) AS span_hash
+  FROM toklists,
+       unnest(generate_series(0, CAST(floor((len(t) - {_SPAN_W}) / {_SPAN_S}) AS BIGINT))) AS g(i)
+  WHERE len(t) >= {_SPAN_W}
+),
+marked AS (
+  SELECT doc_id,
+         COUNT(*) OVER (PARTITION BY span_hash) AS n_occ,
+         ROW_NUMBER() OVER (PARTITION BY span_hash ORDER BY doc_id, win_idx) AS rn
+  FROM wins
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS removed_frac
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_signatures": d02_minhash_signatures,
@@ -685,9 +771,11 @@ QUERIES = {
     "d08_incremental_dedup": d08_incremental_dedup,
     "d09_minhash_calibration": d09_minhash_calibration,
     "d10_benchmark_decontamination": d10_benchmark_decontamination,
+    "d11_span_dedup_plan": d11_span_dedup_plan,
 }
 
 ORACLES = {
+    "d11_span_dedup_plan": D11_SQL,
     "d09_minhash_calibration": D09_SQL,
     "d10_benchmark_decontamination": D10_SQL,
     "d08_incremental_dedup": D08_SQL,

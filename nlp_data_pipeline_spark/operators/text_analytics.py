@@ -1277,6 +1277,96 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# t26: data-mixture sampling weights — per-source token share vs a
+# uniform target share, the static half of mixture balancing (DoReMi /
+# Pile-style domain weighting). `mix_weight` is the per-document
+# sampling multiplier that would equalize token mass across sources.
+# Scale: one groupBy(source) over the token relation + a scalar-sized
+# window; the per-source table is tiny at any corpus size.
+# --------------------------------------------------------------------------
+def t26_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_src = (
+        _tokens_df(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(target / share, 6).alias("mix_weight"),
+    ).orderBy("source")
+
+
+T26_SQL = f"""
+{_TOKENS_CTE},
+per_src AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens
+  FROM tokens GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_share,
+       round((1.0 / COUNT(*) OVER ())
+             / (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()), 6) AS mix_weight
+FROM per_src
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# t27: per-document unigram entropy (bits) — information-density quality
+# signal; low entropy flags repetitive/TEMPLATE text, complementing
+# t18's repeated-ngram ratio. Scale: groupBy(doc_id, token) then
+# groupBy(doc_id) — two map-side-combinable shuffles on bounded keys.
+# --------------------------------------------------------------------------
+def t27_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        _tokens_df(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(w)
+    per_tok = tf.select("doc_id", F.sum("c").over(w).alias("n"), (-p * F.log2(p)).alias("term"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.sum("term"), 6).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T27_SQL = f"""
+{_TOKENS_CTE},
+tf AS (SELECT doc_id, token, COUNT(*) AS c FROM tokens GROUP BY doc_id, token),
+per_tok AS (
+  SELECT doc_id,
+         SUM(c) OVER (PARTITION BY doc_id) AS n,
+         -(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id))
+           * log2(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id)) AS term
+  FROM tf
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       round(SUM(term), 6) AS entropy_bits
+FROM per_tok
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -1302,9 +1392,13 @@ QUERIES = {
     "t23_zipf_slope": t23_zipf_slope,
     "t24_length_histogram": t24_length_histogram,
     "t25_source_kl_drift": t25_source_kl_drift,
+    "t26_mixture_weights": t26_mixture_weights,
+    "t27_unigram_entropy": t27_unigram_entropy,
 }
 
 ORACLES = {
+    "t26_mixture_weights": T26_SQL,
+    "t27_unigram_entropy": T27_SQL,
     "t25_source_kl_drift": T25_SQL,
     "t21_pii_redaction": T21_SQL,
     "t23_zipf_slope": T23_SQL,
