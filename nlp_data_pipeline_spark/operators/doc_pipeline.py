@@ -505,6 +505,64 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# r07: dynamic partition overwrite — the idempotent-backfill primitive
+# of a partitioned lake: re-running one day's pipeline must replace
+# exactly that day's partition and leave every other partition's files
+# untouched. With partitionOverwriteMode=dynamic, `overwrite` only
+# rewrites partitions present in the incoming DataFrame (static mode
+# would truncate the whole table — the classic backfill footgun).
+# Here: write all days, then restate the earliest day with doubled
+# values; the read-back must show exactly one restated day. Scale: the
+# restatement job touches one partition regardless of table size.
+# --------------------------------------------------------------------------
+def r07_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.to_date("ts").alias("day")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="dyn_overwrite_"), "events_by_day")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        ev.write.partitionBy("day").mode("overwrite").parquet(out)
+        first_day = ev.agg(F.min("day")).first()[0]  # scalar, not a data collect
+        restated = ev.filter(F.col("day") == F.lit(first_day)).withColumn(
+            "value", F.col("value") * 2
+        )
+        restated.write.partitionBy("day").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+R07_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, value, CAST(ts AS DATE) AS day FROM events
+),
+restated AS (
+  SELECT day,
+         CASE WHEN day = (SELECT MIN(day) FROM ev) THEN value * 2 ELSE value END AS value
+  FROM ev
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM restated
+GROUP BY day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "p01_document_records": p01_document_records,
     "p02_export_projection": p02_export_projection,
@@ -515,10 +573,12 @@ QUERIES = {
     "r04_schema_evolution": r04_schema_evolution,
     "r05_cdc_upsert_merge": r05_cdc_upsert_merge,
     "r06_json_roundtrip": r06_json_roundtrip,
+    "r07_partition_overwrite": r07_partition_overwrite,
     "a01_approx_stats": a01_approx_stats,
 }
 
 ORACLES = {
+    "r07_partition_overwrite": R07_SQL,
     "r06_json_roundtrip": R06_SQL,
     "r03_orc_roundtrip": R03_SQL,
     "r04_schema_evolution": R04_SQL,

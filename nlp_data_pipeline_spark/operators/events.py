@@ -669,6 +669,52 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# e13: composite-key stateful counters — applyInPandasWithState grouped
+# on (user_id, event_type); final value per key = last append-mode
+# emission (max running count). The transformWithStateInPandas variant
+# (MapState per user, Spark 4's richer state API) lives in
+# streaming/pipelines.py::transform_with_state_type_counts, import-
+# gated on protobuf which this container lacks; same semantics, same
+# oracle when run on a cluster that ships it.
+# --------------------------------------------------------------------------
+def e13_stateful_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nlp_data_pipeline_spark.streaming.pipelines import (
+        read_events_stream,
+        stateful_type_counts,
+    )
+
+    stage_dir = _stage_events(sf_dir, "e13_stream_")
+    counters = stateful_type_counts(read_events_stream(spark, stage_dir))
+    sink = f"e13_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        counters.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n_events"))
+    return (
+        spark.table(sink)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("user_id", "event_type", "n_events")
+        .orderBy("user_id", "event_type")
+    )
+
+
+E13_SQL = """
+SELECT user_id, event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_session_windows": e02_session_windows,
@@ -682,9 +728,11 @@ QUERIES = {
     "e10_stateful_user_counters": e10_stateful_user_counters,
     "e11_foreachbatch_sink": e11_foreachbatch_sink,
     "e12_stream_stream_join": e12_stream_stream_join,
+    "e13_stateful_type_counts": e13_stateful_type_counts,
 }
 
 ORACLES = {
+    "e13_stateful_type_counts": E13_SQL,
     "e11_foreachbatch_sink": E11_SQL,
     "e12_stream_stream_join": E12_SQL,
     "e09_streaming_dedup": E09_SQL,

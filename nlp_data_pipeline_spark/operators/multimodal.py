@@ -266,15 +266,82 @@ FROM frames
 """
 
 
+# --------------------------------------------------------------------------
+# m06: audio chunking — overlapping fixed-size windows over a PCM-style
+# binary payload (chunk = 64 bytes ≙ 32 16-bit samples, 50% overlap),
+# the standard front-end for audio feature extraction (e.g. STFT
+# frames). Unlike m05 this slices the ACTUAL bytes and checksums each
+# chunk, so the oracle verifies byte-exact slice plumbing, not just
+# offset arithmetic. The payload is the UTF-8 text (the container has
+# no audio files; a real table swaps `encode(text)` for the audio
+# column — every downstream expression is already binary-typed).
+# Scale: pure per-row explode + substring — scan-parallel, no shuffle;
+# chunk tables at 100 TB partition by (doc_id range) for locality.
+# --------------------------------------------------------------------------
+CHUNK_BYTES = 64
+CHUNK_STRIDE = 32
+
+
+def m06_audio_chunk_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    ).filter(F.col("n_bytes") >= CHUNK_BYTES)
+    starts = F.sequence(
+        F.lit(0), F.col("n_bytes") - CHUNK_BYTES, F.lit(CHUNK_STRIDE)
+    )
+    chunks = base.select(
+        "doc_id",
+        "payload",
+        F.posexplode(starts).alias("chunk_idx", "byte_start"),
+    )
+    chunk_bytes = F.expr(f"substring(payload, byte_start + 1, {CHUNK_BYTES})")
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("byte_start").cast("long").alias("byte_start"),
+        F.lit(CHUNK_BYTES).cast("long").alias("n_bytes_chunk"),
+        # checksum of the chunk's (lowercase) hex encoding: byte-exact,
+        # and expressible in both engines (DuckDB's sha256 is VARCHAR-only)
+        F.sha2(F.lower(F.hex(chunk_bytes)), 256).alias("chunk_sha256"),
+    )
+
+
+M06_SQL = f"""
+WITH base AS (
+  SELECT doc_id, encode(text) AS payload, octet_length(encode(text)) AS n_bytes
+  FROM documents
+  WHERE octet_length(encode(text)) >= {CHUNK_BYTES}
+),
+chunks AS (
+  SELECT doc_id, payload,
+         unnest(range(0, n_bytes - {CHUNK_BYTES} + 1, {CHUNK_STRIDE})) AS byte_start
+  FROM base
+)
+SELECT doc_id,
+       CAST(byte_start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(byte_start AS BIGINT) AS byte_start,
+       CAST({CHUNK_BYTES} AS BIGINT) AS n_bytes_chunk,
+       sha256(lower(substring(hex(payload),
+                              CAST(byte_start * 2 + 1 AS BIGINT),
+                              {CHUNK_BYTES * 2}))) AS chunk_sha256
+FROM chunks
+"""
+
+
 QUERIES = {
     "m01_binary_metadata": m01_binary_metadata,
     "m02_decode_stub_pipeline": m02_decode_stub_pipeline,
     "m03_feature_extract_stub": m03_feature_extract_stub,
     "m04_arrow_byte_stats": m04_arrow_byte_stats,
     "m05_frame_sample_expand": m05_frame_sample_expand,
+    "m06_audio_chunk_checksums": m06_audio_chunk_checksums,
 }
 
 ORACLES = {
+    "m06_audio_chunk_checksums": M06_SQL,
     "m05_frame_sample_expand": M05_SQL,
     "m01_binary_metadata": M01_SQL,
     "m02_decode_stub_pipeline": M02_SQL,

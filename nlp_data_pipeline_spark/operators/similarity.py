@@ -619,6 +619,96 @@ ORDER BY s.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# s10: product quantization (PQ) — the memory-compression half of
+# IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search"): split each 64-d vector into M=8 8-d subvectors
+# and quantize each to the nearest of K=16 codewords, turning 256
+# float32 bytes into 8 code bytes (32× compression). The codebook here
+# is sampled (codewords = subvectors of vec_id < 16) rather than
+# k-means-trained, keeping both engines exactly reproducible; a real
+# deployment swaps in MLlib KMeans per subspace and the plan shape is
+# unchanged. Scale: codebook is M×K rows → broadcast join against the
+# subvector explode; one shuffle to regroup per vec_id. Encoding 100 TB
+# of embeddings is a pure scan + broadcast — no corpus shuffle until
+# the final per-vector regroup, which AQE coalesces.
+# --------------------------------------------------------------------------
+PQ_M = 8  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace
+
+
+def s10_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" j -> slice(emb, j * {PQ_SUB} + 1, {PQ_SUB}))"
+            )
+        ).alias("sub_idx", "subv"),
+    )
+    codes = subs.filter(F.col("vec_id") < PQ_K).select(
+        "sub_idx", F.col("vec_id").alias("code_id"), F.col("subv").alias("codev")
+    )
+    d2 = F.aggregate(
+        F.zip_with("subv", "codev", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id", "sub_idx").orderBy("d2", "code_id")
+    best = (
+        subs.join(F.broadcast(codes), "sub_idx")
+        .select("vec_id", "sub_idx", "code_id", d2.alias("d2"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+    )
+    ordered_codes = F.transform(
+        F.array_sort(F.collect_list(F.struct("sub_idx", "code_id"))),
+        lambda s: s["code_id"].cast("string"),
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.array_join(ordered_codes, "-").alias("pq_code"),
+            F.round(F.sum("d2"), 6).alias("quant_sq_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+S10_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+subs AS (
+  SELECT vec_id, j AS sub_idx, list_slice(emb, j * {PQ_SUB} + 1, j * {PQ_SUB} + {PQ_SUB}) AS subv
+  FROM e, unnest(generate_series(0, {PQ_M - 1})) AS g(j)
+),
+codes AS (
+  SELECT sub_idx, vec_id AS code_id, subv AS codev FROM subs WHERE vec_id < {PQ_K}
+),
+scored AS (
+  SELECT s.vec_id, s.sub_idx, c.code_id,
+         list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                                 i -> (s.subv[i] - c.codev[i]) * (s.subv[i] - c.codev[i]))) AS d2
+  FROM subs s JOIN codes c USING (sub_idx)
+),
+best AS (
+  SELECT vec_id, sub_idx, code_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx ORDER BY d2, code_id) AS r
+  FROM scored
+)
+SELECT vec_id,
+       string_agg(code_id::VARCHAR, '-' ORDER BY sub_idx) AS pq_code,
+       round(SUM(d2), 6) AS quant_sq_err
+FROM best WHERE r = 1
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
@@ -629,9 +719,11 @@ QUERIES = {
     "s07_ivf_probe_search": s07_ivf_probe_search,
     "s08_ann_recall": s08_ann_recall,
     "s09_semantic_dedup": s09_semantic_dedup,
+    "s10_pq_encode": s10_pq_encode,
 }
 
 ORACLES = {
+    "s10_pq_encode": S10_SQL,
     "s09_semantic_dedup": S09_SQL,
     "s08_ann_recall": S08_SQL,
     "s07_ivf_probe_search": S07_SQL,

@@ -102,6 +102,99 @@ def stateful_user_counters(stream: DataFrame) -> DataFrame:
     )
 
 
+def stateful_type_counts(stream: DataFrame) -> DataFrame:
+    """Per-(user_id, event_type) running event counts — a COMPOSITE
+    grouping key stateful operator (state = one counter per key pair,
+    bounded by |users|×|event types|, never by stream length). Emits
+    the updated count each micro-batch in append mode; downstream takes
+    the last emission per key as the final value.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        user_id, event_type = key
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "event_type": [event_type], "n_events": [n]}
+        )
+
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        "user_id long, event_type string, n_events long",
+        "n long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def transform_with_state_type_counts(stream: DataFrame) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` variant of
+    ``stateful_type_counts``: one MapState(event_type → count) per
+    user, the richer state model (typed value/list/map state, timers,
+    TTL) that supersedes applyInPandasWithState.
+
+    IMPORT-GATED: the TransformWithState Python state server speaks
+    protobuf and this container ships no ``google.protobuf`` (verified:
+    the query crashes in StreamingPythonRunner init). On a cluster with
+    protobuf installed this function runs as-is; the declared e13 query
+    uses the applyInPandasWithState twin so the semantics stay
+    driver-verified either way.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - absent in this container
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(TransformWithState state-server protocol); not shipped in "
+            "this container — use stateful_type_counts instead"
+        ) from exc
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState("counts", "event_type string", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            for pdf in rows:
+                for et, grp in pdf.groupby("event_type"):
+                    prev = (
+                        self.counts.getValue((et,))
+                        if self.counts.containsKey((et,))
+                        else (0,)
+                    )
+                    self.counts.updateValue((et,), (prev[0] + len(grp),))
+            out = sorted((k[0], v[0]) for k, v in self.counts.iterator())
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "event_type": [o[0] for o in out],
+                    "n_events": [o[1] for o in out],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType="user_id long, event_type string, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_stream_purchase_attribution(
     events: DataFrame, max_gap: str = "7 days", lateness: str = "10 minutes"
 ) -> DataFrame:
