@@ -27,6 +27,38 @@ from nlp_data_pipeline_spark.sources.catalog import load_table
 
 D182 = "decimal(18,2)"
 
+# Stateful streaming queries create one state store PER state
+# partition PER stateful operator PER micro-batch; the partition count
+# is frozen into the checkpoint at query start from
+# spark.sql.shuffle.partitions. At test scale (≤1M events) 32
+# partitions means the fixed per-store commit overhead dominates the
+# actual work (measured: e12 7.1s @ 32 → 2.3s @ 8 on identical data).
+# Production sizing is the same decision in reverse: pick the state
+# partition count from state volume ÷ per-executor memory, NOT from
+# the global shuffle default — hence a dedicated, env-tunable knob.
+import os as _os
+
+STREAM_STATE_PARTITIONS = int(_os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+
+
+class _stream_state_partitions:
+    """Scope spark.sql.shuffle.partitions for a streaming query start;
+    restores the session value on exit (the running query keeps the
+    count it was started with)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
 
 def _stage_events(sf_dir: str, prefix: str, copies: int = 1) -> str:
     """Stage the events table into a fresh temp dir of leaf-file
@@ -202,14 +234,15 @@ def e04_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(sink).orderBy("window_start", "event_type")
 
 
@@ -301,14 +334,15 @@ def e06_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "n_above_avg")
     )
     sink = f"e06_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(sink).orderBy("window_start", "event_type")
 
 
@@ -425,14 +459,15 @@ def e08_streaming_append_finalized(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     sink = f"e08_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(sink).orderBy("window_start", "event_type")
 
 
@@ -479,14 +514,15 @@ def e09_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(D182)).cast("double").alias("total_value"),
     )
     sink = f"e09_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(sink).orderBy("event_type")
 
 
@@ -524,14 +560,15 @@ def e10_stateful_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_dir = _stage_events(sf_dir, "e10_stream_")
     counters = stateful_user_counters(read_events_stream(spark, stage_dir))
     sink = f"e10_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        counters.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        q = (
+            counters.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         spark.table(sink)
@@ -589,13 +626,14 @@ def e11_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        agg.writeStream.foreachBatch(write_batch)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.read.parquet(out_dir).orderBy("day", "event_type")
 
 
@@ -631,14 +669,15 @@ def e12_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_dir = _stage_events(sf_dir, "e12_stream_")
     joined = stream_stream_purchase_attribution(read_events_stream(spark, stage_dir))
     sink = f"e12_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return (
         spark.table(sink)
         .groupBy(F.col("p_user").alias("user_id"))
@@ -689,14 +728,15 @@ def e13_stateful_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_dir = _stage_events(sf_dir, "e13_stream_")
     counters = stateful_type_counts(read_events_stream(spark, stage_dir))
     sink = f"e13_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        counters.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        q = (
+            counters.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n_events"))
     return (
         spark.table(sink)

@@ -556,16 +556,21 @@ def s09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
     wv = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    # nrm is materialized ONCE per vector (bit-identical to computing
+    # norm() inside the pair expression, but ~3× less per-pair work),
+    # and the assignment subtree is cached — it feeds the pair join
+    # twice plus the final keep-join, and is only n_vectors rows.
     assigned = (
         e.join(F.broadcast(cents))
         .select("vec_id", "emb", "centroid_id", ccos.alias("cos"))
         .withColumn("r", F.row_number().over(wv))
         .filter(F.col("r") == 1)
-        .select("vec_id", "emb", "centroid_id")
+        .select("vec_id", "emb", norm(F.col("emb")).alias("nrm"), "centroid_id")
+        .cache()
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
-    pcos = dot("a.emb", "b.emb") / (norm("a.emb") * norm("b.emb"))
+    pcos = dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
     dups = (
         a.join(
             b,
