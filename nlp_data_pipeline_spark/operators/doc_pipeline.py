@@ -258,7 +258,7 @@ def r02_corrupt_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 R02_SQL = """
 SELECT COUNT(*) FILTER (doc_id % 7 != 3) AS n_good,
        COUNT(*) FILTER (doc_id % 7 = 3) AS n_corrupt,
-       SUM(doc_id) FILTER (doc_id % 7 != 3) AS good_docid_sum,
+       CAST(SUM(doc_id) FILTER (doc_id % 7 != 3) AS BIGINT) AS good_docid_sum,
        COUNT(DISTINCT source) FILTER (doc_id % 7 != 3) AS n_good_sources
 FROM documents
 """
@@ -398,7 +398,7 @@ def r04_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 R04_SQL = """
 SELECT CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
        COUNT(*) AS n_docs,
-       SUM(doc_id) AS docid_sum
+       CAST(SUM(doc_id) AS BIGINT) AS docid_sum
 FROM documents
 GROUP BY 1
 ORDER BY lang NULLS FIRST

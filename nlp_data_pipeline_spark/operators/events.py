@@ -355,7 +355,7 @@ WITH dim AS (
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        e.event_type AS event_type,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END) AS n_above_avg
+       CAST(SUM(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY 1, 2
 ORDER BY window_start, e.event_type

@@ -501,7 +501,7 @@ WITH dim AS (
 )
 SELECT e.event_type,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END) AS n_above_avg,
+       CAST(SUM(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg,
        round(d.type_avg, 6) AS type_avg
 FROM events e JOIN dim d USING (event_type)
 GROUP BY e.event_type, d.type_avg
@@ -667,7 +667,7 @@ def q31_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q31_SQL = """
 WITH per_key AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
 SELECT COUNT(*) AS n_keys,
-       SUM(cnt) AS n_rows,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
        MIN(cnt) AS min_per_key,
        MAX(cnt) AS max_per_key,
        round(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6) AS avg_per_key,

@@ -947,7 +947,7 @@ pairs AS (
 ),
 c2 AS (SELECT w1, w2, COUNT(*) AS pair_cnt FROM pairs GROUP BY w1, w2)
 SELECT w1, w2, pair_cnt,
-       SUM(pair_cnt) OVER (PARTITION BY w1) AS w1_cnt,
+       CAST(SUM(pair_cnt) OVER (PARTITION BY w1) AS BIGINT) AS w1_cnt,
        round(CAST(pair_cnt AS DOUBLE) / SUM(pair_cnt) OVER (PARTITION BY w1), 6) AS cond_prob
 FROM c2
 ORDER BY pair_cnt DESC, w1 ASC, w2 ASC
@@ -1266,7 +1266,7 @@ enriched AS (
   FROM st
 )
 SELECT source,
-       MAX(c_s) AS n_tokens,
+       CAST(MAX(c_s) AS BIGINT) AS n_tokens,
        COUNT(*) AS n_distinct,
        round(SUM((CAST(c_st AS DOUBLE) / c_s)
              * ln((CAST(c_st AS DOUBLE) / c_s) / (CAST(c_t AS DOUBLE) / c_all))), 6)

@@ -50,13 +50,40 @@ def _key(row):
     return tuple((repr(x) for x in row))
 
 
-def compare(name: str, spark_df, duck_rows, duck_cols):
+def _dtype_kind(dt) -> str:
+    """Collapse a pandas dtype to the kind the driver's canonicalizer is
+    sensitive to: int64 vs float64 vs bool vs datetime vs object."""
+    k = getattr(dt, "kind", "O")  # iufcbOSUMm
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "Mm":
+        return "datetime"
+    return "object"
+
+
+def compare(name: str, spark_df, duck_rows, duck_cols, s_pdf=None, d_pdf=None):
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_cols)
     issues = []
     if s_cols != d_cols:
         issues.append(f"SCHEMA: spark={s_cols} duck={d_cols}")
         return issues
+    # Driver-parity dtype check: the driver compares pandas frames
+    # (Spark .toPandas() vs DuckDB .df()); DuckDB SUM(BIGINT) returns
+    # HUGEINT -> float64 while Spark stays int64, which the driver's
+    # dtype-sensitive value hash records as a mismatch even though the
+    # values are numerically equal. Surface that HERE.
+    if s_pdf is not None and d_pdf is not None:
+        for c in s_cols:
+            sk, dk = _dtype_kind(s_pdf[c].dtype), _dtype_kind(d_pdf[c].dtype)
+            if sk != dk:
+                issues.append(
+                    f"DTYPE {c}: spark={s_pdf[c].dtype}({sk}) duck={d_pdf[c].dtype}({dk})"
+                )
     col_order = s_cols
     s_idx = [spark_df.columns.index(c) for c in col_order]
     d_idx = [list(duck_cols).index(c) for c in col_order]
@@ -102,10 +129,15 @@ def main():
                 print(f"ROWS-ONLY {name}: {cnt} rows  [{time.time()-t0:.1f}s]")
                 n_rows_only += 1
                 continue
+            d_pdf = con.execute(oracles[name]).df()
             res = con.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
-            issues = compare(name, sdf, duck_rows, duck_cols)
+            try:
+                s_pdf = sdf.toPandas()
+            except Exception:
+                s_pdf = None
+            issues = compare(name, sdf, duck_rows, duck_cols, s_pdf, d_pdf)
         except Exception as ex:
             issues = [f"ERROR: {type(ex).__name__}: {ex}"]
         dt = time.time() - t0
