@@ -211,19 +211,13 @@ FROM (
 # path is held to the same exactness bar as the batch operators.
 # --------------------------------------------------------------------------
 def e04_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import uuid
 
-    path = os.path.join(sf_dir, "events.parquet")
+    from nlp_data_pipeline_spark.streaming.pipelines import read_events_stream
+
     stage_dir = _stage_events(sf_dir, "e04_stream_")
-    # the RAW parquet schema (ts = int64 nanos under nanosAsLong), not the
-    # catalog's converted one — streaming readers validate against the file
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
     sink = f"e04_sink_{uuid.uuid4().hex[:8]}"
-    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = read_events_stream(spark, stage_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -303,7 +297,6 @@ ORDER BY window_start, event_type
 # + complete-mode argument as e04 ⇒ full hash oracle.
 # --------------------------------------------------------------------------
 def e06_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import uuid
 
     e_static = load_table(spark, sf_dir, "events")
@@ -313,13 +306,10 @@ def e06_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    path = os.path.join(sf_dir, "events.parquet")
+    from nlp_data_pipeline_spark.streaming.pipelines import read_events_stream
+
     stage_dir = _stage_events(sf_dir, "e06_stream_")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = read_events_stream(spark, stage_dir)
 
     enriched = stream.join(F.broadcast(dim), "event_type")  # stream-static
     agg = (
@@ -437,16 +427,12 @@ ORDER BY day, event_type
 # between watermark and now, not total history).
 # --------------------------------------------------------------------------
 def e08_streaming_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import uuid
 
-    path = os.path.join(sf_dir, "events.parquet")
+    from nlp_data_pipeline_spark.streaming.pipelines import read_events_stream
+
     stage_dir = _stage_events(sf_dir, "e08_stream_")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = read_events_stream(spark, stage_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -498,16 +484,12 @@ ORDER BY window_start, event_type
 # property that makes this viable on an unbounded 100 TB/day stream.
 # --------------------------------------------------------------------------
 def e09_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import uuid
 
-    path = os.path.join(sf_dir, "events.parquet")
+    from nlp_data_pipeline_spark.streaming.pipelines import read_events_stream
+
     stage_dir = _stage_events(sf_dir, "e09_stream_", copies=2)  # duplicate delivery
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = read_events_stream(spark, stage_dir)
     deduped = stream.withWatermark("ts", "366 days").dropDuplicates(["event_id", "ts"])
     agg = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -606,13 +588,10 @@ def e11_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    path = os.path.join(sf_dir, "events.parquet")
+    from nlp_data_pipeline_spark.streaming.pipelines import read_events_stream
+
     stage_dir = _stage_events(sf_dir, "e11_stream_")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = read_events_stream(spark, stage_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")

@@ -46,10 +46,9 @@ def get_spark(
         # broadcast threshold: dims (region/nation/supplier/part) stay broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # timestamps: parquet test data is TIMESTAMP_NTZ-ish micros; keep UTC
+        # (event-time physical-layout normalization — NTZ / legacy nanos —
+        # lives in sources/catalog.normalize_event_ts, the single site)
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
-        # type for: read as int64 nanos, converted to micros in the catalog
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -36,34 +36,69 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """THE single normalization point for the event-time column.
+
+    Upstream writers have shipped ``events.ts`` in three physical
+    layouts across testdata generations; every one is mapped to a plain
+    session-tz TIMESTAMP here so watermarks/windows always see the type
+    Structured Streaming requires (``withWatermark`` rejects
+    TIMESTAMP_NTZ with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE):
+
+    - ``bigint``        — legacy parquet TIMESTAMP(NANOS) scanned as
+      int64 under ``nanosAsLong``; floor-divide to µs (exact: generator
+      values carry no sub-µs precision, matches DuckDB's ns→µs read).
+    - ``timestamp_ntz`` — parquet ``timestamp[us]`` without the
+      adjusted-to-UTC flag (the current generator's layout). Cast
+      reinterprets the wall-clock in the session tz; sessions here run
+      UTC, so values are unchanged.
+    - ``timestamp``     — already what we want; untouched.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def read_events_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Raw scan of an events parquet path (file or directory), tolerant
+    of the legacy TIMESTAMP(NANOS) physical type: that layout has no
+    native Spark type and fails schema inference with "Illegal Parquet
+    type"; only then flip the documented legacy conf and rescan (the
+    conf is consulted lazily at execution too, so it must stay set for
+    the session — harmless: no other table carries NANOS).
+
+    NOTE: returns the RAW schema (``ts`` may be bigint/timestamp_ntz) —
+    callers that consume event time go through ``normalize_event_ts``.
+    Streaming readers need exactly this raw schema because the file
+    source validates against the files on disk.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:  # pragma: no cover - legacy-layout fallback
+        if "NANOS" in str(exc) or "Illegal Parquet type" in str(exc):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return spark.read.parquet(path)
+        raise
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Plain parquet scan: pushdown-friendly.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has
-    no native type for; with ``spark.sql.legacy.parquet.nanosAsLong`` it
-    scans as int64 nanos and is converted here to a microsecond
-    TIMESTAMP (exact: the generator's values carry no sub-µs precision,
-    and floor-division matches DuckDB's own ns→µs read).
+    ``events`` routes through ``read_events_parquet`` +
+    ``normalize_event_ts`` so ``ts`` is always a session-tz TIMESTAMP
+    regardless of which generation of testdata is on disk.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # must hold for ANY caller-provided session (the driver builds its
-        # own); runtime-settable SQL conf, so set it here, not only in the
-        # session factory. DELIBERATELY left set for the session rather
-        # than save/restored: the conf is consulted again when the lazy
-        # scan actually executes, so an eager restore would corrupt the
-        # returned DataFrame. Session invariant: nanosAsLong=true is
-        # compatible with every other table (none carries TIMESTAMP(NANOS),
-        # so their scans are unaffected), and all reads go through
-        # load_table.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+        return normalize_event_ts(read_events_parquet(spark, path))
+    return spark.read.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -25,24 +25,29 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nlp_data_pipeline_spark.sources.catalog import (
+    normalize_event_ts,
+    read_events_parquet,
+)
+
 
 def read_events_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """readStream over a directory of events parquet files.
 
-    Handles the TIMESTAMP(NANOS) physical type the same way the batch
-    catalog does (int64 → µs).
+    The ONLY events stream reader — every streaming query goes through
+    here so ``ts`` normalization (legacy int64-nanos, TIMESTAMP_NTZ →
+    session-tz TIMESTAMP; see catalog.normalize_event_ts) happens in
+    one place. The readStream schema must be the RAW file schema (the
+    file source validates it against the footers), hence normalize
+    AFTER the source, not in the schema.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(events_dir).schema
+    raw_schema = read_events_parquet(spark, events_dir).schema
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(events_dir)
-    if any(f.name == "ts" and f.dataType.simpleString() == "bigint" for f in raw_schema.fields):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return stream
+    return normalize_event_ts(reader.parquet(events_dir))
 
 
 def tumbling_counts(stream: DataFrame, window: str = "1 hour", lateness: str = "10 minutes") -> DataFrame:
