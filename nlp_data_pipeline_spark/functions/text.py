@@ -47,19 +47,29 @@ STOP_WORDS_SORTED: list[str] = sorted(STOP_WORDS)
 def clean_text(col: Column | str) -> Column:
     """preprocess_text parity (:49-66).
 
-    whitespace collapse → strip non-word/space/period chars → lowercase
+    whitespace collapse → lowercase → strip non-word/space/period chars
     → re-collapse spaces.  Pure regexp_replace chain: stays in codegen.
+
+    Order note: the reference strips BEFORE lowercasing (:58, :61); we
+    lowercase first so the function is IDEMPOTENT — Java's full case
+    mapping can emit combining marks (lower('İ') = 'i' + U+0307) that
+    are outside [\\p{L}\\p{N}_\\s.] and would survive one pass but not
+    two. Lowering first lets the strip remove such marks immediately
+    (also converging with DuckDB's mark-free simple case mapping); for
+    every character whose lowercase stays in the same character class —
+    i.e. all ordinary text — the result is byte-identical to the
+    reference's order.
     """
     c = F.col(col) if isinstance(col, str) else col
     c = F.coalesce(c, F.lit(""))                       # "if not text: return ''"
     c = F.regexp_replace(c, r"\s+", " ")               # :55
+    c = F.lower(c)                                     # :61
     # the reference's r'[^\w\s\.]' uses Python's UNICODE \w; Java's \w is
     # ASCII-only, so spell out the Unicode classes (\p{L}\p{N}_) to keep
     # accented/non-Latin characters exactly like the reference does.
     # (\s stays ASCII in both engines; the \s+ collapse above already
     # normalized exotic whitespace to ' '.)
     c = F.regexp_replace(c, r"[^\p{L}\p{N}_\s\.]", " ")  # :58
-    c = F.lower(c)                                     # :61
     c = F.trim(F.regexp_replace(c, r" +", " "))        # :64 ' '.join(split())
     return c
 

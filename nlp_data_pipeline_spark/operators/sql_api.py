@@ -206,11 +206,12 @@ ORDER BY day
 
 
 # --------------------------------------------------------------------------
-# v06: LATERAL VIEW explode + scalar subquery — the remaining SQL-only
-# surface: a table-generating function in the FROM clause (the SQL
-# spelling of the DataFrame explode every t* query uses) and an
-# uncorrelated scalar subquery in SELECT. Per-source token counts next
-# to the corpus-wide total each source is a share of.
+# v06: LATERAL VIEW explode — a table-generating function in the FROM
+# clause (the SQL spelling of the DataFrame explode every t* query
+# uses). Per-source token counts next to the corpus-wide total each
+# source is a share of; the total comes from an unpartitioned window
+# over the tiny grouped result so the document scan runs exactly once
+# (v02 covers the subquery surface).
 # --------------------------------------------------------------------------
 def v06_sql_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_data_pipeline_spark.functions.text import STOP_WORDS_SORTED
@@ -228,8 +229,8 @@ def v06_sql_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
           SELECT doc_id, source,
                  filter(
-                   split(trim(regexp_replace(lower(regexp_replace(regexp_replace(text,
-                     '\\\\s+', ' '), '[^\\\\p{L}\\\\p{N}_\\\\s\\\\.]', ' ')), ' +', ' ')), ' '),
+                   split(trim(regexp_replace(regexp_replace(lower(regexp_replace(text,
+                     '\\\\s+', ' ')), '[^\\\\p{L}\\\\p{N}_\\\\s\\\\.]', ' '), ' +', ' ')), ' '),
                    t -> length(t) > 2 AND t != ''
                  ) AS toks
           FROM documents
@@ -237,14 +238,21 @@ def v06_sql_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE token NOT IN (SELECT word FROM stop_words)
         """
     )
+    # corpus total via an unpartitioned window over the per-source
+    # aggregate (5 rows), NOT a scalar subquery: a scalar subquery over
+    # doc_tokens re-runs the tokenizing scan of documents — at 100 TB
+    # that doubles the most expensive stage. One scan, one shuffle.
     return spark.sql(
         """
         SELECT source,
-               COUNT(*) AS n_tokens,
-               (SELECT COUNT(*) FROM doc_tokens) AS corpus_tokens,
-               ROUND(COUNT(*) / (SELECT COUNT(*) FROM doc_tokens), 6) AS share
-        FROM doc_tokens
-        GROUP BY source
+               n_tokens,
+               SUM(n_tokens) OVER () AS corpus_tokens,
+               ROUND(n_tokens / SUM(n_tokens) OVER (), 6) AS share
+        FROM (
+          SELECT source, COUNT(*) AS n_tokens
+          FROM doc_tokens
+          GROUP BY source
+        )
         ORDER BY source
         """
     )

@@ -40,10 +40,11 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOP_WORDS_SORTED)
 # DuckDB equivalent of functions.text.clean_text (regexp_replace needs
 # the 'g' flag in DuckDB; Spark's is global by default).
 # \p{L}\p{N}_ spells out Python's Unicode \w (RE2's \w is ASCII-only),
-# mirroring functions/text.py::clean_text exactly
+# mirroring functions/text.py::clean_text exactly — including its
+# lowercase-BEFORE-strip order (the idempotence fix).
 _CLEAN_SQL = (
     "trim(regexp_replace("
-    "lower(regexp_replace(regexp_replace(text, '\\s+', ' ', 'g'), '[^\\p{L}\\p{N}_\\s\\.]', ' ', 'g')),"
+    "regexp_replace(lower(regexp_replace(text, '\\s+', ' ', 'g')), '[^\\p{L}\\p{N}_\\s\\.]', ' ', 'g'),"
     " ' +', ' ', 'g'))"
 )
 

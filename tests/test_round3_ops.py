@@ -148,9 +148,18 @@ def test_r07_restates_exactly_one_day(spark, sf_dir):
         assert abs(r["total_value"] - base[day]["tv"] * factor) < 0.01
 
 
-def test_transform_with_state_gate_raises_without_protobuf(spark, sf_dir):
-    """The Spark 4 transformWithState path needs google.protobuf; in
-    this container the gate must fail loudly, not crash mid-query."""
+def test_transform_with_state_gate_or_runs(spark, sf_dir):
+    """The Spark 4 transformWithState path needs google.protobuf.
+
+    Without protobuf (this container) the gate must fail loudly, not
+    crash mid-query. WITH protobuf (a real cluster image) the same test
+    runs the query end-to-end and checks it against the batch counts —
+    so the Spark-4 state API stays exercised automatically wherever the
+    dependency exists, no manual opt-in.
+    """
+    import os
+    import tempfile
+
     from nlp_data_pipeline_spark.streaming.pipelines import (
         transform_with_state_type_counts,
     )
@@ -158,19 +167,28 @@ def test_transform_with_state_gate_raises_without_protobuf(spark, sf_dir):
     try:
         import google.protobuf  # noqa: F401
 
-        pytest.skip("protobuf available: gate open, covered by e13 oracle")
+        have_protobuf = True
     except ImportError:
-        pass
-    import os
-    import tempfile
+        have_protobuf = False
 
     src = tempfile.mkdtemp(prefix="tws_gate_")
+    rows = [(1, "a", 1.0), (1, "a", 2.0), (1, "b", 3.0), (2, "a", 4.0)]
     spark.createDataFrame(
-        [(1, "a", 1.0)], "user_id long, event_type string, value double"
+        rows, "user_id long, event_type string, value double"
     ).write.parquet(os.path.join(src, "in"))
     stream = (
         spark.readStream.schema("user_id long, event_type string, value double")
         .parquet(os.path.join(src, "in"))
     )
-    with pytest.raises(NotImplementedError, match="protobuf"):
-        transform_with_state_type_counts(stream)
+    if not have_protobuf:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            transform_with_state_type_counts(stream)
+        return
+
+    from nlp_data_pipeline_spark.streaming.pipelines import run_to_memory_sink
+
+    _, out = run_to_memory_sink(
+        transform_with_state_type_counts(stream), output_mode="update"
+    )
+    got = {(r.user_id, r.event_type): r.n_events for r in out.collect()}
+    assert got == {(1, "a"): 2, (1, "b"): 1, (2, "a"): 1}
