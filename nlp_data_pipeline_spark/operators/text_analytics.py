@@ -1368,6 +1368,198 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# t28: Gopher-style repetition filter (Rae et al. 2021 §A1.1 "repetition
+# removal", adapted): per-document repetition signals + a keep/drop
+# verdict. The published rules use duplicate lines/paragraphs and the
+# character share of the most frequent n-gram; this corpus has no
+# sentence or line structure (see T05_SQL note), so the signals are the
+# token-level equivalents — share of the most frequent token, duplicate
+# token fraction, and share of the most frequent bigram.
+#
+# Scale: per-doc modes go through explode → groupBy(doc_id, gram) →
+# groupBy(doc_id) — two shuffles both keyed by doc_id, linear in corpus
+# size. Never compute a per-row mode with O(n²) array lambdas: a 100k-
+# token document would do 10^10 comparisons inside one task.
+# --------------------------------------------------------------------------
+_T28_TOP_TOKEN_MAX = 0.20   # drop if one token is >20% of the doc
+_T28_TOP_BIGRAM_MAX = 0.18  # Gopher's top-2-gram threshold
+
+
+def t28_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE tokenize pass, ONE explode: unigrams and bigrams are tagged
+    # with a kind and stacked into a single gram relation, so the
+    # expensive regex/tokenize chain scans `documents` exactly once
+    # (the naive shape — separate branches per signal — re-tokenizes
+    # the 100 TB corpus per signal). groupBy(doc_id, kind, gram) →
+    # groupBy(doc_id) + 2-value pivot recovers totals, distinct counts
+    # and per-doc modes in one aggregation tree.
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(clean_text("text"))
+
+    def tagged(arr, kind: str):
+        return F.transform(
+            arr, lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("g"))
+        )
+
+    base = d.select(
+        "doc_id",
+        F.concat(tagged(toks, "tok"), tagged(ngrams(toks, 2), "bg")).alias("grams"),
+    )
+    # explode_outer keeps zero-token docs as a null-kind row: it falls
+    # outside the pivot's value list but still anchors the doc_id group
+    pivoted = (
+        base.select("doc_id", F.explode_outer("grams").alias("kg"))
+        .groupBy("doc_id", F.col("kg.kind").alias("kind"), F.col("kg.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .pivot("kind", ["tok", "bg"])
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("nd"),
+            F.max("c").alias("top"),
+        )
+    )
+    n_tokens = F.coalesce(F.col("tok_n"), F.lit(0)).cast("long")
+    dup_token_frac = F.when(
+        F.col("tok_n") > 0,
+        F.round(F.lit(1.0) - F.col("tok_nd") / F.col("tok_n"), 6),
+    ).otherwise(F.lit(0.0))
+    top_token_frac = F.when(
+        F.col("tok_n") > 0, F.round(F.col("tok_top") / F.col("tok_n"), 6)
+    ).otherwise(F.lit(0.0))
+    top_bigram_frac = F.when(
+        F.col("bg_n") > 0, F.round(F.col("bg_top") / F.col("bg_n"), 6)
+    ).otherwise(F.lit(0.0))
+    return pivoted.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        dup_token_frac.alias("dup_token_frac"),
+        top_token_frac.alias("top_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        (
+            (top_token_frac <= _T28_TOP_TOKEN_MAX)
+            & (top_bigram_frac <= _T28_TOP_BIGRAM_MAX)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+T28_SQL = f"""
+WITH cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents),
+toklists AS (
+  SELECT doc_id,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM cleaned
+),
+withbi AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS b
+  FROM toklists
+),
+tok_top AS (
+  SELECT doc_id, MAX(c) AS top_tok_c FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS g FROM withbi) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+bi_top AS (
+  SELECT doc_id, MAX(c) AS top_bi_c FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(b) AS g FROM withbi) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+joined AS (
+  SELECT w.doc_id,
+         len(t) AS n_tokens,
+         len(b) AS n_bigrams,
+         CASE WHEN len(t) > 0
+              THEN round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+              ELSE 0.0 END AS dup_token_frac,
+         CASE WHEN len(t) > 0
+              THEN round(CAST(top_tok_c AS DOUBLE) / len(t), 6)
+              ELSE 0.0 END AS top_token_frac,
+         CASE WHEN len(b) > 0
+              THEN round(CAST(top_bi_c AS DOUBLE) / len(b), 6)
+              ELSE 0.0 END AS top_bigram_frac
+  FROM withbi w
+  LEFT JOIN tok_top USING (doc_id)
+  LEFT JOIN bi_top USING (doc_id)
+)
+SELECT doc_id, n_tokens, dup_token_frac, top_token_frac, top_bigram_frac,
+       (top_token_frac <= {_T28_TOP_TOKEN_MAX} AND top_bigram_frac <= {_T28_TOP_BIGRAM_MAX}) AS keep
+FROM joined
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# t29: sequence packing — the concatenate-and-chunk layout step of LLM
+# pretraining: within each source shard, documents are concatenated in
+# doc_id order and cut into fixed 2048-token training sequences. Emits
+# each document's token offset range and the pack ids it lands in, so a
+# downstream writer can materialize the packed sequences.
+#
+# Scale: the running offset is a window partitioned BY SOURCE SHARD —
+# exactly how distributed tokenizers pack (shard-local order), so no
+# global total order and no single-partition window exists anywhere.
+# All arithmetic is integer (token counts, DIV) — hash-exact oracle.
+# --------------------------------------------------------------------------
+_T29_SEQ_LEN = 2048
+
+
+def t29_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = d.select(
+        "doc_id", "source", word_count("text").cast("long").alias("n_tokens")
+    ).withColumn("end_off", F.sum("n_tokens").over(w))
+    first_pack = F.expr(f"(end_off - n_tokens) DIV {_T29_SEQ_LEN}")
+    last_pack = F.when(
+        F.col("n_tokens") > 0, F.expr(f"(end_off - 1) DIV {_T29_SEQ_LEN}")
+    ).otherwise(first_pack)
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("end_off") - F.col("n_tokens")).alias("start_off"),
+        first_pack.alias("first_pack"),
+        last_pack.alias("last_pack"),
+        (last_pack > first_pack).alias("spans_boundary"),
+    ).orderBy("source", "doc_id")
+
+
+T29_SQL = f"""
+WITH counted AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+  FROM counted
+)
+SELECT doc_id, source, n_tokens,
+       end_off - n_tokens AS start_off,
+       (end_off - n_tokens) // {_T29_SEQ_LEN} AS first_pack,
+       CASE WHEN n_tokens > 0 THEN (end_off - 1) // {_T29_SEQ_LEN}
+            ELSE (end_off - n_tokens) // {_T29_SEQ_LEN} END AS last_pack,
+       CASE WHEN n_tokens > 0 THEN (end_off - 1) // {_T29_SEQ_LEN}
+            ELSE (end_off - n_tokens) // {_T29_SEQ_LEN} END
+         > (end_off - n_tokens) // {_T29_SEQ_LEN} AS spans_boundary
+FROM offs
+ORDER BY source, doc_id
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -1395,9 +1587,13 @@ QUERIES = {
     "t25_source_kl_drift": t25_source_kl_drift,
     "t26_mixture_weights": t26_mixture_weights,
     "t27_unigram_entropy": t27_unigram_entropy,
+    "t28_repetition_filter": t28_repetition_filter,
+    "t29_sequence_packing": t29_sequence_packing,
 }
 
 ORACLES = {
+    "t28_repetition_filter": T28_SQL,
+    "t29_sequence_packing": T29_SQL,
     "t26_mixture_weights": T26_SQL,
     "t27_unigram_entropy": T27_SQL,
     "t25_source_kl_drift": T25_SQL,

@@ -1,0 +1,69 @@
+"""Round-5 operators: t28 repetition filter, t29 sequence packing."""
+
+import pyspark.sql.functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "srcA", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_t28_flags_repetitive_document(spark, tmp_path, monkeypatch):
+    import nlp_data_pipeline_spark.operators.text_analytics as ta
+
+    rows = [
+        # one token is ~100% of the doc → top_token_frac 1.0 → drop
+        "spam spam spam spam spam spam",
+        # varied vocabulary → keep
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+    ]
+    monkeypatch.setattr(ta, "load_table", lambda s, d, n: _docs(spark, rows))
+    out = {r.doc_id: r for r in ta.t28_repetition_filter(spark, "ignored").collect()}
+    assert out[0].top_token_frac == 1.0
+    assert out[0].top_bigram_frac == 1.0  # "spam spam" is every bigram
+    assert not out[0].keep
+    assert out[1].dup_token_frac == 0.0
+    assert out[1].keep
+
+
+def test_t29_packing_is_contiguous_per_source(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _T29_SEQ_LEN,
+        t29_sequence_packing,
+    )
+
+    df = t29_sequence_packing(spark, sf_dir)
+    rows = df.collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, docs in by_source.items():
+        docs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in docs:
+            # concatenation: each doc starts where the previous ended
+            assert r.start_off == off
+            off += r.n_tokens
+            assert r.first_pack == r.start_off // _T29_SEQ_LEN
+            if r.n_tokens:
+                assert r.last_pack == (r.start_off + r.n_tokens - 1) // _T29_SEQ_LEN
+            assert r.spans_boundary == (r.last_pack > r.first_pack)
+    # cross-source independence: every source's offsets start at zero
+    assert all(docs[0].start_off == 0 for docs in by_source.values())
+
+
+def test_t28_single_scan_plan(spark, sf_dir):
+    """The gram union must not re-tokenize the corpus per signal."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        t28_repetition_filter,
+    )
+
+    plan = (
+        t28_repetition_filter(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("documents.parquet") == 1
