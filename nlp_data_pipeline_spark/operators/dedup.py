@@ -760,6 +760,87 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# d12: LEAKAGE-SAFE train/val/test split — assignment is atomic per
+# near-dup CLUSTER (d06), not per document: a near-duplicate of a
+# training document can therefore never land in an eval split, the
+# contamination mode that silently inflates benchmark scores. Docs with
+# no near-dup edge form singleton clusters (cluster_id = doc_id). The
+# split is a deterministic md5 bucket of the cluster id (80/10/10),
+# reproducible across engines and partitionings — no RNG state.
+#
+# Scale: d06's banded LSH + O(diameter) label propagation dominates;
+# the assignment itself adds one broadcast-size left join (cluster
+# labels only exist for docs with near-dup edges, a small fraction of
+# a deduped corpus) and a hash expression.
+# --------------------------------------------------------------------------
+def d12_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    clusters = d06_neardup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    assigned = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % 10
+    )
+    split = (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return assigned.select(
+        "doc_id", "cluster_id", split.alias("split")
+    ).orderBy("doc_id")
+
+
+D12_SQL = (
+    _TOKLIST_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('seed{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES))
+    + " FROM shingle_set GROUP BY doc_id), "
+    + f"banded AS ({_BANDS_SQL}) "
+    + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+closure AS (
+  SELECT src AS doc_id, dst FROM reach
+  UNION SELECT src, src FROM edges
+),
+labels AS (SELECT doc_id, MIN(dst) AS cluster_id FROM closure GROUP BY doc_id),
+assigned AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::INT % 10 <= 7 THEN 'train'
+            WHEN ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::INT % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+ORDER BY doc_id
+"""
+).replace("WITH cleaned AS", "WITH RECURSIVE cleaned AS", 1)
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_signatures": d02_minhash_signatures,
@@ -772,9 +853,11 @@ QUERIES = {
     "d09_minhash_calibration": d09_minhash_calibration,
     "d10_benchmark_decontamination": d10_benchmark_decontamination,
     "d11_span_dedup_plan": d11_span_dedup_plan,
+    "d12_leakage_safe_split": d12_leakage_safe_split,
 }
 
 ORACLES = {
+    "d12_leakage_safe_split": D12_SQL,
     "d11_span_dedup_plan": D11_SQL,
     "d09_minhash_calibration": D09_SQL,
     "d10_benchmark_decontamination": D10_SQL,

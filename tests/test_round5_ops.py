@@ -54,6 +54,27 @@ def test_t29_packing_is_contiguous_per_source(spark, sf_dir):
     assert all(docs[0].start_off == 0 for docs in by_source.values())
 
 
+def test_d12_no_near_dup_straddles_splits(spark, sf_dir):
+    """The whole point: both ends of every LSH candidate pair (and by
+    transitivity every near-dup cluster) land in the SAME split."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d03_lsh_candidate_pairs,
+        d12_leakage_safe_split,
+    )
+
+    split = {r.doc_id: r.split for r in d12_leakage_safe_split(spark, sf_dir).collect()}
+    pairs = d03_lsh_candidate_pairs(spark, sf_dir).collect()
+    assert pairs, "fixture must contain near-dup pairs for this test to bite"
+    for p in pairs:
+        assert split[p.doc_a] == split[p.doc_b]
+    # sanity on the 80/10/10 md5 bucketing: all three splits non-empty
+    from collections import Counter
+
+    frac = Counter(split.values())
+    assert set(frac) == {"train", "val", "test"}
+    assert frac["train"] > frac["val"] and frac["train"] > frac["test"]
+
+
 def test_t28_single_scan_plan(spark, sf_dir):
     """The gram union must not re-tokenize the corpus per signal."""
     from nlp_data_pipeline_spark.operators.text_analytics import (
