@@ -524,7 +524,12 @@ def r07_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        ev.write.partitionBy("day").mode("overwrite").parquet(out)
+        # repartition on the partition column first: without it every
+        # input task writes a file into every day directory (tasks ×
+        # days small files — the classic partitioned-write mistake that
+        # drowns a 100 TB table's listing in millions of tiny files);
+        # with it each day is one task → one file per partition dir.
+        ev.repartition("day").write.partitionBy("day").mode("overwrite").parquet(out)
         first_day = ev.agg(F.min("day")).first()[0]  # scalar, not a data collect
         restated = ev.filter(F.col("day") == F.lit(first_day)).withColumn(
             "value", F.col("value") * 2
