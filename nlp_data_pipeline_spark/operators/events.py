@@ -734,6 +734,84 @@ ORDER BY user_id, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# e14: streaming SESSION windows, append mode — the stateful operator
+# whose state is hardest to bound (session extent is data-dependent:
+# every event can extend a session by another gap). A session is
+# finalized only once the watermark passes its close (last event +
+# 30-min gap); availableNow's final no-data micro-batch flushes every
+# finalized session, so the emitted set is exactly
+#   { sessions | session_end <= max(ts) − 10 min }
+# — the same closed form the e08 oracle uses for tumbling windows,
+# here applied to e02's gaps-and-islands session definition. This pins
+# that session state EVICTS at the watermark — the property that keeps
+# sessionization viable on an unbounded stream (state ∝ open sessions
+# within the lateness horizon, not total history).
+# --------------------------------------------------------------------------
+def e14_streaming_session_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nlp_data_pipeline_spark.streaming.pipelines import read_events_stream
+
+    stage_dir = _stage_events(sf_dir, "e14_stream_")
+    stream = read_events_stream(spark, stage_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D182)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    sink = f"e14_sink_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table(sink).orderBy("user_id", "session_start")
+
+
+E14_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+horizon AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM numbered, horizon
+GROUP BY user_id, session_id
+HAVING MAX(ts) + INTERVAL 30 MINUTE <= ANY_VALUE(wm)
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_session_windows": e02_session_windows,
@@ -748,9 +826,11 @@ QUERIES = {
     "e11_foreachbatch_sink": e11_foreachbatch_sink,
     "e12_stream_stream_join": e12_stream_stream_join,
     "e13_stateful_type_counts": e13_stateful_type_counts,
+    "e14_streaming_session_finalized": e14_streaming_session_finalized,
 }
 
 ORACLES = {
+    "e14_streaming_session_finalized": E14_SQL,
     "e13_stateful_type_counts": E13_SQL,
     "e11_foreachbatch_sink": E11_SQL,
     "e12_stream_stream_join": E12_SQL,

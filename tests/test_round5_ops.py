@@ -75,6 +75,33 @@ def test_d12_no_near_dup_straddles_splits(spark, sf_dir):
     assert frac["train"] > frac["val"] and frac["train"] > frac["test"]
 
 
+def test_e14_emits_exactly_watermark_closed_sessions(spark, sf_dir):
+    """Append-mode session windows: emitted = batch sessions whose end
+    (last event + gap) precedes the final watermark (max ts − 10 min);
+    sessions still open at the horizon stay in state and never emit."""
+    from nlp_data_pipeline_spark.operators.events import (
+        e02_session_windows,
+        e14_streaming_session_finalized,
+    )
+
+    batch = e02_session_windows(spark, sf_dir).collect()
+    max_ts = max(r.session_end for r in batch)  # end = last ts + 30 min
+    import datetime
+
+    wm = max_ts - datetime.timedelta(minutes=30) - datetime.timedelta(minutes=10)
+    expected = {
+        (r.user_id, r.session_start): r.n_events
+        for r in batch
+        if r.session_end <= wm
+    }
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in e14_streaming_session_finalized(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(expected) < len(batch)  # the horizon actually bites
+
+
 def test_t28_single_scan_plan(spark, sf_dir):
     """The gram union must not re-tokenize the corpus per signal."""
     from nlp_data_pipeline_spark.operators.text_analytics import (
