@@ -714,6 +714,165 @@ ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# s11: PQ ASYMMETRIC-DISTANCE (ADC) top-k search — the search half of
+# IVFADC (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search"): each query precomputes an M×K distance TABLE (query
+# subvector → each codeword, tiny and broadcast), and a corpus vector's
+# approximate distance is the sum of M table lookups through its PQ
+# code — the full-precision corpus embeddings are never touched during
+# scan. That is the point at 100 TB: the scan reads M small codes per
+# vector (s10's 8 bytes here) instead of DIM floats (256 bytes), a 32×
+# bandwidth cut; exact embeddings are fetched only for the k×queries
+# audit rows at the end (broadcast-size).
+#
+# Determinism: every per-cell distance is summed in index order inside
+# one list fold, and the M cells are summed in sub_idx order via
+# sorted-collect — bit-identical float addition order in Spark and
+# DuckDB, so ADC distances (and their ranking) hash-match exactly.
+# --------------------------------------------------------------------------
+def s11_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" j -> slice(emb, j * {PQ_SUB} + 1, {PQ_SUB}))"
+            )
+        ).alias("sub_idx", "subv"),
+    )
+    codes = subs.filter(F.col("vec_id") < PQ_K).select(
+        "sub_idx", F.col("vec_id").alias("code_id"), F.col("subv").alias("codev")
+    )
+    d2 = F.aggregate(
+        F.zip_with("subv", "codev", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # corpus → PQ code assignment (same rule as s10: nearest codeword,
+    # code_id tie-break)
+    wbest = Window.partitionBy("vec_id", "sub_idx").orderBy("d2", "code_id")
+    best = (
+        subs.join(F.broadcast(codes), "sub_idx")
+        .select("vec_id", "sub_idx", "code_id", d2.alias("d2"))
+        .withColumn("r", F.row_number().over(wbest))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "sub_idx", "code_id")
+    )
+    # per-query distance tables: N_QUERIES × M × K cells
+    tables = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "sub_idx", F.col("subv").alias("qsubv"))
+        .join(F.broadcast(codes), "sub_idx")
+        .select(
+            "query_id",
+            "sub_idx",
+            "code_id",
+            F.aggregate(
+                F.zip_with("qsubv", "codev", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("cell"),
+        )
+    )
+    # ADC: M table lookups per (query, corpus vector), summed in
+    # sub_idx order (sorted fold → engine-independent float result)
+    cells_in_order = F.transform(
+        F.array_sort(F.collect_list(F.struct("sub_idx", "cell"))),
+        lambda s: s["cell"],
+    )
+    adc = (
+        best.join(F.broadcast(tables), ["sub_idx", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.aggregate(cells_in_order, F.lit(0.0), lambda acc, x: acc + x).alias(
+                "adc_d2"
+            )
+        )
+    )
+    wtop = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    topk = (
+        adc.withColumn("adc_rank", F.row_number().over(wtop))
+        .filter(F.col("adc_rank") <= TOP_K)
+    )
+    # exact-distance audit for the k×queries winners only
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    exact_d2 = F.aggregate(
+        F.zip_with("qemb", "emb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        topk.join(F.broadcast(q), "query_id")
+        .join(e, "vec_id")
+        .select(
+            "query_id",
+            "adc_rank",
+            "vec_id",
+            F.round("adc_d2", 6).alias("adc_d2"),
+            F.round(exact_d2, 6).alias("exact_d2"),
+        )
+        .orderBy("query_id", "adc_rank")
+    )
+
+
+S11_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+subs AS (
+  SELECT vec_id, j AS sub_idx, list_slice(emb, j * {PQ_SUB} + 1, j * {PQ_SUB} + {PQ_SUB}) AS subv
+  FROM e, unnest(generate_series(0, {PQ_M - 1})) AS g(j)
+),
+codes AS (
+  SELECT sub_idx, vec_id AS code_id, subv AS codev FROM subs WHERE vec_id < {PQ_K}
+),
+scored AS (
+  SELECT s.vec_id, s.sub_idx, c.code_id,
+         list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                                 i -> (s.subv[i] - c.codev[i]) * (s.subv[i] - c.codev[i]))) AS d2
+  FROM subs s JOIN codes c USING (sub_idx)
+),
+best AS (
+  SELECT vec_id, sub_idx, code_id FROM (
+    SELECT vec_id, sub_idx, code_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx ORDER BY d2, code_id) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+tables AS (
+  SELECT s.vec_id AS query_id, s.sub_idx, c.code_id,
+         list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                                 i -> (s.subv[i] - c.codev[i]) * (s.subv[i] - c.codev[i]))) AS cell
+  FROM subs s JOIN codes c USING (sub_idx)
+  WHERE s.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT t.query_id, b.vec_id,
+         list_sum(list(t.cell ORDER BY t.sub_idx)) AS adc_d2
+  FROM best b JOIN tables t ON b.sub_idx = t.sub_idx AND b.code_id = t.code_id
+  WHERE b.vec_id != t.query_id
+  GROUP BY t.query_id, b.vec_id
+),
+topk AS (
+  SELECT query_id, vec_id, adc_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id) AS adc_rank
+  FROM adc
+)
+SELECT k.query_id, k.adc_rank, k.vec_id,
+       round(k.adc_d2, 6) AS adc_d2,
+       round(list_sum(list_transform(generate_series(1, {DIM}),
+                                     i -> (q.emb[i] - v.emb[i]) * (q.emb[i] - v.emb[i]))), 6) AS exact_d2
+FROM topk k
+JOIN e q ON q.vec_id = k.query_id
+JOIN e v ON v.vec_id = k.vec_id
+WHERE k.adc_rank <= {TOP_K}
+ORDER BY k.query_id, k.adc_rank
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
@@ -725,9 +884,11 @@ QUERIES = {
     "s08_ann_recall": s08_ann_recall,
     "s09_semantic_dedup": s09_semantic_dedup,
     "s10_pq_encode": s10_pq_encode,
+    "s11_pq_adc_search": s11_pq_adc_search,
 }
 
 ORACLES = {
+    "s11_pq_adc_search": S11_SQL,
     "s10_pq_encode": S10_SQL,
     "s09_semantic_dedup": S09_SQL,
     "s08_ann_recall": S08_SQL,

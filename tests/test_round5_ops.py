@@ -102,6 +102,27 @@ def test_e14_emits_exactly_watermark_closed_sessions(spark, sf_dir):
     assert len(expected) < len(batch)  # the horizon actually bites
 
 
+def test_s11_adc_ranks_complete_and_sane(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        s11_pq_adc_search,
+    )
+
+    rows = s11_pq_adc_search(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES * TOP_K
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.adc_d2 >= 0.0 and r.exact_d2 >= 0.0
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(r.adc_rank for r in rs) == list(range(1, TOP_K + 1))
+        # ranks follow ADC distance monotonically
+        rs.sort(key=lambda r: r.adc_rank)
+        assert all(a.adc_d2 <= b.adc_d2 for a, b in zip(rs, rs[1:]))
+
+
 def test_t28_single_scan_plan(spark, sf_dir):
     """The gram union must not re-tokenize the corpus per signal."""
     from nlp_data_pipeline_spark.operators.text_analytics import (
