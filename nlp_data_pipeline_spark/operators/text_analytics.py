@@ -1560,6 +1560,95 @@ ORDER BY source, doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# t30: LM-based quality / novelty scoring (CCNet-style, Wenzek et al.
+# 2020 "CCNet: Extracting High Quality Monolingual Datasets"): score
+# every document by how predictable it is under a language model — here
+# the corpus's own bigram MLE model (t19) instead of an external
+# KenLM — as avg -log2 P(w_i | w_{i-1}) in bits. Low = repetitive/
+# template text, high = unusual; CCNet buckets on exactly this signal.
+# Also emits an integer-exact novelty fraction: the share of the doc's
+# bigrams that occur nowhere else in the corpus (pair_cnt == 1).
+#
+# Scale: two passes with distinct roles — a MODEL pass (bigram/context
+# counts, two groupBys over the exploded pairs) and a SCORE pass (join
+# doc bigrams to the model, one groupBy doc_id). The model tables are
+# vocabulary-sized, far smaller than the corpus; the score join is the
+# standard model-apply shuffle. Float note: per-doc AVG of ~100 log2
+# terms varies only ~1e-14 with addition order — far below the 6-dp
+# rounding, so the oracle hash-matches (t27 precedent).
+# --------------------------------------------------------------------------
+def t30_lm_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(clean_text("text"))
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("w1_cnt"))
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            (-F.log2(F.col("pair_cnt") / F.col("w1_cnt"))).alias("nll"),
+            F.when(F.col("pair_cnt") == 1, 1).otherwise(0).alias("uniq"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll_bits"),
+            F.sum("uniq").cast("long").alias("n_unique_bigrams"),
+            F.round(F.sum("uniq") / F.count(F.lit(1)), 6).alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T30_SQL = f"""
+WITH cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents),
+toklists AS (
+  SELECT doc_id,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM cleaned
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> {{'w1': t[i], 'w2': t[i+1]}}), recursive := true)
+  FROM toklists WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS pair_cnt FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS w1_cnt FROM pairs GROUP BY w1),
+scored AS (
+  SELECT p.doc_id,
+         -log2(CAST(pair_cnt AS DOUBLE) / w1_cnt) AS nll,
+         CASE WHEN pair_cnt = 1 THEN 1 ELSE 0 END AS uniq
+  FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       round(AVG(nll), 6) AS avg_nll_bits,
+       CAST(SUM(uniq) AS BIGINT) AS n_unique_bigrams,
+       round(CAST(SUM(uniq) AS DOUBLE) / COUNT(*), 6) AS novelty_frac
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -1589,9 +1678,11 @@ QUERIES = {
     "t27_unigram_entropy": t27_unigram_entropy,
     "t28_repetition_filter": t28_repetition_filter,
     "t29_sequence_packing": t29_sequence_packing,
+    "t30_lm_novelty_score": t30_lm_novelty_score,
 }
 
 ORACLES = {
+    "t30_lm_novelty_score": T30_SQL,
     "t28_repetition_filter": T28_SQL,
     "t29_sequence_packing": T29_SQL,
     "t26_mixture_weights": T26_SQL,

@@ -102,6 +102,25 @@ def test_e14_emits_exactly_watermark_closed_sessions(spark, sf_dir):
     assert len(expected) < len(batch)  # the horizon actually bites
 
 
+def test_t30_novelty_bounds_and_unique_doc(spark, tmp_path, monkeypatch):
+    import nlp_data_pipeline_spark.operators.text_analytics as ta
+
+    rows = [
+        "alpha bravo alpha bravo alpha bravo alpha bravo",  # one repeated bigram
+        "unique1 unique2 unique3 unique4 unique5",          # all bigrams unique
+    ]
+    monkeypatch.setattr(ta, "load_table", lambda s, d, n: _docs(spark, rows))
+    out = {r.doc_id: r for r in ta.t30_lm_novelty_score(spark, "ignored").collect()}
+    # doc 1's bigrams occur nowhere else → novelty 1.0 and P=1 → 0 bits
+    assert out[1].novelty_frac == 1.0
+    assert out[1].avg_nll_bits == 0.0
+    # doc 0 repeats (alpha,bravo) 4x and (bravo,alpha) 3x → nothing unique
+    assert out[0].novelty_frac == 0.0
+    assert out[0].n_bigrams == 7
+    # predictable text scores strictly fewer bits than 'surprising' is bounded by
+    assert 0.0 <= out[0].avg_nll_bits <= 1.0
+
+
 def test_s11_adc_ranks_complete_and_sane(spark, sf_dir):
     from nlp_data_pipeline_spark.operators.similarity import (
         N_QUERIES,
