@@ -1595,7 +1595,9 @@ def t30_lm_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
-    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("w1_cnt"))
+    # context totals roll up from the bigram table (vocabulary-sized),
+    # NOT from a third pass over the exploded corpus
+    c1 = c2.groupBy("w1").agg(F.sum("pair_cnt").alias("w1_cnt"))
     scored = (
         pairs.join(c2, ["w1", "w2"])
         .join(c1, ["w1"])
