@@ -142,6 +142,35 @@ def test_s11_adc_ranks_complete_and_sane(spark, sf_dir):
         assert all(a.adc_d2 <= b.adc_d2 for a, b in zip(rs, rs[1:]))
 
 
+def test_t29_no_global_single_partition_window(spark, sf_dir):
+    """Packing windows are per source shard; a global total order would
+    plan an Exchange SinglePartition — the one shape that cannot scale."""
+    from nlp_data_pipeline_spark.operators.text_analytics import t29_sequence_packing
+
+    plan = (
+        t29_sequence_packing(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_s11_model_tables_broadcast(spark, sf_dir):
+    """Codebooks and per-query distance tables are tiny model state:
+    every join against them must broadcast, never shuffle the corpus."""
+    from nlp_data_pipeline_spark.operators.similarity import s11_pq_adc_search
+
+    plan = (
+        s11_pq_adc_search(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_t28_single_scan_plan(spark, sf_dir):
     """The gram union must not re-tokenize the corpus per signal."""
     from nlp_data_pipeline_spark.operators.text_analytics import (
