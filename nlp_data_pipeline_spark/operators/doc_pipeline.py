@@ -568,6 +568,55 @@ ORDER BY day
 """
 
 
+# --------------------------------------------------------------------------
+# r08: custom PYTHON DATA SOURCE (Spark 4 DataSource API) end-to-end —
+# documents' stat columns staged as plain TSV shards, read back through
+# the registered `docstats` connector (sources/custom_datasource.py:
+# one InputPartition per shard, Python line parsing, Arrow transfer),
+# then aggregated. The oracle computes the same aggregate from the
+# original table, so a hash match proves the custom connector is
+# lossless and the partition fan-out correct.
+# --------------------------------------------------------------------------
+def r08_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from nlp_data_pipeline_spark.sources.custom_datasource import (
+        DocStatsDataSource,
+    )
+
+    key = hashlib.md5(f"r08|{sf_dir}".encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"docstats_{key}")
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.isdir(marker):
+        d = load_table(spark, sf_dir, "documents")
+        (
+            d.select("doc_id", "source", "n_chars")
+            .repartition(8)
+            .write.mode("overwrite")
+            .option("sep", "\t")
+            .csv(stage)
+        )
+        os.makedirs(marker, exist_ok=True)
+    spark.dataSource.register(DocStatsDataSource)
+    df = spark.read.format("docstats").load(stage)
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+R08_SQL = """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "p01_document_records": p01_document_records,
     "p02_export_projection": p02_export_projection,
@@ -579,10 +628,12 @@ QUERIES = {
     "r05_cdc_upsert_merge": r05_cdc_upsert_merge,
     "r06_json_roundtrip": r06_json_roundtrip,
     "r07_partition_overwrite": r07_partition_overwrite,
+    "r08_python_datasource": r08_python_datasource,
     "a01_approx_stats": a01_approx_stats,
 }
 
 ORACLES = {
+    "r08_python_datasource": R08_SQL,
     "r07_partition_overwrite": R07_SQL,
     "r06_json_roundtrip": R06_SQL,
     "r03_orc_roundtrip": R03_SQL,

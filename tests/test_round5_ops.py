@@ -142,6 +142,31 @@ def test_s11_adc_ranks_complete_and_sane(spark, sf_dir):
         assert all(a.adc_d2 <= b.adc_d2 for a, b in zip(rs, rs[1:]))
 
 
+def test_r08_custom_source_partitions_per_shard(spark, sf_dir):
+    """The Python DataSource fans out one input partition per staged
+    shard — the property that makes the custom scan parallel."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        r08_python_datasource,
+    )
+    from nlp_data_pipeline_spark.sources.custom_datasource import DocStatsDataSource
+
+    r08_python_datasource(spark, sf_dir).collect()  # stages + registers
+    key = hashlib.md5(f"r08|{sf_dir}".encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"docstats_{key}")
+    n_shards = len(glob.glob(os.path.join(stage, "part-*")))
+    assert n_shards == 8
+    df = spark.read.format("docstats").load(stage)
+    assert df.rdd.getNumPartitions() == n_shards
+    assert df.count() == spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).count()
+
+
 def test_t29_no_global_single_partition_window(spark, sf_dir):
     """Packing windows are per source shard; a global total order would
     plan an Exchange SinglePartition — the one shape that cannot scale."""
