@@ -854,6 +854,49 @@ ORDER BY o_orderkey
 """
 
 
+# --------------------------------------------------------------------------
+# q36: VARIANT ingestion (Spark 4's semi-structured type) — the modern
+# replacement for q18's get_json_object string probing: parse_json
+# lands the payload ONCE as a typed binary VARIANT (parsed at ingest,
+# not re-parsed per access), then variant_get extracts typed paths and
+# schema_of_variant reports the discovered shape. At 100 TB the parse-
+# once property is the cost difference: N path extractions over a
+# VARIANT column touch the parsed tree, while N get_json_object calls
+# re-parse the JSON string N times.
+# --------------------------------------------------------------------------
+def q36_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.withColumn("payload", F.parse_json("props"))
+    k = F.variant_get("payload", "$.k", "int")
+    return (
+        v.select(
+            (k - k % 10).alias("k_bucket"),
+            F.schema_of_variant("payload").alias("payload_schema"),
+            F.col("value"),
+            F.col("user_id"),
+        )
+        .groupBy("k_bucket", "payload_schema")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(D182)).cast("double").alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+Q36_SQL = """
+SELECT (k - k % 10) AS k_bucket,
+       'OBJECT<k: BIGINT>' AS payload_schema,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM (SELECT CAST(props->>'$.k' AS INT) AS k, user_id, value FROM events)
+GROUP BY 1, 2
+ORDER BY k_bucket
+"""
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,
@@ -874,9 +917,11 @@ QUERIES = {
     "q33_time_range_window": q33_time_range_window,
     "q34_unpivot_event_matrix": q34_unpivot_event_matrix,
     "q35_nullsafe_join": q35_nullsafe_join,
+    "q36_variant_props": q36_variant_props,
 }
 
 ORACLES = {
+    "q36_variant_props": Q36_SQL,
     "q32_exists_order_audit": Q32_SQL,
     "q33_time_range_window": Q33_SQL,
     "q34_unpivot_event_matrix": Q34_SQL,
