@@ -617,6 +617,48 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# r09: custom Python DATA SINK — the write half of the Spark 4 Python
+# DataSource API (sources/custom_datasource.py::DocStatsWriter):
+# task-local temp shards promoted by a driver-side two-phase commit
+# (rename-on-commit, overwrite clears the previous generation), the
+# same protocol that makes batch file sinks exactly-once. The declared
+# result round-trips: write through the sink, read back through the
+# r08 reader, aggregate — a hash match proves the full custom
+# write→commit→read loop is lossless.
+# --------------------------------------------------------------------------
+def r09_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_data_pipeline_spark.sources.custom_datasource import (
+        DocStatsDataSource,
+    )
+
+    spark.dataSource.register(DocStatsDataSource)
+    out = os.path.join(tempfile.mkdtemp(prefix="docsink_"), "shards")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    (
+        d.repartition(4)
+        .write.format("docstats")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = spark.read.format("docstats").load(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("doc_id") * F.col("n_chars")).alias("weighted_checksum"),
+    )
+
+
+R09_SQL = """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id * n_chars) AS BIGINT) AS weighted_checksum
+FROM documents
+"""
+
+
 QUERIES = {
     "p01_document_records": p01_document_records,
     "p02_export_projection": p02_export_projection,
@@ -629,11 +671,13 @@ QUERIES = {
     "r06_json_roundtrip": r06_json_roundtrip,
     "r07_partition_overwrite": r07_partition_overwrite,
     "r08_python_datasource": r08_python_datasource,
+    "r09_python_datasink": r09_python_datasink,
     "a01_approx_stats": a01_approx_stats,
 }
 
 ORACLES = {
     "r08_python_datasource": R08_SQL,
+    "r09_python_datasink": R09_SQL,
     "r07_partition_overwrite": R07_SQL,
     "r06_json_roundtrip": R06_SQL,
     "r03_orc_roundtrip": R03_SQL,

@@ -16,11 +16,20 @@ Spark handles distribution, retries, and Arrow transfer.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class DocStatsDataSource(DataSource):
-    """`spark.read.format("docstats").load(dir)` over TSV shards."""
+    """`spark.read.format("docstats").load(dir)` over TSV shards, and
+    `df.write.format("docstats").mode("overwrite").save(dir)` back."""
 
     @classmethod
     def name(cls) -> str:
@@ -31,6 +40,9 @@ class DocStatsDataSource(DataSource):
 
     def reader(self, schema) -> "DocStatsReader":
         return DocStatsReader(self.options["path"])
+
+    def writer(self, schema, overwrite: bool) -> "DocStatsWriter":
+        return DocStatsWriter(self.options["path"], overwrite)
 
 
 class DocStatsReader(DataSourceReader):
@@ -51,3 +63,55 @@ class DocStatsReader(DataSourceReader):
             for line in fh:
                 doc_id, source, n_chars = line.rstrip("\n").split("\t")
                 yield int(doc_id), source, int(n_chars)
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class DocStatsWriter(DataSourceWriter):
+    """Exactly-once batch sink via the standard two-phase commit
+    protocol: each task writes its shard to a hidden temp name and
+    reports it in a commit message; only the driver-side `commit`
+    renames every temp file into its final `part-*` name (and clears
+    the previous generation under overwrite). A failed/speculated task
+    leaves at most an orphan temp file that `abort` removes — readers
+    never observe a partial generation. On a cluster `path` is shared
+    storage and the rename is the same one FileOutputCommitter does.
+    """
+
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _ShardCommit:
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.tsv")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(f"{row.doc_id}\t{row.source}\t{row.n_chars}\n")
+                n += 1
+        return _ShardCommit(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import glob
+        import os
+
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*")):
+                os.remove(old)
+        for i, m in enumerate(messages):
+            os.rename(m.tmp_path, os.path.join(self.path, f"part-{i:05d}.tsv"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
