@@ -897,6 +897,63 @@ ORDER BY k_bucket
 """
 
 
+# --------------------------------------------------------------------------
+# q37: Observation API — in-flight data-quality metrics collected by
+# the SAME job that does the real work. observe() attaches aggregate
+# metrics to the scan; they materialize as a side effect of the one
+# action, so the quality audit costs zero extra passes. At 100 TB a
+# separate metrics job would literally double the scan bill — this is
+# how production pipelines watch row counts / bad-value rates for free.
+# The declared result packs the observed metrics next to the job's own
+# output; the oracle recomputes all of them from the table, so a hash
+# match proves observe() saw every row of the same scan.
+# --------------------------------------------------------------------------
+def q37_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    l = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("quality")
+    observed = l.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("n_bad_qty"),
+        F.sum(F.col("l_quantity").cast(D182)).cast("double").alias("total_qty"),
+        F.max(F.col("l_extendedprice")).alias("max_extprice"),
+    )
+    revenue = F.col("l_extendedprice").cast(D182) * (
+        F.lit(1).cast(D182) - F.col("l_discount").cast(D182)
+    )
+    # the real work — one action drives both the answer and the metrics
+    total_revenue = float(
+        observed.agg(F.sum(revenue).cast("double").alias("r")).first()["r"]
+    )
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                total_revenue,
+                m["n_rows"],
+                m["n_bad_qty"],
+                m["total_qty"],
+                m["max_extprice"],
+            )
+        ],
+        "total_revenue double, n_rows bigint, n_bad_qty bigint, "
+        "total_qty double, max_extprice double",
+    )
+
+
+Q37_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       MAX(l_extendedprice) AS max_extprice
+FROM lineitem
+"""
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,
@@ -918,9 +975,11 @@ QUERIES = {
     "q34_unpivot_event_matrix": q34_unpivot_event_matrix,
     "q35_nullsafe_join": q35_nullsafe_join,
     "q36_variant_props": q36_variant_props,
+    "q37_observed_metrics": q37_observed_metrics,
 }
 
 ORACLES = {
+    "q37_observed_metrics": Q37_SQL,
     "q36_variant_props": Q36_SQL,
     "q32_exists_order_audit": Q32_SQL,
     "q33_time_range_window": Q33_SQL,
