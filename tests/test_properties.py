@@ -89,3 +89,46 @@ def test_word_overlap_in_unit_interval(spark, pairs):
         ).collect()
     ]
     assert all(not math.isnan(v) and 0.0 <= v <= 1.0 for v in vals)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["srcA", "srcB"]), st.integers(0, 5000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sequence_packing_invariants(spark, docs):
+    """t29 packing must hold for ARBITRARY token counts — including
+    zero-token docs and docs larger than a whole pack."""
+    import nlp_data_pipeline_spark.operators.text_analytics as ta
+
+    df = spark.createDataFrame(
+        [
+            (i, " ".join(["w"] * n) if n else "", "en", src, n)
+            for i, (src, n) in enumerate(docs)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = ta.load_table
+    try:
+        ta.load_table = lambda s, d, t: df
+        rows = sorted(
+            ta.t29_sequence_packing(spark, "ignored").collect(),
+            key=lambda r: (r.source, r.doc_id),
+        )
+    finally:
+        ta.load_table = orig
+    seq = ta._T29_SEQ_LEN
+    offsets = {}
+    for r in rows:
+        assert r.start_off == offsets.get(r.source, 0)  # contiguous per shard
+        offsets[r.source] = r.start_off + r.n_tokens
+        assert r.first_pack == r.start_off // seq
+        end = r.start_off + r.n_tokens
+        expected_last = (end - 1) // seq if r.n_tokens else r.first_pack
+        assert r.last_pack == expected_last
+        assert r.spans_boundary == (r.last_pack > r.first_pack)
+        # a doc never spans more packs than its size allows
+        assert r.last_pack - r.first_pack <= r.n_tokens // seq + 1
