@@ -41,7 +41,16 @@ def _prep_multifile(spark, sf_dir: str, n_files: int = 32) -> str:
     """
     from nlp_data_pipeline_spark.sources.catalog import TABLE_NAMES, load_table
 
-    key = hashlib.md5(f"{sf_dir}|{n_files}|v1".encode()).hexdigest()[:10]
+    # Cache key includes a content fingerprint (every file's size+mtime
+    # under sf_dir), not just the path: the driver regenerates the
+    # testdata at the SAME path between rounds, and a path-only key would
+    # silently serve the previous generation's rewrite.
+    fp = hashlib.md5()
+    for dirpath, _dirs, files in sorted(os.walk(sf_dir)):
+        for fn in sorted(files):
+            st = os.stat(os.path.join(dirpath, fn))
+            fp.update(f"{os.path.relpath(os.path.join(dirpath, fn), sf_dir)}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    key = hashlib.md5(f"{sf_dir}|{n_files}|v2|{fp.hexdigest()}".encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"bench_prep_{key}")
     marker = os.path.join(out, "_PREPPED")
     if os.path.isdir(marker):

@@ -578,25 +578,27 @@ ORDER BY day
 # lossless and the partition fan-out correct.
 # --------------------------------------------------------------------------
 def r08_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
     from nlp_data_pipeline_spark.sources.custom_datasource import (
         DocStatsDataSource,
     )
 
-    key = hashlib.md5(f"r08|{sf_dir}".encode()).hexdigest()[:8]
-    stage = os.path.join(tempfile.gettempdir(), f"docstats_{key}")
-    marker = os.path.join(stage, "_STAGED")
-    if not os.path.isdir(marker):
-        d = load_table(spark, sf_dir, "documents")
-        (
-            d.select("doc_id", "source", "n_chars")
-            .repartition(8)
-            .write.mode("overwrite")
-            .option("sep", "\t")
-            .csv(stage)
-        )
-        os.makedirs(marker, exist_ok=True)
+    # Stage fresh on every invocation into a per-process dir. The previous
+    # version cached the stage keyed on md5(sf_dir) with a never-invalidated
+    # marker — silently stale after the driver regenerates the testdata at
+    # the same path, and racy across concurrent runs sharing /tmp. Staging
+    # is O(selected columns), a fraction of the query's cost; correctness
+    # beats the cache. escape='"' makes Spark double embedded quotes, the
+    # exact dialect csv.reader's default parses (custom_datasource.py).
+    stage = os.path.join(tempfile.gettempdir(), f"docstats_{os.getpid()}")
+    d = load_table(spark, sf_dir, "documents")
+    (
+        d.select("doc_id", "source", "n_chars")
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("escape", '"')
+        .csv(stage)
+    )
     spark.dataSource.register(DocStatsDataSource)
     df = spark.read.format("docstats").load(stage)
     return (
@@ -628,12 +630,19 @@ ORDER BY source
 # write→commit→read loop is lossless.
 # --------------------------------------------------------------------------
 def r09_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
     from nlp_data_pipeline_spark.sources.custom_datasource import (
         DocStatsDataSource,
     )
 
     spark.dataSource.register(DocStatsDataSource)
-    out = os.path.join(tempfile.mkdtemp(prefix="docsink_"), "shards")
+    # Deterministic per-process dir, cleaned on entry — a fresh
+    # tempfile.mkdtemp per call leaked a full column copy under /tmp on
+    # every bench/correctness invocation.
+    root = os.path.join(tempfile.gettempdir(), f"docsink_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    out = os.path.join(root, "shards")
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     (
         d.repartition(4)

@@ -59,9 +59,15 @@ class DocStatsReader(DataSourceReader):
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
-        with open(partition.value) as fh:
-            for line in fh:
-                doc_id, source, n_chars = line.rstrip("\n").split("\t")
+        import csv
+
+        # csv.reader's default dialect (quotechar '"', doubled quotes)
+        # matches what both writers of this format emit: Spark's CSV
+        # writer with escape='"' (r08's stage) and DocStatsWriter below.
+        # A raw split("\t") would silently mis-parse any value the
+        # writer had to quote (embedded tab/quote/newline).
+        with open(partition.value, newline="") as fh:
+            for doc_id, source, n_chars in csv.reader(fh, delimiter="\t"):
                 yield int(doc_id), source, int(n_chars)
 
 
@@ -87,15 +93,17 @@ class DocStatsWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator) -> _ShardCommit:
+        import csv
         import os
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.tsv")
         n = 0
-        with open(tmp, "w") as fh:
+        with open(tmp, "w", newline="") as fh:
+            w = csv.writer(fh, delimiter="\t")  # same dialect the reader parses
             for row in iterator:
-                fh.write(f"{row.doc_id}\t{row.source}\t{row.n_chars}\n")
+                w.writerow((row.doc_id, row.source, row.n_chars))
                 n += 1
         return _ShardCommit(tmp_path=tmp, n_rows=n)
 
