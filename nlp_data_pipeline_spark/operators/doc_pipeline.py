@@ -668,6 +668,55 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# r10: real-PDF ingestion, driver-checkable — the LAST §2.A reference
+# operator (R1, /root/reference/nlp_data_tagging.py:37-47) with a
+# correctness row. Reads the repo-committed deterministic PDF fixtures
+# (tests/fixtures/pdfs/, built by tools/make_pdf_fixtures.py: plain Tj,
+# backslash/octal escapes, TJ array) through the binaryFile source +
+# Arrow-batched extract_pdf_text, then derives per-file stats. The
+# oracle is closed-form (VALUES of the known fixture texts), so a hash
+# match proves the full binary-scan → Flate-inflate → text-operator
+# decode path byte-exactly. sf_dir is unused by design: the fixtures ARE
+# the dataset (the driver corpus ships no PDFs).
+# --------------------------------------------------------------------------
+def r10_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_data_pipeline_spark.sources.readers import (
+        extract_pdf_text,
+        read_binary_files,
+    )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    pdf_dir = os.path.normpath(os.path.join(here, "..", "..", "tests", "fixtures", "pdfs"))
+    files = read_binary_files(spark, pdf_dir, glob="*.pdf")
+    texts = extract_pdf_text(files)
+    return (
+        texts.select(
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+            # trim() strips spaces only; the extractor's page join leaves
+            # a trailing '\n' — strip ALL edge whitespace
+            F.regexp_replace("raw_text", r"^\s+|\s+$", "").alias("text"),
+        )
+        .select(
+            "filename",
+            "text",
+            F.length("text").cast("long").alias("n_chars"),
+            F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        )
+        .orderBy("filename")
+    )
+
+
+R10_SQL = """
+SELECT * FROM (VALUES
+  ('fixture_alpha.pdf',   'Spark reads fixture alpha.',           CAST(26 AS BIGINT), CAST(4 AS BIGINT)),
+  ('fixture_bravo.pdf',   'Bravo (escaped) text: 100% parsed.',   CAST(34 AS BIGINT), CAST(5 AS BIGINT)),
+  ('fixture_charlie.pdf', 'Charlie delta fixture.',               CAST(22 AS BIGINT), CAST(3 AS BIGINT))
+) AS t(filename, text, n_chars, n_words)
+ORDER BY filename
+"""
+
+
 QUERIES = {
     "p01_document_records": p01_document_records,
     "p02_export_projection": p02_export_projection,
@@ -681,10 +730,12 @@ QUERIES = {
     "r07_partition_overwrite": r07_partition_overwrite,
     "r08_python_datasource": r08_python_datasource,
     "r09_python_datasink": r09_python_datasink,
+    "r10_pdf_extract": r10_pdf_extract,
     "a01_approx_stats": a01_approx_stats,
 }
 
 ORACLES = {
+    "r10_pdf_extract": R10_SQL,
     "r08_python_datasource": R08_SQL,
     "r09_python_datasink": R09_SQL,
     "r07_partition_overwrite": R07_SQL,

@@ -134,3 +134,17 @@ def test_pdf_escape_and_tj_array_decoding():
     )
     got = _extract_pdf_fallback(pdf)
     assert got == "Line (one)\nkerned pairt\n"
+
+
+def test_r10_committed_pdf_fixtures_exact(spark):
+    """The repo-committed fixtures (tools/make_pdf_fixtures.py) decode to
+    the exact constants R10_SQL declares — the driver-checkable R1 row."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import r10_pdf_extract
+
+    rows = r10_pdf_extract(spark, "unused").collect()
+    got = {r["filename"]: (r["text"], r["n_chars"], r["n_words"]) for r in rows}
+    assert got == {
+        "fixture_alpha.pdf": ("Spark reads fixture alpha.", 26, 4),
+        "fixture_bravo.pdf": ("Bravo (escaped) text: 100% parsed.", 34, 5),
+        "fixture_charlie.pdf": ("Charlie delta fixture.", 22, 3),
+    }
