@@ -2,10 +2,12 @@
 
 Treats media as opaque ``binary`` columns + typed metadata, the way a
 100 TB multimodal training pipeline stores image/audio/video alongside
-text. The decode step itself is STUBBED (no image/audio libs in this
-container — see ``decode_image_stub``), but everything Spark-side is
-real and verified: binary encoding, checksums, Arrow-batched
-``mapInPandas`` over binary columns, schema/partition behavior.
+text. PNG payloads are decoded FOR REAL (pure-stdlib zlib + unfilter,
+functions/png.py — see m07); other media stay behind the deterministic
+stub (no PIL/ffmpeg in this container — ``decode_image_stub``), and
+everything Spark-side is real and verified either way: binary encoding,
+checksums, Arrow-batched ``mapInPandas`` over binary columns,
+schema/partition behavior.
 
 m01 is pure JVM expressions; m02 pushes the binary payloads through a
 real Arrow → pandas → Arrow round trip with a deterministic fake
@@ -51,7 +53,7 @@ FROM documents
 
 
 def decode_image_stub(payload: bytes) -> dict:
-    """Deterministic fake media decoder.
+    """Deterministic fake media decoder for non-PNG payloads.
 
     A real deployment swaps this for PIL/ffmpeg inside the same
     mapInPandas kernel; the container ships neither, so the decode is a
@@ -68,6 +70,26 @@ def decode_image_stub(payload: bytes) -> dict:
     }
 
 
+def decode_image(payload: bytes) -> dict:
+    """Real decode where the stdlib can do it (PNG, functions/png.py);
+    deterministic stub otherwise. Same dict shape either way, so the
+    mapInPandas kernels are decoder-agnostic."""
+    from nlp_data_pipeline_spark.functions.png import decode_png, is_png
+
+    if is_png(payload):
+        try:
+            width, height, channels, _pixels = decode_png(payload)
+            return {
+                "width": width,
+                "height": height,
+                "format": f"image/png;ch={channels}",
+                "n_bytes": len(payload),
+            }
+        except ValueError:
+            pass  # unsupported PNG variant → metadata-only stub path
+    return decode_image_stub(payload)
+
+
 # --------------------------------------------------------------------------
 # m02: Arrow-batched binary decode via mapInPandas.
 # Scale: mapInPandas streams Arrow record batches through the Python
@@ -80,7 +102,7 @@ def m02_decode_stub_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf["payload"].map(decode_image_stub)
+            meta = pdf["payload"].map(decode_image)  # PNG→real, else stub
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -331,6 +353,69 @@ FROM chunks
 """
 
 
+# --------------------------------------------------------------------------
+# m07: REAL image decode — the committed PNG fixtures (tests/fixtures/
+# png/, every row a different PNG filter type; tools/make_png_fixtures.py)
+# through binaryFile scan → Arrow-batched mapInPandas → pure-stdlib
+# decode_png → integer pixel statistics. The oracle is closed-form
+# (VALUES of the generator-computed channel sums), so a hash match
+# proves byte-exact pixel recovery through zlib + all five unfilter
+# paths — no image library involved. Scale shape: identical to m02;
+# the decoder is the swappable kernel, the plumbing is the operator.
+# --------------------------------------------------------------------------
+def m07_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import numpy as np
+
+    from nlp_data_pipeline_spark.sources.readers import read_binary_files
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    png_dir = _os.path.normpath(_os.path.join(here, "..", "..", "tests", "fixtures", "png"))
+    files = read_binary_files(spark, png_dir, glob="*.png")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nlp_data_pipeline_spark.functions.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf["path"], pdf["content"]):
+                w, h, c, px = decode_png(bytes(payload))
+                sums = px.reshape(-1, c).astype(np.int64).sum(axis=0)
+                rows.append(
+                    {
+                        "filename": path.rsplit("/", 1)[-1],
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "pixel_sum": int(sums.sum()),
+                        "ch0_sum": int(sums[0]),
+                        "ch_last_sum": int(sums[-1]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        files.select("path", "content")
+        .mapInPandas(
+            stats,
+            "filename string, width int, height int, channels int, "
+            "pixel_sum long, ch0_sum long, ch_last_sum long",
+        )
+        .orderBy("filename")
+    )
+
+
+M07_SQL = """
+SELECT * FROM (VALUES
+  ('checker_gray.png', CAST(8  AS INT), CAST(8 AS INT), CAST(1 AS INT), CAST(8160  AS BIGINT), CAST(8160  AS BIGINT), CAST(8160  AS BIGINT)),
+  ('gradient_rgb.png', CAST(16 AS INT), CAST(9 AS INT), CAST(3 AS INT), CAST(54953 AS BIGINT), CAST(18360 AS BIGINT), CAST(18289 AS BIGINT)),
+  ('rings_rgba.png',   CAST(12 AS INT), CAST(5 AS INT), CAST(4 AS INT), CAST(32452 AS BIGINT), CAST(4926  AS BIGINT), CAST(14610 AS BIGINT))
+) AS t(filename, width, height, channels, pixel_sum, ch0_sum, ch_last_sum)
+ORDER BY filename
+"""
+
+
 QUERIES = {
     "m01_binary_metadata": m01_binary_metadata,
     "m02_decode_stub_pipeline": m02_decode_stub_pipeline,
@@ -338,9 +423,11 @@ QUERIES = {
     "m04_arrow_byte_stats": m04_arrow_byte_stats,
     "m05_frame_sample_expand": m05_frame_sample_expand,
     "m06_audio_chunk_checksums": m06_audio_chunk_checksums,
+    "m07_png_pixel_stats": m07_png_pixel_stats,
 }
 
 ORACLES = {
+    "m07_png_pixel_stats": M07_SQL,
     "m06_audio_chunk_checksums": M06_SQL,
     "m05_frame_sample_expand": M05_SQL,
     "m01_binary_metadata": M01_SQL,
