@@ -73,3 +73,39 @@ def test_topic_metrics_ranges(spark, sf_dir):
     assert row["n_topics"] >= 1
     assert 0.0 < row["topic_diversity"] <= 1.0    # unique/total (:277)
     assert row["avg_topic_size"] == pytest.approx(10.0)  # top-10 terms each
+
+
+def test_tags_are_exactly_top2_topics_first3_terms(spark, sf_dir, fitted):
+    """Tight n02 invariant (beyond subset-of-vocabulary): for every doc,
+    tags == ordered-dedup(first-3-of-top-10 terms of the doc's top-2
+    topics)[:n_tags], recomputed independently from the SAME fitted
+    model via numpy. Deterministic given the fit, so it does not fight
+    LDA seed nondeterminism."""
+    import numpy as np
+
+    from nlp_data_pipeline_spark.operators.nlp_model import n02_doc_tags
+
+    cv_model, lda_model, featured = fitted
+    vocab = cv_model.vocabulary
+    topic_first3 = {
+        row["topic"]: [vocab[i] for i in row["termIndices"][:3]]
+        for row in lda_model.describeTopics(10).collect()
+    }
+    from pyspark.ml.functions import vector_to_array
+
+    dists = {
+        r["doc_id"]: np.array(r["dist"])
+        for r in lda_model.transform(featured)
+        .select("doc_id", vector_to_array("topicDistribution").alias("dist"))
+        .collect()
+    }
+    got = {r["doc_id"]: r["tags_csv"] for r in n02_doc_tags(spark, sf_dir).collect()}
+    assert set(got) == set(dists)
+    for doc_id, dist in dists.items():
+        # n02's tie-break: desc prob, then desc topic index (np.argsort
+        # stable-ascending + [-2:][::-1] reference parity)
+        order = sorted(range(len(dist)), key=lambda i: (-dist[i], -i))[:2]
+        expect = list(dict.fromkeys(
+            t for topic in order for t in topic_first3[topic]
+        ))[:5]
+        assert got[doc_id] == ", ".join(expect), doc_id

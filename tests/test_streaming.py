@@ -240,3 +240,37 @@ def test_checkpoint_resume_does_not_reprocess(spark):
     run_once()  # restart from checkpoint
     got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4, 5]  # batch a NOT re-emitted
+
+
+def test_transform_with_state_type_counts_matches_batch(spark, sf_dir):
+    """Spark-4 transformWithStateInPandas path (MapState per user).
+
+    Runs automatically wherever google.protobuf exists (the
+    TransformWithState state-server protocol); documented skip here.
+    The LAST emission per (user, type) must equal the batch groupBy.
+    """
+    pytest.importorskip("google.protobuf", reason="transformWithStateInPandas needs protobuf")
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+    from nlp_data_pipeline_spark.streaming.pipelines import (
+        transform_with_state_type_counts,
+    )
+
+    staged = tempfile.mkdtemp(prefix="events_tws_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(staged, "events.parquet")
+    )
+    stream = read_events_stream(spark, staged)
+    _, result = run_to_memory_sink(
+        transform_with_state_type_counts(stream), output_mode="update"
+    )
+    got = {
+        (r["user_id"], r["event_type"]): r["n_events"] for r in result.collect()
+    }
+    expect = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
