@@ -873,6 +873,95 @@ ORDER BY k.query_id, k.adc_rank
 """
 
 
+# --------------------------------------------------------------------------
+# s12: BM25 keyword retrieval top-k — the sparse/lexical complement to
+# the dense-ANN paths (s01/s07/s11). Okapi BM25 with the Lucene idf
+# (ln((N - df + 0.5)/(df + 0.5) + 1), always positive), k1=1.2,
+# b=0.75, over the shared clean-token relation.
+#
+# Scale: exactly the inverted-index computation, expressed relationally
+# — ONE corpus token scan feeds both the doc-length relation and the
+# postings (tf) relation; df and the corpus stats are tiny aggregates
+# broadcast back. No per-query corpus shuffle: scoring joins postings
+# (|matching docs| rows, filter pushed to the scan) against broadcast
+# term stats. Ranking compares the ROUNDED score (4 dp) then doc_id, so
+# cross-engine double-accumulation-order noise cannot reorder the
+# top-k.
+# --------------------------------------------------------------------------
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TERMS = ("batch", "scan", "customer")
+BM25_TOP_K = 15
+
+
+def s12_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_data_pipeline_spark.operators.text_analytics import _tokens_df
+
+    toks = _tokens_df(spark, sf_dir).select("doc_id", "token")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = (
+        idf
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+def _s12_sql() -> str:
+    from nlp_data_pipeline_spark.operators.text_analytics import _TOKENS_CTE
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+{_TOKENS_CTE},
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tokens
+  WHERE token IN ({terms}) GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT t.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (t.tf * {BM25_K1 + 1}) / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)) AS s
+  FROM tf t JOIN dfreq d USING (token) JOIN dl l USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, round(SUM(s), 4) AS bm25, COUNT(*) AS n_terms_matched
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""
+
+
+S12_SQL = _s12_sql()
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
@@ -885,9 +974,11 @@ QUERIES = {
     "s09_semantic_dedup": s09_semantic_dedup,
     "s10_pq_encode": s10_pq_encode,
     "s11_pq_adc_search": s11_pq_adc_search,
+    "s12_bm25_topk": s12_bm25_topk,
 }
 
 ORACLES = {
+    "s12_bm25_topk": S12_SQL,
     "s11_pq_adc_search": S11_SQL,
     "s10_pq_encode": S10_SQL,
     "s09_semantic_dedup": S09_SQL,

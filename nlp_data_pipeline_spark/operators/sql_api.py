@@ -272,6 +272,73 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# v07: RECURSIVE CTE (Spark 4 WITH RECURSIVE) — a monthly date spine
+# from MIN to MAX order month (~80 iterations, under the default
+# spark.sql.cteRecursionLevelLimit=100), LEFT-joined to per-month order
+# aggregates so gap months surface with zero counts — the canonical
+# "report over a dense calendar" query shape that plain GROUP BY cannot
+# produce. The recursion generates ONE ROW per month on the driver-side
+# loop of iterations; the heavy table is only scanned once for the
+# aggregate side, so the recursive part is never the scale bottleneck.
+# The DuckDB twin uses its own WITH RECURSIVE with interval arithmetic
+# (no add_months in DuckDB; engines differ in SQL text, must agree in
+# rows).
+# --------------------------------------------------------------------------
+def v07_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE) AS mn,
+                 CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE) AS mx
+          FROM orders
+        ),
+        spine(m) AS (
+          SELECT mn FROM bounds
+          UNION ALL
+          SELECT add_months(m, 1) FROM spine WHERE m < (SELECT mx FROM bounds)
+        ),
+        per_month AS (
+          SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT CAST(s.m AS STRING) AS month,
+               COALESCE(p.n_orders, 0) AS n_orders,
+               ROUND(COALESCE(p.revenue, 0.0), 2) AS revenue
+        FROM spine s LEFT JOIN per_month p ON s.m = p.m
+        ORDER BY s.m
+        """
+    )
+
+
+V07_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) AS mn,
+         date_trunc('month', MAX(o_orderdate)) AS mx
+  FROM orders
+),
+spine(m) AS (
+  SELECT mn FROM bounds
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine WHERE m < (SELECT mx FROM bounds)
+),
+per_month AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT CAST(s.m AS VARCHAR) AS month,
+       COALESCE(p.n_orders, 0) AS n_orders,
+       ROUND(COALESCE(p.revenue, 0.0), 2) AS revenue
+FROM spine s LEFT JOIN per_month p ON s.m = p.m
+ORDER BY s.m
+"""
+
+
 QUERIES = {
     "v01_sql_big_spenders": v01_sql_big_spenders,
     "v02_sql_correlated_subquery": v02_sql_correlated_subquery,
@@ -279,9 +346,11 @@ QUERIES = {
     "v04_grouping_sets": v04_grouping_sets,
     "v05_sql_pivot": v05_sql_pivot,
     "v06_sql_lateral_explode": v06_sql_lateral_explode,
+    "v07_recursive_month_spine": v07_recursive_month_spine,
 }
 
 ORACLES = {
+    "v07_recursive_month_spine": V07_SQL,
     "v05_sql_pivot": V05_SQL,
     "v06_sql_lateral_explode": V06_SQL,
     "v04_grouping_sets": V04_SQL,

@@ -1651,6 +1651,100 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# t22: boilerplate removal by cross-document segment frequency — the
+# distributed form of RefinedWeb/CCNet line-dedup: a segment that
+# recurs across many documents of the SAME source is boilerplate
+# (headers, footers, navigation, license blurbs), and a document
+# dominated by such segments is dropped. This corpus has no newlines,
+# so "segment" = 3-token shingle; on a real corpus the segmenter swaps
+# to split('\n') and everything downstream is unchanged. (Also closes
+# the t21→t23 numbering gap the round-5 review flagged.)
+#
+# Scale: two shuffles — the per-(source, segment) doc-frequency groupBy
+# (map-side combine applies; O(total segments)) and the join-back. The
+# boilerplate relation itself is tiny (only segments above the
+# frequency floor survive), so the join-back is an explicit broadcast:
+# the corpus-sized side never reshuffles. The frequency floor
+# max(2, ceil(5% of source docs)) is scale-stable — absolute floor for
+# small sources, fractional for large ones.
+# --------------------------------------------------------------------------
+def t22_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(clean_text("text"))
+    base = d.select("doc_id", "source", toks.alias("t")).filter(F.size("t") >= 3)
+    segs = base.select(
+        "doc_id", "source", F.explode(ngrams(F.col("t"), 3)).alias("seg")
+    )
+    docseg = segs.distinct()  # doc-frequency counts a doc once per segment
+    srcdocs = docseg.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dfreq = docseg.groupBy("source", "seg").agg(F.count(F.lit(1)).alias("df"))
+    boiler = (
+        dfreq.join(F.broadcast(srcdocs), "source")
+        .filter(
+            F.col("df")
+            >= F.greatest(F.lit(2), F.ceil(F.lit(0.05) * F.col("n_docs")))
+        )
+        .select("source", "seg", F.lit(True).alias("is_boiler"))
+    )
+    per = (
+        segs.join(F.broadcast(boiler), ["source", "seg"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler"),
+        )
+    )
+    frac = F.col("n_boiler") / F.col("n_segments")
+    return per.select(
+        "doc_id",
+        "n_segments",
+        "n_boiler",
+        F.round(frac, 6).alias("boiler_frac"),
+        (frac <= 0.5).alias("keep"),
+    )
+
+
+T22_SQL = f"""
+WITH cleaned AS (SELECT doc_id, source, {_CLEAN_SQL} AS ctext FROM documents),
+toklists AS (
+  SELECT doc_id, source,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM cleaned
+),
+segs AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS seg
+  FROM toklists WHERE len(t) >= 3
+),
+docseg AS (SELECT DISTINCT doc_id, source, seg FROM segs),
+srcdocs AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM docseg GROUP BY source),
+dfreq AS (SELECT source, seg, COUNT(*) AS df FROM docseg GROUP BY source, seg),
+boiler AS (
+  SELECT d.source, d.seg
+  FROM dfreq d JOIN srcdocs s USING (source)
+  WHERE d.df >= GREATEST(2, CEIL(0.05 * s.n_docs))
+),
+per AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_segments,
+         CAST(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+  FROM segs s LEFT JOIN boiler b ON s.source = b.source AND s.seg = b.seg
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_segments, n_boiler,
+       round(CAST(n_boiler AS DOUBLE) / n_segments, 6) AS boiler_frac,
+       CAST(n_boiler AS DOUBLE) / n_segments <= 0.5 AS keep
+FROM per
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -1673,6 +1767,7 @@ QUERIES = {
     "t19_bigram_lm_topk": t19_bigram_lm_topk,
     "t20_quality_filter": t20_quality_filter,
     "t21_pii_redaction": t21_pii_redaction,
+    "t22_boilerplate_prune": t22_boilerplate_prune,
     "t23_zipf_slope": t23_zipf_slope,
     "t24_length_histogram": t24_length_histogram,
     "t25_source_kl_drift": t25_source_kl_drift,
@@ -1684,6 +1779,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "t22_boilerplate_prune": T22_SQL,
     "t30_lm_novelty_score": T30_SQL,
     "t28_repetition_filter": T28_SQL,
     "t29_sequence_packing": T29_SQL,

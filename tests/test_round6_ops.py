@@ -1,0 +1,86 @@
+"""Round-6 operators: t22 boilerplate prune, s12 BM25, v07 recursive CTE."""
+
+from datetime import date
+
+import pyspark.sql.functions as F
+
+from nlp_data_pipeline_spark.plans.explain import formatted_plan
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", src, len(t)) for i, (src, t) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_t22_flags_shared_boilerplate_segment(spark, monkeypatch):
+    import nlp_data_pipeline_spark.operators.text_analytics as ta
+
+    footer = "common footer navigation links"
+    rows = [
+        # the footer shingle set recurs in 3 of 4 srcA docs → boilerplate
+        ("srcA", f"alpha bravo charlie {footer}"),
+        ("srcA", f"delta echo foxtrot {footer}"),
+        ("srcA", f"golf hotel india {footer}"),
+        ("srcA", "juliet kilo lima mike november oscar"),
+        # same footer in a DIFFERENT source with only one doc → not
+        # boilerplate there (per-source doc frequency, absolute floor 2)
+        ("srcB", f"papa quebec romeo {footer}"),
+    ]
+    monkeypatch.setattr(ta, "load_table", lambda s, d, n: _docs(spark, rows))
+    out = {r.doc_id: r for r in ta.t22_boilerplate_prune(spark, "ignored").collect()}
+    # docs 0-2 each contain the recurring footer shingles; doc 3 is clean
+    assert out[0].n_boiler > 0 and out[1].n_boiler > 0 and out[2].n_boiler > 0
+    assert out[3].n_boiler == 0 and out[3].keep
+    assert out[4].n_boiler == 0  # srcB footer below the frequency floor
+    for r in out.values():
+        assert 0 <= r.n_boiler <= r.n_segments
+        assert r.keep == (r.n_boiler / r.n_segments <= 0.5)
+
+
+def test_t22_joinback_is_broadcast(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.text_analytics import t22_boilerplate_prune
+
+    plan = formatted_plan(t22_boilerplate_prune(spark, sf_dir))
+    # the corpus-sized segs relation must join the tiny boilerplate set
+    # via broadcast, never a shuffle of the big side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_s12_bm25_ranks_term_dense_docs(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.similarity import (
+        BM25_TERMS,
+        BM25_TOP_K,
+        s12_bm25_topk,
+    )
+
+    rows = s12_bm25_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BM25_TOP_K
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.bm25 > 0 for r in rows)
+    assert all(1 <= r.n_terms_matched <= len(BM25_TERMS) for r in rows)
+
+
+def test_v07_spine_is_dense_and_anchored(spark, sf_dir):
+    from nlp_data_pipeline_spark.operators.sql_api import v07_recursive_month_spine
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    rows = v07_recursive_month_spine(spark, sf_dir).collect()
+    months = [date.fromisoformat(r.month) for r in rows]
+    # dense: every consecutive pair is exactly one month apart
+    for a, b in zip(months, months[1:]):
+        assert (b.year * 12 + b.month) - (a.year * 12 + a.month) == 1
+    # anchored at the data's min/max order month
+    bounds = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.min(F.date_trunc("MONTH", "o_orderdate")).alias("mn"),
+            F.max(F.date_trunc("MONTH", "o_orderdate")).alias("mx"),
+        )
+        .first()
+    )
+    assert months[0] == bounds.mn.date() and months[-1] == bounds.mx.date()
+    # totals preserved through the spine join (zero-months add nothing)
+    assert sum(r.n_orders for r in rows) == load_table(spark, sf_dir, "orders").count()
