@@ -109,22 +109,46 @@ def main() -> int:
     # double-measured while the sub-second bulk keeps the suite fast.
     RETRY_THRESHOLD_S = 1.5
 
-    def _measure(fn) -> float:
+    def _measure(fn):
         t0 = time.time()
         df = fn(spark, sf_dir)
         _force(df)
-        return round(time.time() - t0, 3)
+        return round(time.time() - t0, 3), df
+
+    def _plan_fingerprint(df) -> dict:
+        """Stable physical-plan identity: expr/plan ids and temp paths
+        normalized away so the SAME plan shape hashes identically across
+        runs/rounds — lets future rounds diff 'did the plan change' per
+        query without storing full explain output."""
+        try:
+            from nlp_data_pipeline_spark.plans.explain import formatted_plan
+
+            p = formatted_plan(df)
+            p = re.sub(r"#\d+", "#", p)
+            p = re.sub(r"plan_id=\d+", "plan_id=", p)
+            p = re.sub(r"\[id=#?\d*\]", "", p)
+            p = re.sub(r"/tmp/[\w\-./=]*", "<tmp>", p)
+            return {
+                "plan_md5": hashlib.md5(p.encode()).hexdigest()[:12],
+                "n_exchanges": p.count("Exchange"),
+                "n_python": p.count("Python") + p.count("ArrowEval"),
+            }
+        except Exception:
+            return {"plan_md5": None, "n_exchanges": None, "n_python": None}
 
     timings: dict[str, float] = {}
+    full: dict[str, dict] = {}
     failures: dict[str, str] = {}
     for name, fn in e.queries().items():
         if prefixes and not name.startswith(prefixes):
             continue
         try:
-            t = _measure(fn)
+            t, df = _measure(fn)
             if t > RETRY_THRESHOLD_S:
-                t = min(t, _measure(fn))
+                t2, df = _measure(fn)
+                t = min(t, t2)
             timings[name] = t
+            full[name] = {"sec": t, **_plan_fingerprint(df)}
         except Exception as ex:  # keep benching; report the failure
             failures[name] = f"{type(ex).__name__}: {ex}"
         sys.stderr.write(f"[bench] {name}: {timings.get(name, 'FAIL')}\n")
@@ -142,6 +166,35 @@ def main() -> int:
     }
     if failures:
         out["failures"] = failures
+
+    # Full per-query artifact committed in-repo: BENCH_r*.json tails
+    # truncate to ~60 visible queries, so rounds could never diff the
+    # whole suite. bench_full_r{N}.json records EVERY timing plus a
+    # normalized plan fingerprint (did the physical plan change?).
+    # N = next round inferred from the driver's recorded BENCH files;
+    # only written for full-suite runs (a prefix-filtered run would
+    # clobber the artifact with a subset).
+    if not prefixes:
+        import glob as _glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        n = (max(rounds) + 1) if rounds else 0
+        full_out = {
+            "round": n,
+            "sf": sf,
+            "prep": prep_meta,
+            "suite_seconds": out["value"],
+            "failures": failures,
+            "queries": full,
+        }
+        with open(os.path.join(here, f"bench_full_r{n}.json"), "w") as f:
+            json.dump(full_out, f, indent=1, sort_keys=True)
+
     print(json.dumps(out))
     return 1 if failures else 0
 

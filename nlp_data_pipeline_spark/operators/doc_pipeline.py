@@ -669,6 +669,56 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# r11: COMPRESSED text ingestion — gzip JSONL round trip, the
+# CommonCrawl-WET/-WARC-shaped path every web-scale corpus arrives
+# through. Spark infers the codec from the .gz extension on both write
+# and read; the declared aggregate hash-matching the oracle (computed
+# from the uncompressed source table) proves the codec path is
+# lossless. Staged fresh per invocation into a per-process dir (the
+# r08 staleness lesson). Scale note: gzip is NOT splittable — one file
+# = one task — so the stage writes 8 shards; the real-cluster guidance
+# (module README) is many medium .gz shards or zstd/bzip2 when
+# splittable compression is required.
+# --------------------------------------------------------------------------
+def r11_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    stage = os.path.join(tempfile.gettempdir(), f"gzjsonl_{os.getpid()}")
+    shutil.rmtree(stage, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents")
+    (
+        d.select("doc_id", "source", "n_chars")
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(stage)
+    )
+    back = spark.read.schema("doc_id bigint, source string, n_chars bigint").json(
+        stage
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("doc_id") * F.col("n_chars")).alias("weighted_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+R11_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id * n_chars) AS BIGINT) AS weighted_checksum
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # r10: real-PDF ingestion, driver-checkable — the LAST §2.A reference
 # operator (R1, /root/reference/nlp_data_tagging.py:37-47) with a
 # correctness row. Reads the repo-committed deterministic PDF fixtures
@@ -731,10 +781,12 @@ QUERIES = {
     "r08_python_datasource": r08_python_datasource,
     "r09_python_datasink": r09_python_datasink,
     "r10_pdf_extract": r10_pdf_extract,
+    "r11_gzip_jsonl_roundtrip": r11_gzip_jsonl_roundtrip,
     "a01_approx_stats": a01_approx_stats,
 }
 
 ORACLES = {
+    "r11_gzip_jsonl_roundtrip": R11_SQL,
     "r10_pdf_extract": R10_SQL,
     "r08_python_datasource": R08_SQL,
     "r09_python_datasink": R09_SQL,

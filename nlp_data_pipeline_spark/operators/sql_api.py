@@ -287,17 +287,30 @@ ORDER BY source
 # --------------------------------------------------------------------------
 def v07_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
+    # Bounds are collected ONCE on the driver (a 2-scalar aggregate, not
+    # a data collect) and inlined as literals. The first cut anchored
+    # the recursion on a bounds CTE with a scalar subquery in the
+    # recursive step — each of ~80 iterations re-planned against orders
+    # and the query took 23 s at sf0.1. Recursion depth is also kept at
+    # YEAR granularity (≤ a few dozen iterations ever, vs ~12× that for
+    # months): Spark executes one driver-coordinated job per recursive
+    # step, so depth — not row volume — is the cost driver; months then
+    # fan out via a lateral explode inside the same iteration's rows.
+    b = spark.sql(
+        "SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE) AS mn, "
+        "CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE) AS mx FROM orders"
+    ).first()
     return spark.sql(
-        """
-        WITH RECURSIVE bounds AS (
-          SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE) AS mn,
-                 CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE) AS mx
-          FROM orders
-        ),
-        spine(m) AS (
-          SELECT mn FROM bounds
+        f"""
+        WITH RECURSIVE years(y) AS (
+          SELECT {b.mn.year}
           UNION ALL
-          SELECT add_months(m, 1) FROM spine WHERE m < (SELECT mx FROM bounds)
+          SELECT y + 1 FROM years WHERE y < {b.mx.year}
+        ),
+        spine AS (
+          SELECT make_date(y, mo, 1) AS m
+          FROM years LATERAL VIEW explode(sequence(1, 12)) AS mo
+          WHERE make_date(y, mo, 1) BETWEEN DATE '{b.mn}' AND DATE '{b.mx}'
         ),
         per_month AS (
           SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,

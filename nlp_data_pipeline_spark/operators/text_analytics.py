@@ -1745,6 +1745,94 @@ FROM per
 """
 
 
+# --------------------------------------------------------------------------
+# t31: DSIR-style importance weighting for targeted data selection
+# (Data Selection via Importance Resampling, Xie et al. 2023, public):
+# score every document by how much its token distribution leans toward
+# a TARGET domain versus the raw corpus — log p_target(doc)/p_raw(doc)
+# under Laplace-smoothed unigram MLEs. Docs with positive weight are
+# the ones importance resampling would keep when curating a corpus
+# toward the target mix. Target here = source 'src0' (any predicate
+# works unchanged).
+#
+# Scale (t30's discipline): the MODEL pass is ONE scan producing
+# per-(source, token) counts; the raw-corpus and target marginals are
+# both rolled up from that table — no second corpus scan for the
+# second model. The SCORING pass is the only other scan, joining
+# per-doc tokens against the broadcast vocabulary-sized model table.
+# Per-doc log-weights sum token doubles; output rounds to 4 dp so
+# engine accumulation order cannot diverge the hash.
+# --------------------------------------------------------------------------
+_T31_TARGET = "src0"
+
+
+def t31_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir)
+    src_tok = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    model = src_tok.groupBy("token").agg(
+        F.sum("c").alias("c_raw"),
+        F.sum(F.when(F.col("source") == _T31_TARGET, F.col("c")).otherwise(0)).alias(
+            "c_tgt"
+        ),
+    )
+    totals = model.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    scored = (
+        toks.select("doc_id", "token")
+        .join(F.broadcast(model), "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v")))
+                - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + F.col("v")))
+            ).alias("lr"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum("lr").alias("logw"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_toks",
+        F.round("logw", 4).alias("dsir_logweight"),
+        (F.col("logw") > 0).alias("toward_target"),
+    )
+
+
+T31_SQL = f"""
+{_TOKENS_CTE},
+src_tok AS (
+  SELECT source, token, COUNT(*) AS c FROM tokens GROUP BY source, token
+),
+model AS (
+  SELECT token,
+         SUM(c) AS c_raw,
+         SUM(CASE WHEN source = '{_T31_TARGET}' THEN c ELSE 0 END) AS c_tgt
+  FROM src_tok GROUP BY token
+),
+totals AS (
+  SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt, COUNT(*) AS v FROM model
+),
+scored AS (
+  SELECT t.doc_id,
+         ln((m.c_tgt + 1.0) / (o.n_tgt + o.v)) - ln((m.c_raw + 1.0) / (o.n_raw + o.v)) AS lr
+  FROM tokens t JOIN model m USING (token) CROSS JOIN totals o
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_toks, SUM(lr) AS logw FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_toks, round(logw, 4) AS dsir_logweight, logw > 0 AS toward_target
+FROM agg
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -1776,9 +1864,11 @@ QUERIES = {
     "t28_repetition_filter": t28_repetition_filter,
     "t29_sequence_packing": t29_sequence_packing,
     "t30_lm_novelty_score": t30_lm_novelty_score,
+    "t31_dsir_importance": t31_dsir_importance,
 }
 
 ORACLES = {
+    "t31_dsir_importance": T31_SQL,
     "t22_boilerplate_prune": T22_SQL,
     "t30_lm_novelty_score": T30_SQL,
     "t28_repetition_filter": T28_SQL,

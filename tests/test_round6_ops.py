@@ -84,3 +84,42 @@ def test_v07_spine_is_dense_and_anchored(spark, sf_dir):
     assert months[0] == bounds.mn.date() and months[-1] == bounds.mx.date()
     # totals preserved through the spine join (zero-months add nothing)
     assert sum(r.n_orders for r in rows) == load_table(spark, sf_dir, "orders").count()
+
+
+def test_t31_target_docs_lean_positive(spark, sf_dir):
+    """Docs FROM the target domain should on average carry higher
+    importance weight than the rest (the property DSIR selection
+    relies on)."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _T31_TARGET,
+        t31_dsir_importance,
+    )
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    w = t31_dsir_importance(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = w.join(src, "doc_id").groupBy(
+        (F.col("source") == _T31_TARGET).alias("is_target")
+    ).agg(F.avg(F.col("dsir_logweight") / F.col("n_toks")).alias("avg_per_tok"))
+    rows = {r.is_target: r.avg_per_tok for r in joined.collect()}
+    assert rows[True] > rows[False]
+
+
+def test_r11_gzip_stage_is_actually_gzip(spark, sf_dir, tmp_path):
+    import glob
+    import gzip
+    import os
+
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        r11_gzip_jsonl_roundtrip,
+    )
+
+    out = r11_gzip_jsonl_roundtrip(spark, sf_dir)
+    assert out.count() > 0
+    stage = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"gzjsonl_{os.getpid()}"
+    )
+    files = glob.glob(os.path.join(stage, "part-*.json.gz"))
+    assert files, "stage must be .gz-suffixed shards"
+    with gzip.open(files[0], "rt") as fh:  # decodes only if really gzip
+        assert '"doc_id"' in fh.readline()

@@ -1,0 +1,159 @@
+"""10x-scale probe for the HEAVY LLM-pipeline operators.
+
+BASELINE.md's original 10x probe covered only Q1-shape aggregates and
+one fact-fact join; the dedup/text/ANN operators — the actual 100 TB
+workload — had never been measured past sf0.1. This tool replicates
+the sf0.1 `documents` and `embeddings` tables FACTOR-fold with remapped
+ids (docs get a per-replica suffix token so replicas are near-dups, not
+byte-dups — the realistic shape for dedup operators), writes them as
+32-file parquet (real-table layout, scan parallelism preserved), runs
+each heavy query at both 1x and FACTOR-x, and reports:
+
+    per-query seconds (min of 2) + shuffle (Exchange) count + whether
+    the normalized physical plan is IDENTICAL at both scales.
+
+Identical plan + sub-linear-to-linear time growth = the operator's
+stage structure holds at scale; a new Exchange or a super-linear blowup
+is a scale defect. Results are recorded in BASELINE.md ("10x heavy-
+operator probe").
+
+Usage:  python tools/bench_10x.py            # all heavy queries
+        python tools/bench_10x.py d05 s02    # prefix filter
+Env:    SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+        SPARK_GRAFT_SCALE_FACTOR (default 10)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+HEAVY = [
+    "t22_boilerplate_prune",
+    "t28_repetition_filter",
+    "t30_lm_novelty_score",
+    "d05_shingle_jaccard_topk",
+    "d06_neardup_clusters",
+    "d12_leakage_safe_split",
+    "s02_top_similar_pairs",
+    "s11_pq_adc_search",
+]
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _fingerprint(df) -> tuple[str, int]:
+    from nlp_data_pipeline_spark.plans.explain import formatted_plan
+
+    p = formatted_plan(df)
+    p = re.sub(r"#\d+", "#", p)
+    p = re.sub(r"plan_id=\d+", "plan_id=", p)
+    p = re.sub(r"\[id=#?\d*\]", "", p)
+    p = re.sub(r"/tmp/[\w\-./=]*", "<tmp>", p)
+    return hashlib.md5(p.encode()).hexdigest()[:12], p.count("Exchange")
+
+
+def _stage(spark, sf_dir: str, factor: int) -> str:
+    """Replicate documents+embeddings factor-fold into a 32-file layout."""
+    import pyspark.sql.functions as F
+
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    out = os.path.join(tempfile.gettempdir(), f"scale{factor}x_{os.getpid()}")
+    reps = None
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
+    big_docs = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" v"), F.col("rep")))
+            .alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    big_emb = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_vecs).alias("vec_id"),
+            # nudge one dimension per replica so vectors are distinct
+            # (sim ties would otherwise explode top-k tie handling)
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x + F.col("rep") * F.lit(1e-3)).otherwise(x),
+            ).cast("array<float>").alias("embedding"),
+            "label",
+        )
+    )
+    big_emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    return out
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from nlp_data_pipeline_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    prefixes = tuple(sys.argv[1:])
+    names = [n for n in HEAVY if not prefixes or n.startswith(prefixes)]
+
+    spark = get_spark("bench10x")
+    queries = e.queries()
+
+    t0 = time.time()
+    staged = _stage(spark, sf_dir, factor)
+    sys.stderr.write(f"[10x] staged {factor}x tables in {time.time()-t0:.1f}s\n")
+
+    # warm the Python worker pool so the first Arrow query isn't charged
+    def _ident(it):
+        yield from it
+
+    spark.range(10).mapInPandas(_ident, "id long").count()
+
+    def _timed(fn, d) -> float:
+        s = time.time()
+        _force(fn(spark, d))
+        return time.time() - s
+
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = queries[name]
+        row = {}
+        for tag, d in (("1x", sf_dir), (f"{factor}x", staged)):
+            t = min(_timed(fn, d), _timed(fn, d))  # min-of-2 vs host noise
+            md5, nex = _fingerprint(fn(spark, d))
+            row[tag] = {"sec": round(t, 2), "plan_md5": md5, "n_exchanges": nex}
+        row["plan_stable"] = row["1x"]["plan_md5"] == row[f"{factor}x"]["plan_md5"]
+        row["growth"] = round(row[f"{factor}x"]["sec"] / max(row["1x"]["sec"], 1e-9), 1)
+        results[name] = row
+        sys.stderr.write(f"[10x] {name}: {json.dumps(row)}\n")
+
+    print(json.dumps({"sf_dir": sf_dir, "factor": factor, "results": results}, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
