@@ -127,7 +127,11 @@ def main() -> int:
             p = re.sub(r"#\d+", "#", p)
             p = re.sub(r"plan_id=\d+", "plan_id=", p)
             p = re.sub(r"\[id=#?\d*\]", "", p)
-            p = re.sub(r"/tmp/[\w\-./=]*", "<tmp>", p)
+            p = re.sub(r"file:[\w\-./=]*", "<path>", p)
+            p = re.sub(r"/tmp/[\w\-./=]*", "<path>", p)
+            p = re.sub(r"/root/testdata/[\w\-./=]*", "<path>", p)
+            # lambda vars carry a session-global counter (x_5, x_7, ...)
+            p = re.sub(r"lambda [a-zA-Z]+_\d+#", "lambda v#", p)
             return {
                 "plan_md5": hashlib.md5(p.encode()).hexdigest()[:12],
                 "n_exchanges": p.count("Exchange"),

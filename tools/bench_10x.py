@@ -58,7 +58,14 @@ def _fingerprint(df) -> tuple[str, int]:
     p = re.sub(r"#\d+", "#", p)
     p = re.sub(r"plan_id=\d+", "plan_id=", p)
     p = re.sub(r"\[id=#?\d*\]", "", p)
-    p = re.sub(r"/tmp/[\w\-./=]*", "<tmp>", p)
+    # normalize DATA LOCATIONS, not just /tmp: the whole point is
+    # comparing the same query over two different directories
+    p = re.sub(r"file:[\w\-./=]*", "<path>", p)
+    p = re.sub(r"/tmp/[\w\-./=]*", "<path>", p)
+    p = re.sub(r"/root/testdata/[\w\-./=]*", "<path>", p)
+    # lambda variables carry a session-global counter (x_5, x_7, ...)
+    # that differs between plan INSTANCES of the same query
+    p = re.sub(r"lambda [a-zA-Z]+_\d+#", "lambda v#", p)
     return hashlib.md5(p.encode()).hexdigest()[:12], p.count("Exchange")
 
 
@@ -123,9 +130,15 @@ def main() -> int:
     spark = get_spark("bench10x")
     queries = e.queries()
 
+    # Stage BOTH scales through the same 32-file writer: the raw driver
+    # tables are single-row-group files whose scans cap at 1 task, so
+    # timing raw-1x against staged-10x would compare layouts, not data
+    # volume (first cut of this tool did exactly that and measured 10x
+    # as FASTER than 1x).
     t0 = time.time()
+    base = _stage(spark, sf_dir, 1)
     staged = _stage(spark, sf_dir, factor)
-    sys.stderr.write(f"[10x] staged {factor}x tables in {time.time()-t0:.1f}s\n")
+    sys.stderr.write(f"[10x] staged 1x+{factor}x tables in {time.time()-t0:.1f}s\n")
 
     # warm the Python worker pool so the first Arrow query isn't charged
     def _ident(it):
@@ -142,7 +155,7 @@ def main() -> int:
     for name in names:
         fn = queries[name]
         row = {}
-        for tag, d in (("1x", sf_dir), (f"{factor}x", staged)):
+        for tag, d in (("1x", base), (f"{factor}x", staged)):
             t = min(_timed(fn, d), _timed(fn, d))  # min-of-2 vs host noise
             md5, nex = _fingerprint(fn(spark, d))
             row[tag] = {"sec": round(t, 2), "plan_md5": md5, "n_exchanges": nex}
