@@ -366,12 +366,25 @@ _E07_WEEK = ("2024-01-08", "2024-01-15")  # [start, end)
 
 
 def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    import glob
     import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(f"evt|{sf_dir}".encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), f"events_by_day_{key}")
+    # Cache key = content fingerprint (size+mtime of the source events
+    # files) + pid, not just the sf_dir path: the driver regenerates
+    # testdata at the SAME path between rounds, and a path-only marker
+    # would silently serve the previous generation (the r08 staleness
+    # bug class); pid isolates concurrent runs sharing /tmp.
+    src = os.path.join(sf_dir, "events.parquet")
+    files = [src] if os.path.isfile(src) else sorted(glob.glob(os.path.join(src, "*")))
+    h = hashlib.md5(f"evt|{sf_dir}".encode())
+    for f in files:
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    out = os.path.join(
+        tempfile.gettempdir(), f"events_by_day_{os.getpid()}_{h.hexdigest()[:8]}"
+    )
     marker = os.path.join(out, "_PARTITIONED")
     if not os.path.isdir(marker):
         e = load_table(spark, sf_dir, "events")
@@ -812,6 +825,70 @@ ORDER BY user_id, session_start
 """
 
 
+# --------------------------------------------------------------------------
+# e15: DYNAMIC PARTITION PRUNING — the optimization that makes
+# partitioned fact tables usable from dim-side predicates. The fact
+# (events partitioned by dt) is joined to a small date-dim whose filter
+# (is_target_week) is NOT expressible on the fact at plan time; Spark
+# inserts a runtime dynamicpruning subquery on the fact's partition
+# column, so only the dim-selected day directories are ever read. At
+# 100 TB this is the difference between scanning a week and scanning
+# years — the plan test pins `dynamicpruning` in the fact scan's
+# PartitionFilters. The dim is round-tripped through parquet: a local
+# relation would let Catalyst constant-fold the filter instead of
+# exercising the DPP path.
+# --------------------------------------------------------------------------
+def e15_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    fact_path = _partitioned_events(spark, sf_dir)
+    fact = spark.read.parquet(fact_path)
+
+    start, end = _E07_WEEK
+    dim_path = os.path.join(
+        os.path.dirname(fact_path.rstrip("/")),
+        os.path.basename(fact_path.rstrip("/")) + "_datedim",
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("dt"))
+        .distinct()
+        .withColumn("week_start", F.date_trunc("WEEK", "dt").cast("date"))
+    )
+    dim.coalesce(1).write.mode("overwrite").parquet(dim_path)
+    # the dim predicate must be a BINARY COMPARISON: Spark's DPP rule
+    # (PartitionPruning → isLikelySelective) does not treat a bare
+    # boolean attribute as a selective filter, so an is_target_week
+    # flag never triggers pruning — week_start = <literal> does.
+    # _E07_WEEK starts on a Monday, Spark weeks start Monday, so this
+    # selects exactly the e07 week.
+    date_dim = spark.read.parquet(dim_path).filter(
+        F.col("week_start") == F.lit(start)
+    )
+
+    return (
+        fact.join(date_dim, "dt")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D182)).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E15_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '{_E07_WEEK[0]}' AND CAST(ts AS DATE) < DATE '{_E07_WEEK[1]}'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_session_windows": e02_session_windows,
@@ -827,10 +904,12 @@ QUERIES = {
     "e12_stream_stream_join": e12_stream_stream_join,
     "e13_stateful_type_counts": e13_stateful_type_counts,
     "e14_streaming_session_finalized": e14_streaming_session_finalized,
+    "e15_dynamic_partition_pruning": e15_dynamic_partition_pruning,
 }
 
 ORACLES = {
     "e14_streaming_session_finalized": E14_SQL,
+    "e15_dynamic_partition_pruning": E15_SQL,
     "e13_stateful_type_counts": E13_SQL,
     "e11_foreachbatch_sink": E11_SQL,
     "e12_stream_stream_join": E12_SQL,

@@ -123,3 +123,16 @@ def test_r11_gzip_stage_is_actually_gzip(spark, sf_dir, tmp_path):
     assert files, "stage must be .gz-suffixed shards"
     with gzip.open(files[0], "rt") as fh:  # decodes only if really gzip
         assert '"doc_id"' in fh.readline()
+
+
+def test_e15_scan_is_dynamically_pruned(spark, sf_dir):
+    """The fact scan must carry a dynamicpruning expression on the
+    partition column — dim-side predicates prune fact partitions at
+    RUNTIME, the property that keeps partitioned scans bounded at
+    100 TB."""
+    from nlp_data_pipeline_spark.operators.events import (
+        e15_dynamic_partition_pruning,
+    )
+
+    plan = formatted_plan(e15_dynamic_partition_pruning(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
