@@ -954,6 +954,80 @@ FROM lineitem
 """
 
 
+# --------------------------------------------------------------------------
+# q38: declarative data-expectations audit (Great-Expectations /
+# dbt-test shape) — a rule table evaluated over the fact in ONE
+# aggregation pass: every rule is a SUM(CASE), so adding a rule costs a
+# column, never a scan. The wide audit row then unpivots (stack) into
+# the long (rule, n_violations, pass) report consumers join against.
+# At 100 TB this is the only affordable shape for expectation suites —
+# one scan amortized across all rules, no per-rule jobs. pass-rate
+# thresholds are per-rule (hard rules: 0 violations; soft rules: a
+# tolerance fraction).
+# --------------------------------------------------------------------------
+_Q38_RULES = [
+    # (rule name, violation predicate SQL, max tolerated violation rate)
+    ("orderkey_not_null", "l_orderkey IS NULL", 0.0),
+    ("quantity_in_1_50", "l_quantity < 1 OR l_quantity > 50", 0.0),
+    ("extendedprice_positive", "l_extendedprice <= 0", 0.0),
+    ("discount_in_0_0p1", "l_discount < 0 OR l_discount > 0.1", 0.0),
+    ("returnflag_in_domain", "l_returnflag NOT IN ('A','N','R')", 0.0),
+    ("tax_below_discount", "l_tax < l_discount", 0.5),  # soft profile rule
+]
+
+
+def q38_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_checked")] + [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(f"v{i}")
+        for i, (_n, pred, _t) in enumerate(_Q38_RULES)
+    ]
+    wide = l.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', v{i}, CAST({tol} AS DOUBLE)"
+        for i, (name, _p, tol) in enumerate(_Q38_RULES)
+    )
+    long = wide.selectExpr(
+        "n_checked",
+        f"stack({len(_Q38_RULES)}, {stack_args}) AS (rule, n_violations, tolerance)",
+    )
+    return long.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("n_checked"), 6).alias(
+            "violation_rate"
+        ),
+        (F.col("n_violations") <= F.col("tolerance") * F.col("n_checked")).alias(
+            "pass"
+        ),
+    ).orderBy("rule")
+
+
+def _q38_sql() -> str:
+    selects = []
+    for name, pred, tol in _Q38_RULES:
+        selects.append(
+            f"SELECT '{name}' AS rule, COUNT(*) AS n_checked, "
+            f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, "
+            f"CAST({tol} AS DOUBLE) AS tolerance FROM lineitem"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH audits AS (
+{body}
+)
+SELECT rule, n_checked, n_violations,
+       round(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_rate,
+       n_violations <= tolerance * n_checked AS pass
+FROM audits
+ORDER BY rule
+"""
+
+
+Q38_SQL = _q38_sql()
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,
@@ -976,9 +1050,11 @@ QUERIES = {
     "q35_nullsafe_join": q35_nullsafe_join,
     "q36_variant_props": q36_variant_props,
     "q37_observed_metrics": q37_observed_metrics,
+    "q38_data_expectations": q38_data_expectations,
 }
 
 ORACLES = {
+    "q38_data_expectations": Q38_SQL,
     "q37_observed_metrics": Q37_SQL,
     "q36_variant_props": Q36_SQL,
     "q32_exists_order_audit": Q32_SQL,

@@ -136,3 +136,25 @@ def test_e15_scan_is_dynamically_pruned(spark, sf_dir):
 
     plan = formatted_plan(e15_dynamic_partition_pruning(spark, sf_dir))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_q38_single_scan_all_rules(spark, sf_dir):
+    """The expectations audit must evaluate ALL rules in one pass —
+    exactly one parquet scan and one aggregate in the plan."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        _Q38_RULES,
+        q38_data_expectations,
+    )
+
+    import re
+
+    df = q38_data_expectations(spark, sf_dir)
+    plan = formatted_plan(df)
+    # one scan NODE (formatted output prints each node twice: once in
+    # the tree, once as a "(N) Scan parquet" detail header)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    rows = {r.rule: r for r in df.collect()}
+    assert len(rows) == len(_Q38_RULES)
+    for name, _pred, tol in _Q38_RULES:
+        if tol == 0.0:
+            assert rows[name].n_violations == 0 and rows[name]["pass"]
