@@ -1028,6 +1028,100 @@ ORDER BY rule
 Q38_SQL = _q38_sql()
 
 
+# --------------------------------------------------------------------------
+# q39: Z-ORDER clustering audit — the Delta/Iceberg OPTIMIZE ZORDER
+# primitive as a declarative computation. Rows are assigned to file
+# buckets by the Morton interleave of two quantized keys; the audit
+# reports, per bucket, how tightly BOTH key ranges are bounded
+# (span fraction = (max−min)/range), side-by-side with a plain 1-D
+# sort layout of the same bucket count. Z-order buckets bound both
+# dimensions (both spans ≪ 1) while the linear layout bounds only its
+# sort key — the property that lets min/max file statistics skip files
+# for predicates on EITHER column at 100 TB. Everything is a pure
+# function of the row's keys (fixed 16-bit quantization against exact
+# global bounds, fixed 64-bucket split), so the layout assignment is
+# deterministic and the oracle reproduces it bit-exactly — unlike
+# repartitionByRange, whose sampled boundaries are not stable.
+# --------------------------------------------------------------------------
+_Q39_BITS = 16
+_Q39_BUCKETS = 64
+
+
+def q39_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y")
+    )
+    bounds = l.agg(
+        F.min("x").alias("xmn"), F.max("x").alias("xmx"),
+        F.min("y").alias("ymn"), F.max("y").alias("ymx"),
+    )
+    q = l.crossJoin(F.broadcast(bounds)).selectExpr(
+        "x", "y",
+        f"CAST((x - xmn) * {(1 << _Q39_BITS) - 1} DIV greatest(xmx - xmn, 1) AS BIGINT) AS xq",
+        f"CAST((y - ymn) * {(1 << _Q39_BITS) - 1} DIV greatest(ymx - ymn, 1) AS BIGINT) AS yq",
+    )
+    z = q.selectExpr(
+        "x", "y", "xq", "yq",
+        f"aggregate(sequence(0, {_Q39_BITS - 1}), CAST(0 AS BIGINT), (acc, i) -> "
+        "acc + shiftleft(shiftright(xq, i) & 1, 2*i) + shiftleft(shiftright(yq, i) & 1, 2*i + 1)"
+        ") AS zval",
+    )
+    # 64 buckets: z-order uses the top 6 bits of the 32-bit z value;
+    # the linear layout uses the top 6 bits of the x quantization alone
+    both = z.selectExpr(
+        "x", "y",
+        f"shiftright(zval, {2 * _Q39_BITS - 6}) AS zorder",
+        f"shiftright(xq, {_Q39_BITS - 6}) AS linear_x",
+    ).selectExpr("x", "y", "stack(2, 'zorder', zorder, 'linear_x', linear_x) AS (layout, bucket)")
+    per = both.groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("xmn_b"), F.max("x").alias("xmx_b"),
+        F.min("y").alias("ymn_b"), F.max("y").alias("ymx_b"),
+    )
+    out = per.crossJoin(F.broadcast(bounds)).select(
+        "layout", "bucket", "n_rows",
+        F.round((F.col("xmx_b") - F.col("xmn_b")) / F.greatest(F.col("xmx") - F.col("xmn"), F.lit(1)), 4).alias("x_span_frac"),
+        F.round((F.col("ymx_b") - F.col("ymn_b")) / F.greatest(F.col("ymx") - F.col("ymn"), F.lit(1)), 4).alias("y_span_frac"),
+    )
+    return out.orderBy("layout", "bucket")
+
+
+Q39_SQL = f"""
+WITH b AS (
+  SELECT MIN(l_partkey) AS xmn, MAX(l_partkey) AS xmx,
+         MIN(l_suppkey) AS ymn, MAX(l_suppkey) AS ymx
+  FROM lineitem
+),
+q AS (
+  SELECT l_partkey AS x, l_suppkey AS y,
+         CAST((l_partkey - xmn) * {(1 << _Q39_BITS) - 1} // GREATEST(xmx - xmn, 1) AS BIGINT) AS xq,
+         CAST((l_suppkey - ymn) * {(1 << _Q39_BITS) - 1} // GREATEST(ymx - ymn, 1) AS BIGINT) AS yq
+  FROM lineitem, b
+),
+z AS (
+  SELECT x, y, xq, yq,
+         list_sum(list_transform(range(0, {_Q39_BITS}),
+           i -> (((xq >> i) & 1) << (2*i)) + (((yq >> i) & 1) << (2*i + 1)))) AS zval
+  FROM q
+),
+layouts AS (
+  SELECT x, y, 'zorder' AS layout, zval >> {2 * _Q39_BITS - 6} AS bucket FROM z
+  UNION ALL
+  SELECT x, y, 'linear_x' AS layout, xq >> {_Q39_BITS - 6} AS bucket FROM z
+),
+per AS (
+  SELECT layout, bucket, COUNT(*) AS n_rows,
+         MIN(x) AS xmn_b, MAX(x) AS xmx_b, MIN(y) AS ymn_b, MAX(y) AS ymx_b
+  FROM layouts GROUP BY layout, bucket
+)
+SELECT layout, CAST(bucket AS BIGINT) AS bucket, n_rows,
+       round(CAST(xmx_b - xmn_b AS DOUBLE) / GREATEST(xmx - xmn, 1), 4) AS x_span_frac,
+       round(CAST(ymx_b - ymn_b AS DOUBLE) / GREATEST(ymx - ymn, 1), 4) AS y_span_frac
+FROM per, b
+ORDER BY layout, bucket
+"""
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,
@@ -1051,9 +1145,11 @@ QUERIES = {
     "q36_variant_props": q36_variant_props,
     "q37_observed_metrics": q37_observed_metrics,
     "q38_data_expectations": q38_data_expectations,
+    "q39_zorder_clustering": q39_zorder_clustering,
 }
 
 ORACLES = {
+    "q39_zorder_clustering": Q39_SQL,
     "q38_data_expectations": Q38_SQL,
     "q37_observed_metrics": Q37_SQL,
     "q36_variant_props": Q36_SQL,

@@ -158,3 +158,25 @@ def test_q38_single_scan_all_rules(spark, sf_dir):
     for name, _pred, tol in _Q38_RULES:
         if tol == 0.0:
             assert rows[name].n_violations == 0 and rows[name]["pass"]
+
+
+def test_q39_zorder_bounds_both_dimensions(spark, sf_dir):
+    """Z-order buckets must bound BOTH key ranges; the 1-D sort layout
+    bounds only its sort key — the property that makes min/max file
+    skipping work for predicates on either column."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        q39_zorder_clustering,
+    )
+
+    rows = q39_zorder_clustering(spark, sf_dir).collect()
+    spans = {}
+    for layout in ("zorder", "linear_x"):
+        xs = [r.x_span_frac for r in rows if r.layout == layout]
+        ys = [r.y_span_frac for r in rows if r.layout == layout]
+        spans[layout] = (sum(xs) / len(xs), sum(ys) / len(ys))
+    # linear layout: x tightly bounded, y unbounded (~full range)
+    assert spans["linear_x"][0] < 0.2 and spans["linear_x"][1] > 0.8
+    # z-order: BOTH dimensions substantially bounded
+    assert spans["zorder"][0] < 0.5 and spans["zorder"][1] < 0.5
+    # and z-order's y bound beats linear's by a wide margin
+    assert spans["zorder"][1] < spans["linear_x"][1] / 2
