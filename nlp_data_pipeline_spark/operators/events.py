@@ -826,6 +826,90 @@ ORDER BY user_id, session_start
 
 
 # --------------------------------------------------------------------------
+# e16: LEFT-OUTER stream-stream join — e12's attribution join with the
+# outer semantics that make it a funnel report: every purchase row
+# eventually emits, matched pairs eagerly, UNMATCHED purchases only
+# once the watermark proves no matching signup can still arrive (the
+# join requires signup_ts <= purchase_ts, so the null-joined row
+# finalizes when the global watermark — min of both stream watermarks
+# — passes purchase_ts). The oracle states that emitted set in closed
+# form: all matches, plus unmatched purchases with
+# purchase_ts < min(max(pts), max(sts)) − 10 min. State bound is the
+# same as e12's (evict at the range horizon); the outer variant is the
+# one that tells you WHO converted without a signup record.
+# --------------------------------------------------------------------------
+def e16_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nlp_data_pipeline_spark.streaming.pipelines import (
+        read_events_stream,
+        stream_stream_purchase_attribution,
+    )
+
+    stage_dir = _stage_events(sf_dir, "e16_stream_")
+    joined = stream_stream_purchase_attribution(
+        read_events_stream(spark, stage_dir), how="left_outer"
+    )
+    sink = f"e16_sink_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return (
+        spark.table(sink)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("signup_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.sum(F.when(F.col("signup_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )
+
+
+E16_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT event_id AS signup_id, user_id, ts AS sts
+  FROM events WHERE event_type = 'signup'
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(pts) FROM p), (SELECT MAX(sts) FROM s))
+         - INTERVAL 10 MINUTE AS w
+),
+j AS (
+  SELECT p.user_id, p.purchase_id, s.signup_id, p.pts
+  FROM p LEFT JOIN s ON p.user_id = s.user_id
+                     AND sts <= pts AND sts >= pts - INTERVAL 7 DAY
+),
+emitted AS (
+  SELECT * FROM j WHERE signup_id IS NOT NULL
+  UNION ALL
+  SELECT * FROM j WHERE signup_id IS NULL AND pts < (SELECT w FROM wm)
+)
+SELECT user_id,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN signup_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN signup_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+FROM emitted
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # e15: DYNAMIC PARTITION PRUNING — the optimization that makes
 # partitioned fact tables usable from dim-side predicates. The fact
 # (events partitioned by dt) is joined to a small date-dim whose filter
@@ -905,11 +989,13 @@ QUERIES = {
     "e13_stateful_type_counts": e13_stateful_type_counts,
     "e14_streaming_session_finalized": e14_streaming_session_finalized,
     "e15_dynamic_partition_pruning": e15_dynamic_partition_pruning,
+    "e16_stream_stream_left_outer": e16_stream_stream_left_outer,
 }
 
 ORACLES = {
     "e14_streaming_session_finalized": E14_SQL,
     "e15_dynamic_partition_pruning": E15_SQL,
+    "e16_stream_stream_left_outer": E16_SQL,
     "e13_stateful_type_counts": E13_SQL,
     "e11_foreachbatch_sink": E11_SQL,
     "e12_stream_stream_join": E12_SQL,

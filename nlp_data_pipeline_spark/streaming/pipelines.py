@@ -201,9 +201,12 @@ def transform_with_state_type_counts(stream: DataFrame) -> DataFrame:
 
 
 def stream_stream_purchase_attribution(
-    events: DataFrame, max_gap: str = "7 days", lateness: str = "10 minutes"
+    events: DataFrame,
+    max_gap: str = "7 days",
+    lateness: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each purchase joined to signups of the
+    """Stream-stream join: each purchase joined to signups of the
     same user that happened at-or-before it within ``max_gap``.
 
     Both sides carry watermarks and the join has an event-time range
@@ -212,6 +215,12 @@ def stream_stream_purchase_attribution(
     signup_ts + max_gap, so state is O(events within the horizon), not
     O(stream). Without the time condition a stream-stream join must
     buffer forever; this shape is the scalable attribution join.
+
+    ``how="left_outer"`` adds the OUTER semantics: matches still emit
+    eagerly, but an unmatched purchase emits its null-joined row only
+    when the watermark proves no matching signup can still arrive
+    (signup_ts <= purchase_ts, so: watermark past purchase_ts) — the
+    e16 query pins that emission boundary in closed form.
     """
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -232,6 +241,7 @@ def stream_stream_purchase_attribution(
             signup_ts >= purchase_ts - INTERVAL {max_gap}
             """
         ),
+        how,
     )
 
 

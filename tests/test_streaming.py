@@ -274,3 +274,47 @@ def test_transform_with_state_type_counts_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_left_outer_stream_stream_emits_watermark_proven_nulls(spark, sf_dir):
+    """Outer rows must appear ONLY for purchases the watermark has
+    passed; matches equal the batch join exactly."""
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+    from nlp_data_pipeline_spark.streaming.pipelines import (
+        stream_stream_purchase_attribution,
+    )
+
+    staged = tempfile.mkdtemp(prefix="events_ssl_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(staged, "events.parquet")
+    )
+    stream = read_events_stream(spark, staged)
+    _, result = run_to_memory_sink(
+        stream_stream_purchase_attribution(stream, how="left_outer"),
+        output_mode="append",
+    )
+    got_matched = result.filter(F.col("signup_id").isNotNull()).count()
+    got_nulls = result.filter(F.col("signup_id").isNull()).count()
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter("event_type='purchase'").selectExpr(
+        "event_id purchase_id", "user_id pu", "ts pts"
+    )
+    s = ev.filter("event_type='signup'").selectExpr(
+        "event_id signup_id", "user_id su", "ts sts"
+    )
+    batch = p.join(
+        s, F.expr("pu=su AND sts<=pts AND sts >= pts - INTERVAL 7 DAYS"), "left"
+    )
+    assert got_matched == batch.filter("signup_id IS NOT NULL").count()
+    # every emitted null row is watermark-proven: purchase_ts below the
+    # min-of-both-streams watermark
+    import datetime
+
+    wmax = min(
+        p.agg(F.max("pts")).first()[0], s.agg(F.max("sts")).first()[0]
+    ) - datetime.timedelta(minutes=10)
+    expected_nulls = (
+        batch.filter("signup_id IS NULL").filter(F.col("pts") < F.lit(wmax)).count()
+    )
+    assert got_nulls == expected_nulls
