@@ -669,6 +669,136 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# p04: the CURATION PIPELINE as one composed plan — the round-trip
+# deliverable the individual operators exist for. Four stages in
+# strict precedence (exact-dup → length → repetition → boilerplate),
+# each the declared rule of its standalone query (d01's keep-lowest
+# hash-dup, t24-style length floor, t18's duplicate-bigram ratio,
+# t22's cross-document boilerplate fraction), composed into a single
+# per-doc verdict with stage attribution: drop_reason names the FIRST
+# failing stage, so downstream accounting can attribute corpus loss
+# per rule. One oracle states the whole composition, proving the
+# stages compose without interference. Scale shape: the row-local
+# rules ride the same single scan; the only shuffles are d01's hash
+# window and t22's doc-frequency pass — exactly the stage ordering
+# DEPLOYMENT.md prescribes (cheap row-local first, shuffle-bearing
+# later).
+# --------------------------------------------------------------------------
+_P04_MIN_TOKENS = 10
+
+
+def p04_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from nlp_data_pipeline_spark.functions.text import ngrams, tokenize
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        t22_boilerplate_prune,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        clean_text("text").alias("ctext"),
+        tokenize(clean_text("text")).alias("t"),
+    )
+    bi = ngrams(F.col("t"), 2)
+    flagged = (
+        base.withColumn("h", F.md5("ctext"))
+        .withColumn("keeper", F.min("doc_id").over(Window.partitionBy("h")))
+        .select(
+            "doc_id",
+            (F.col("doc_id") != F.col("keeper")).alias("is_exact_dup"),
+            F.size("t").cast("long").alias("n_tokens"),
+            F.when(
+                F.size(bi) >= 2,
+                F.lit(1.0) - F.size(F.array_distinct(bi)) / F.size(bi),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("bigram_dup_ratio"),
+        )
+    )
+    boiler = t22_boilerplate_prune(spark, sf_dir).select(
+        "doc_id", "boiler_frac"
+    )
+    verdict = F.when(F.col("is_exact_dup"), F.lit("exact_dup")).when(
+        F.col("n_tokens") < _P04_MIN_TOKENS, F.lit("too_short")
+    ).when(F.col("bigram_dup_ratio") > 0.5, F.lit("repetitive")).when(
+        F.coalesce(F.col("boiler_frac"), F.lit(0.0)) > 0.5, F.lit("boilerplate")
+    ).otherwise(F.lit("kept"))
+    return (
+        flagged.join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            verdict.alias("drop_reason"),
+        )
+        .withColumn("keep", F.col("drop_reason") == "kept")
+        .orderBy("doc_id")
+    )
+
+
+P04_SQL = f"""
+WITH cleaned AS (SELECT doc_id, source, {_CLEAN_SQL} AS ctext FROM documents),
+toklists AS (
+  SELECT doc_id, source, ctext,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM cleaned
+),
+base AS (
+  SELECT doc_id, source, ctext, t, len(t) AS n_tokens,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              WHEN len(t) = 2
+              THEN [t[1] || ' ' || t[2]]
+              ELSE [] END AS b
+  FROM toklists
+),
+flagged AS (
+  SELECT doc_id, source, t, n_tokens,
+         doc_id != MIN(doc_id) OVER (PARTITION BY md5(ctext)) AS is_exact_dup,
+         CASE WHEN len(b) >= 2
+              THEN 1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b)
+              ELSE 0.0 END AS bigram_dup_ratio
+  FROM base
+),
+segs AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS seg
+  FROM toklists WHERE len(t) >= 3
+),
+docseg AS (SELECT DISTINCT doc_id, source, seg FROM segs),
+srcdocs AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM docseg GROUP BY source),
+dfreq AS (SELECT source, seg, COUNT(*) AS df FROM docseg GROUP BY source, seg),
+boilseg AS (
+  SELECT d.source, d.seg
+  FROM dfreq d JOIN srcdocs s USING (source)
+  WHERE d.df >= GREATEST(2, CEIL(0.05 * s.n_docs))
+),
+boilfrac AS (
+  SELECT s.doc_id,
+         CAST(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS boiler_frac
+  FROM segs s LEFT JOIN boilseg b ON s.source = b.source AND s.seg = b.seg
+  GROUP BY s.doc_id
+),
+final AS (
+  SELECT f.doc_id, f.n_tokens,
+         CASE WHEN f.is_exact_dup THEN 'exact_dup'
+              WHEN f.n_tokens < {_P04_MIN_TOKENS} THEN 'too_short'
+              WHEN f.bigram_dup_ratio > 0.5 THEN 'repetitive'
+              WHEN COALESCE(bf.boiler_frac, 0.0) > 0.5 THEN 'boilerplate'
+              ELSE 'kept' END AS drop_reason
+  FROM flagged f LEFT JOIN boilfrac bf ON f.doc_id = bf.doc_id
+)
+SELECT doc_id, n_tokens, drop_reason, drop_reason = 'kept' AS keep
+FROM final
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # r11: COMPRESSED text ingestion — gzip JSONL round trip, the
 # CommonCrawl-WET/-WARC-shaped path every web-scale corpus arrives
 # through. Spark infers the codec from the .gz extension on both write
@@ -771,6 +901,7 @@ QUERIES = {
     "p01_document_records": p01_document_records,
     "p02_export_projection": p02_export_projection,
     "p03_records_with_tags": p03_records_with_tags,
+    "p04_curation_pipeline": p04_curation_pipeline,
     "r01_csv_roundtrip": r01_csv_roundtrip,
     "r02_corrupt_json_ingest": r02_corrupt_json_ingest,
     "r03_orc_roundtrip": r03_orc_roundtrip,
@@ -786,6 +917,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "p04_curation_pipeline": P04_SQL,
     "r11_gzip_jsonl_roundtrip": R11_SQL,
     "r10_pdf_extract": R10_SQL,
     "r08_python_datasource": R08_SQL,

@@ -51,3 +51,26 @@ def test_a01_approx_within_tolerance_of_exact(spark, sf_dir):
         assert a["exact_parts"] == e["parts"]
         # rank-based p50 vs interpolated percentile: same neighborhood
         assert float(a["p50"]) == pytest.approx(e["median"], rel=0.01)
+
+
+def test_p04_stage_attribution_consistent(spark, sf_dir):
+    """Verdicts respect stage precedence and each reason is consistent
+    with its rule's standalone computation."""
+    import pyspark.sql.functions as F
+
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        _P04_MIN_TOKENS,
+        p04_curation_pipeline,
+    )
+
+    rows = p04_curation_pipeline(spark, sf_dir).collect()
+    assert len(rows) > 0
+    reasons = {r.drop_reason for r in rows}
+    assert reasons <= {"exact_dup", "too_short", "repetitive", "boilerplate", "kept"}
+    for r in rows:
+        assert r.keep == (r.drop_reason == "kept")
+        if r.drop_reason == "too_short":
+            assert r.n_tokens < _P04_MIN_TOKENS
+        if r.drop_reason in ("repetitive", "boilerplate", "kept"):
+            # later stages only reachable when length rule passed
+            assert r.n_tokens >= _P04_MIN_TOKENS
