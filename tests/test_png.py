@@ -51,3 +51,34 @@ def test_m07_fixture_stats_exact(spark):
     assert rows["gradient_rgb.png"]["pixel_sum"] == 54953
     assert rows["checker_gray.png"]["channels"] == 1
     assert rows["rings_rgba.png"]["ch_last_sum"] == 14610
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_decode_png_never_crashes_on_garbage(blob):
+    """Arbitrary bytes must yield ValueError (or decode, for a valid
+    PNG) — never an unhandled exception from the codec internals."""
+    try:
+        decode_png(blob)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_pdf_fallback_never_crashes_on_garbage(blob):
+    """The stdlib PDF extractor must degrade to None on any input,
+    including truncated/corrupt streams — the reference's error path."""
+    from nlp_data_pipeline_spark.sources.readers import _extract_pdf_bytes
+
+    out = _extract_pdf_bytes(blob)
+    assert out is None or isinstance(out, str)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_pdf_fallback_with_magic_prefix_never_crashes(blob):
+    from nlp_data_pipeline_spark.sources.readers import _extract_pdf_bytes
+
+    out = _extract_pdf_bytes(b"%PDF-1.4\n" + blob)
+    assert out is None or isinstance(out, str)
