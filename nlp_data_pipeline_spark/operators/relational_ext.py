@@ -1044,7 +1044,7 @@ Q38_SQL = _q38_sql()
 # repartitionByRange, whose sampled boundaries are not stable.
 # --------------------------------------------------------------------------
 _Q39_BITS = 16
-_Q39_BUCKETS = 64
+_Q39_BUCKET_BITS = 6  # 2^6 = 64 buckets
 
 
 def q39_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1070,8 +1070,8 @@ def q39_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the linear layout uses the top 6 bits of the x quantization alone
     both = z.selectExpr(
         "x", "y",
-        f"shiftright(zval, {2 * _Q39_BITS - 6}) AS zorder",
-        f"shiftright(xq, {_Q39_BITS - 6}) AS linear_x",
+        f"shiftright(zval, {2 * _Q39_BITS - _Q39_BUCKET_BITS}) AS zorder",
+        f"shiftright(xq, {_Q39_BITS - _Q39_BUCKET_BITS}) AS linear_x",
     ).selectExpr("x", "y", "stack(2, 'zorder', zorder, 'linear_x', linear_x) AS (layout, bucket)")
     per = both.groupBy("layout", "bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -1105,9 +1105,9 @@ z AS (
   FROM q
 ),
 layouts AS (
-  SELECT x, y, 'zorder' AS layout, zval >> {2 * _Q39_BITS - 6} AS bucket FROM z
+  SELECT x, y, 'zorder' AS layout, zval >> {2 * _Q39_BITS - _Q39_BUCKET_BITS} AS bucket FROM z
   UNION ALL
-  SELECT x, y, 'linear_x' AS layout, xq >> {_Q39_BITS - 6} AS bucket FROM z
+  SELECT x, y, 'linear_x' AS layout, xq >> {_Q39_BITS - _Q39_BUCKET_BITS} AS bucket FROM z
 ),
 per AS (
   SELECT layout, bucket, COUNT(*) AS n_rows,

@@ -76,7 +76,6 @@ def _stage(spark, sf_dir: str, factor: int) -> str:
     from nlp_data_pipeline_spark.sources.catalog import load_table
 
     out = os.path.join(tempfile.gettempdir(), f"scale{factor}x_{os.getpid()}")
-    reps = None
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
