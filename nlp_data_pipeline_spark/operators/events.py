@@ -826,6 +826,96 @@ ORDER BY user_id, session_start
 
 
 # --------------------------------------------------------------------------
+# e17: STREAMING CDC UPSERT — change-capture applied incrementally
+# through foreachBatch: each micro-batch MERGEs into a keyed state
+# table (last-writer-wins per user by (ts, event_id)), the maintenance
+# loop behind every "current state of X" serving table fed by a
+# stream. The source is staged as 4 files and consumed one per
+# trigger, so the merge genuinely runs multiple times incrementally;
+# upsert is order-independent by construction (argmax over a total
+# order), so the final state equals the batch argmax no matter how the
+# stream was batched — exactly what the oracle states. Each merge
+# writes a fresh generation dir then atomically swaps it in, the same
+# pattern as r09's two-phase commit. At scale the state table is a
+# Delta/Iceberg MERGE target; the per-batch cost is ∝ state + batch,
+# and the swap is the transaction.
+# --------------------------------------------------------------------------
+def e17_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from nlp_data_pipeline_spark.streaming.pipelines import read_events_stream
+
+    src = os.path.join(tempfile.gettempdir(), f"e17_src_{os.getpid()}")
+    state = os.path.join(tempfile.gettempdir(), f"e17_state_{os.getpid()}")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(state, ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .repartition(4)
+        .write.parquet(src)
+    )
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        allr = (
+            sp.read.parquet(state).unionByName(batch_df)
+            if os.path.isdir(state)
+            else batch_df
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            allr.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        tmp = f"{state}_gen{epoch_id}"
+        latest.write.mode("overwrite").parquet(tmp)  # materialize BEFORE swap
+        shutil.rmtree(state, ignore_errors=True)
+        os.rename(tmp, state)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    final = spark.read.parquet(state)
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+        F.unix_timestamp("ts").alias("last_ts_epoch"),
+    ).orderBy("user_id")
+
+
+E17_SQL = """
+WITH latest AS (
+  SELECT user_id, event_id, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       value AS last_value,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS last_ts_epoch
+FROM latest WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # e16: LEFT-OUTER stream-stream join — e12's attribution join with the
 # outer semantics that make it a funnel report: every purchase row
 # eventually emits, matched pairs eagerly, UNMATCHED purchases only
@@ -990,12 +1080,14 @@ QUERIES = {
     "e14_streaming_session_finalized": e14_streaming_session_finalized,
     "e15_dynamic_partition_pruning": e15_dynamic_partition_pruning,
     "e16_stream_stream_left_outer": e16_stream_stream_left_outer,
+    "e17_streaming_cdc_upsert": e17_streaming_cdc_upsert,
 }
 
 ORACLES = {
     "e14_streaming_session_finalized": E14_SQL,
     "e15_dynamic_partition_pruning": E15_SQL,
     "e16_stream_stream_left_outer": E16_SQL,
+    "e17_streaming_cdc_upsert": E17_SQL,
     "e13_stateful_type_counts": E13_SQL,
     "e11_foreachbatch_sink": E11_SQL,
     "e12_stream_stream_join": E12_SQL,

@@ -141,6 +141,61 @@ ORDER BY doc_id, pos
 
 
 # --------------------------------------------------------------------------
+# u05: ARROW-OPTIMIZED Python UDTF (Spark 4 `useArrow=True`) — the
+# batch-transfer variant of v03's row UDTF: rows reach eval() through
+# Arrow instead of pickled rows, the same serialization jump that makes
+# pandas UDFs ~10-100x faster than row UDFs. The kernel chunks each
+# document into fixed 32-token windows with per-chunk token counts —
+# i.e., the sequence-packing front half as a table function. Oracle is
+# the pure-SQL chunking, so the Arrow path's row fan-out is
+# hash-checked exactly. API-coverage entry: the declared twin t29 does
+# real packing natively; this pins the Arrow-UDTF surface.
+# --------------------------------------------------------------------------
+_U05_CHUNK = 32
+
+
+def u05_arrow_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int", useArrow=True)
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(0, len(toks), _U05_CHUNK):
+                yield i // _U05_CHUNK, len(toks[i : i + _U05_CHUNK])
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx, CAST(c.n_tokens AS BIGINT) AS n_tokens
+        FROM documents d, LATERAL chunk_doc(d.text) c
+        WHERE d.doc_id < 100
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
+
+
+U05_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t != '') AS t
+  FROM documents WHERE doc_id < 100
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(u.i AS INT) AS chunk_idx,
+         LEAST(len(t) - u.i * {_U05_CHUNK}, {_U05_CHUNK}) AS n_tokens
+  FROM toks, (SELECT unnest(range(0, 1000)) AS i) u
+  WHERE u.i * {_U05_CHUNK} < len(t)
+)
+SELECT doc_id, chunk_idx, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# --------------------------------------------------------------------------
 # v04: explicit GROUPING SETS — the general form of q08's ROLLUP /
 # q09's CUBE: exactly the named aggregation levels, nothing more.
 # One shuffle with grouping-set expansion (each input row contributes
@@ -360,9 +415,11 @@ QUERIES = {
     "v05_sql_pivot": v05_sql_pivot,
     "v06_sql_lateral_explode": v06_sql_lateral_explode,
     "v07_recursive_month_spine": v07_recursive_month_spine,
+    "u05_arrow_udtf_chunks": u05_arrow_udtf_chunks,
 }
 
 ORACLES = {
+    "u05_arrow_udtf_chunks": U05_SQL,
     "v07_recursive_month_spine": V07_SQL,
     "v05_sql_pivot": V05_SQL,
     "v06_sql_lateral_explode": V06_SQL,

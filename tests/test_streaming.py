@@ -318,3 +318,33 @@ def test_left_outer_stream_stream_emits_watermark_proven_nulls(spark, sf_dir):
         batch.filter("signup_id IS NULL").filter(F.col("pts") < F.lit(wmax)).count()
     )
     assert got_nulls == expected_nulls
+
+
+def test_e17_cdc_upsert_matches_batch_argmax(spark, sf_dir):
+    """The incrementally-merged state (4 micro-batches, one source file
+    per trigger) must equal the batch last-writer-wins argmax — upsert
+    is order-independent by construction."""
+    import glob
+
+    from pyspark.sql.window import Window
+
+    from nlp_data_pipeline_spark.operators.events import e17_streaming_cdc_upsert
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    got = {r.user_id: (r.last_event_id, r.last_ts_epoch)
+           for r in e17_streaming_cdc_upsert(spark, sf_dir).collect()}
+    # the source really was staged as multiple files → multiple merges
+    src = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"e17_src_{os.getpid()}"
+    )
+    assert len(glob.glob(os.path.join(src, "part-*.parquet"))) == 4
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    expect = {
+        r.user_id: (r.event_id, int(r.ts.timestamp()))
+        for r in load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == expect
