@@ -335,6 +335,71 @@ ORDER BY l_returnflag
 
 
 # --------------------------------------------------------------------------
+# a02: mergeable HLL sketch rollup — the property that makes sketches
+# the 100 TB answer to COUNT(DISTINCT): per-day Datasketches HLL
+# sketches (hll_sketch_agg) are built in ONE pass, then UNIONED
+# (hll_union_agg) into the global estimate WITHOUT re-reading raw data
+# — the pattern for pre-aggregated distinct-user rollups (store the
+# day-level sketch binary, answer week/month/all-time by merging).
+# a01 verifies sketch ACCURACY; a02 verifies sketch ALGEBRA: the
+# merged-estimate column asserts estimate(union(daily)) equals
+# estimate(direct-over-raw) — exact for same-lgK Datasketches unions.
+# Estimates themselves are engine-specific, so (a01 discipline) the
+# declared columns are exact values + booleans the oracle states TRUE.
+# --------------------------------------------------------------------------
+_A02_LGK = 14  # Datasketches lgConfigK: rel. err ≈ 1.04/√2^14 ≈ 0.8%
+
+
+def a02_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr(f"hll_sketch_agg(user_id, {_A02_LGK})").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    within = lambda est, exact: (
+        F.abs(est.cast("double") - exact) <= F.lit(0.05) * exact
+    )
+    daily_rows = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_label"),
+        "exact_users",
+        within(F.expr("hll_sketch_estimate(sk)"), F.col("exact_users")).alias(
+            "hll_within_5pct"
+        ),
+        F.lit(True).alias("rollup_matches_direct"),
+    )
+    merged = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("merged_est")
+    )
+    direct = ev.agg(
+        F.expr(f"hll_sketch_estimate(hll_sketch_agg(user_id, {_A02_LGK}))").alias(
+            "direct_est"
+        ),
+        F.count_distinct("user_id").alias("exact_total"),
+    )
+    total_row = merged.crossJoin(direct).select(
+        F.lit("TOTAL").alias("day_label"),
+        F.col("exact_total").alias("exact_users"),
+        within(F.col("direct_est"), F.col("exact_total")).alias("hll_within_5pct"),
+        (F.col("merged_est") == F.col("direct_est")).alias("rollup_matches_direct"),
+    )
+    # 'TOTAL' sorts after all 'yyyy-MM-dd' labels ('T' > '9')
+    return daily_rows.unionByName(total_row).orderBy("day_label")
+
+
+A02_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_label,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_5pct,
+       TRUE AS rollup_matches_direct
+FROM events
+GROUP BY 1
+UNION ALL
+SELECT 'TOTAL', COUNT(DISTINCT user_id), TRUE, TRUE FROM events
+ORDER BY day_label
+"""
+
+
+# --------------------------------------------------------------------------
 # r03: ORC sink → source round trip — Spark's second columnar format
 # (ORC support is built into the distribution). Same discipline as r01:
 # integer/string columns only so the round trip is value-exact, and the
@@ -914,6 +979,7 @@ QUERIES = {
     "r10_pdf_extract": r10_pdf_extract,
     "r11_gzip_jsonl_roundtrip": r11_gzip_jsonl_roundtrip,
     "a01_approx_stats": a01_approx_stats,
+    "a02_hll_sketch_rollup": a02_hll_sketch_rollup,
 }
 
 ORACLES = {
@@ -933,4 +999,5 @@ ORACLES = {
     "r01_csv_roundtrip": R01_SQL,
     "r02_corrupt_json_ingest": R02_SQL,
     "a01_approx_stats": A01_SQL,
+    "a02_hll_sketch_rollup": A02_SQL,
 }

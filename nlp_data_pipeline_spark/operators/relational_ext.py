@@ -1122,6 +1122,175 @@ ORDER BY layout, bucket
 """
 
 
+# --------------------------------------------------------------------------
+# q40: incremental materialized-view maintenance — the delta-refresh
+# primitive behind streaming aggregations, hypertable continuous
+# aggregates (q26's sibling), and warehouse MV REFRESH: instead of
+# recomputing a (month, status) revenue rollup over ALL history when a
+# new batch lands, keep per-group PARTIALS (count, sum) for the frozen
+# history, aggregate only the delta batch, and MERGE the two partial
+# sets with a re-aggregation — counts add, sums add, and derived
+# metrics (avg) are computed from merged partials at the edge, never
+# averaged-of-averages.
+#
+# Scale: the refresh cost is O(delta + |groups|), not O(history). At
+# 100 TB the base partials are a tiny summary table (months × statuses)
+# read from the MV store; only the new batch is scanned. Here both
+# halves come from one `orders` scan split by a date predicate so the
+# oracle can prove the merged result is value-identical to the direct
+# full recompute (sums in decimal(18,2): order-independent, hash-exact).
+# --------------------------------------------------------------------------
+_Q40_SPLIT = "2000-01-01"
+
+
+def q40_incremental_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast(D182).alias("price"),
+        F.col("o_orderdate").alias("od"),
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("month", "status").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").alias("total_price"),
+        )
+
+    base = partials(o.filter(F.col("od") < F.lit(_Q40_SPLIT)))  # the stored MV
+    delta = partials(o.filter(F.col("od") >= F.lit(_Q40_SPLIT)))  # new batch
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month", "status")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_price").alias("total_price"),
+        )
+    )
+    return merged.select(
+        "month",
+        "status",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+        F.round(F.col("total_price").cast("double") / F.col("n_orders"), 4).alias(
+            "avg_price"
+        ),
+    ).orderBy("month", "status")
+
+
+# The oracle is the DIRECT full recompute — proving the partial-merge
+# refresh is semantically invisible.
+Q40_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY month, status
+"""
+
+
+# --------------------------------------------------------------------------
+# q41: runtime Bloom-filter join pruning — Spark's row-level runtime
+# filter (SPARK-32268): when a selective filter sits on one side of a
+# shuffle join, the optimizer builds a Bloom filter of that side's join
+# keys and injects `might_contain(...)` into the OTHER side's scan
+# filter, discarding non-matching fact rows BEFORE the shuffle. The
+# dynamic-partition-pruning sibling (e15) skips whole partitions;
+# bloom pruning works row-level on unpartitioned data — at 100 TB it
+# cuts the dominant cost of a selective fact-dim join (shuffling fact
+# rows that can never match) by the dim's selectivity.
+#
+# The conf block forces the demonstration shape at test scale (tiny
+# thresholds + no broadcast, since a broadcast join needs no runtime
+# filter); the aggregate is materialized to parquet INSIDE the scoped
+# block so execution genuinely runs with the filter injected (plans
+# resolve lazily — returning an unexecuted frame would let the restore
+# race the optimizer), then read back. `test_plans.py` pins the
+# `might_contain` injection. Semantics are conf-independent — the
+# oracle is the plain join aggregate.
+# --------------------------------------------------------------------------
+_Q41_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+class _scoped_confs:
+    """Set confs on enter, restore previous values (or unset) on exit."""
+
+    def __init__(self, spark: SparkSession, confs: dict):
+        self.spark, self.confs = spark, confs
+
+    def __enter__(self):
+        self.prev = {}
+        for k, v in self.confs.items():
+            try:
+                self.prev[k] = self.spark.conf.get(k)
+            except Exception:
+                self.prev[k] = None
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, v in self.prev.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+
+def _q41_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selective fact-dim join shape the bloom filter targets."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_extendedprice").cast(D182).alias("price")
+    )
+    sel = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    return (
+        l.join(sel, l.l_orderkey == sel.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+    )
+
+
+def q41_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    # deterministic per-process dir, cleaned on entry (the r09 pattern:
+    # repeated bench runs must not accumulate copies under /tmp)
+    root = os.path.join(tempfile.gettempdir(), f"q41_bloom_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    out = os.path.join(root, "agg")
+    with _scoped_confs(spark, _Q41_CONFS):
+        _q41_join(spark, sf_dir).write.mode("overwrite").parquet(out)
+    # the read-back frame is collected lazily by the caller, so the dir
+    # must outlive this call — the clean-on-entry above bounds growth
+    return spark.read.parquet(out).orderBy("o_orderpriority")
+
+
+Q41_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,
@@ -1146,9 +1315,13 @@ QUERIES = {
     "q37_observed_metrics": q37_observed_metrics,
     "q38_data_expectations": q38_data_expectations,
     "q39_zorder_clustering": q39_zorder_clustering,
+    "q40_incremental_mv_maintenance": q40_incremental_mv_maintenance,
+    "q41_bloom_pruned_join": q41_bloom_pruned_join,
 }
 
 ORACLES = {
+    "q40_incremental_mv_maintenance": Q40_SQL,
+    "q41_bloom_pruned_join": Q41_SQL,
     "q39_zorder_clustering": Q39_SQL,
     "q38_data_expectations": Q38_SQL,
     "q37_observed_metrics": Q37_SQL,

@@ -1833,6 +1833,88 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# t32: sliding-window document chunking — the RAG / long-context
+# preparation step: each document becomes overlapping fixed-size token
+# windows (64 tokens, stride 48 → 16-token overlap) so retrieval
+# embeddings never lose sentence context at chunk boundaries. Emits
+# per chunk its offset, size, and an md5 fingerprint of the joined
+# tokens (the downstream embed/dedup key).
+#
+# Scale: chunking is a pure flat-map — sequence() of chunk starts +
+# explode + slice, all inside codegen over the scan; no shuffle exists
+# except the output sort. Chunk volume ≈ n_tokens/stride per doc
+# (~1.3× token volume at these params), the same explosion budget as
+# t28's bigrams. Whitespace tokens of the RAW text (t29's convention):
+# chunk text must stay verbatim for retrieval display.
+# --------------------------------------------------------------------------
+_T32_CHUNK = 64
+_T32_STRIDE = 48
+
+
+def t32_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    base = d.select("doc_id", toks.alias("toks")).withColumn(
+        "n_tokens", F.size("toks")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_tokens") - 1, F.lit(0)),
+        F.lit(_T32_STRIDE),
+    )
+    return (
+        base.select(
+            "doc_id", "n_tokens", "toks", F.explode(starts).alias("start")
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            f"CAST(start DIV {_T32_STRIDE} AS INT) AS chunk_idx",
+            "start AS chunk_start",
+            f"slice(toks, start + 1, {_T32_CHUNK}) AS chunk",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "chunk_idx",
+            "chunk_start",
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+T32_SQL = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '') AS toks
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens FROM toked
+),
+starts AS (
+  SELECT doc_id, toks, n_tokens,
+         unnest(range(0, greatest(n_tokens, 1), {_T32_STRIDE})) AS start
+  FROM counted
+),
+chunks AS (
+  SELECT doc_id, n_tokens,
+         CAST(start // {_T32_STRIDE} AS INT) AS chunk_idx,
+         start AS chunk_start,
+         list_slice(toks, start + 1, start + {_T32_CHUNK}) AS chunk
+  FROM starts
+)
+SELECT doc_id, n_tokens, chunk_idx, CAST(chunk_start AS BIGINT) AS chunk_start,
+       len(chunk) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -1865,10 +1947,12 @@ QUERIES = {
     "t29_sequence_packing": t29_sequence_packing,
     "t30_lm_novelty_score": t30_lm_novelty_score,
     "t31_dsir_importance": t31_dsir_importance,
+    "t32_rag_chunking": t32_rag_chunking,
 }
 
 ORACLES = {
     "t31_dsir_importance": T31_SQL,
+    "t32_rag_chunking": T32_SQL,
     "t22_boilerplate_prune": T22_SQL,
     "t30_lm_novelty_score": T30_SQL,
     "t28_repetition_filter": T28_SQL,

@@ -146,7 +146,6 @@ def test_r08_custom_source_partitions_per_shard(spark, sf_dir):
     """The Python DataSource fans out one input partition per staged
     shard — the property that makes the custom scan parallel."""
     import glob
-    import hashlib
     import os
     import tempfile
 
@@ -156,8 +155,8 @@ def test_r08_custom_source_partitions_per_shard(spark, sf_dir):
     from nlp_data_pipeline_spark.sources.custom_datasource import DocStatsDataSource
 
     r08_python_datasource(spark, sf_dir).collect()  # stages + registers
-    key = hashlib.md5(f"r08|{sf_dir}".encode()).hexdigest()[:8]
-    stage = os.path.join(tempfile.gettempdir(), f"docstats_{key}")
+    # per-process stage dir (the stale-cache fix replaced the md5(sf_dir) key)
+    stage = os.path.join(tempfile.gettempdir(), f"docstats_{os.getpid()}")
     n_shards = len(glob.glob(os.path.join(stage, "part-*")))
     assert n_shards == 8
     df = spark.read.format("docstats").load(stage)

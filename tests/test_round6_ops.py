@@ -180,3 +180,95 @@ def test_q39_zorder_bounds_both_dimensions(spark, sf_dir):
     assert spans["zorder"][0] < 0.5 and spans["zorder"][1] < 0.5
     # and z-order's y bound beats linear's by a wide margin
     assert spans["zorder"][1] < spans["linear_x"][1] / 2
+
+
+def test_q41_bloom_filter_injected(spark, sf_dir):
+    """Under the q41 conf block the optimizer injects a runtime Bloom
+    filter: the fact-side scan filter carries might_contain(...), so
+    non-matching rows die BEFORE the shuffle (SPARK-32268)."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        _Q41_CONFS,
+        _q41_join,
+        _scoped_confs,
+    )
+
+    with _scoped_confs(spark, _Q41_CONFS):
+        j = _q41_join(spark, sf_dir)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        # and it's semantically invisible: result matches the unfiltered run
+        with_bloom = {tuple(r) for r in j.collect()}
+    without = {tuple(r) for r in _q41_join(spark, sf_dir).collect()}
+    assert with_bloom == without
+
+
+def test_q40_merge_equals_direct_recompute(spark, sf_dir):
+    """The partial-merge refresh must be value-identical to recomputing
+    the rollup from all of history (the MV-maintenance contract)."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        q40_incremental_mv_maintenance,
+    )
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    merged = {(r.month, r.status): (r.n_orders, r.total_price)
+              for r in q40_incremental_mv_maintenance(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    direct = {
+        (r.month, r.status): (r.n_orders, r.total_price)
+        for r in o.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_a02_sketch_algebra_holds(spark, sf_dir):
+    """Union-of-daily-sketches must estimate exactly what the direct
+    whole-corpus sketch estimates (same-lgK Datasketches union), and
+    every estimate must sit within tolerance of exact."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import a02_hll_sketch_rollup
+
+    rows = a02_hll_sketch_rollup(spark, sf_dir).collect()
+    assert rows[-1].day_label == "TOTAL"
+    assert all(r.hll_within_5pct for r in rows)
+    assert all(r.rollup_matches_direct for r in rows)
+    # TOTAL covers the union of all days: at least the max daily count
+    daily_max = max(r.exact_users for r in rows[:-1])
+    assert rows[-1].exact_users >= daily_max
+
+
+def test_t32_chunks_tile_documents(spark, sf_dir):
+    """Chunk windows must tile every document: starts advance by the
+    stride, consecutive chunks overlap by chunk-stride tokens, and the
+    final chunk reaches the last token."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _T32_CHUNK,
+        _T32_STRIDE,
+        t32_rag_chunking,
+    )
+
+    rows = t32_rag_chunking(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) > 0
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        n = rs[0].n_tokens
+        # starts are exactly 0, stride, 2*stride, ... while start < max(n,1)
+        assert [r.chunk_start for r in rs] == list(
+            range(0, max(n, 1), _T32_STRIDE)
+        )
+        for r in rs:
+            assert r.n_chunk_tokens == min(_T32_CHUNK, n - r.chunk_start)
+        # full coverage: last chunk reaches the final token
+        last = rs[-1]
+        assert last.chunk_start + last.n_chunk_tokens == n
