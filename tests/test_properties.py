@@ -132,3 +132,46 @@ def test_sequence_packing_invariants(spark, docs):
         assert r.spans_boundary == (r.last_pack > r.first_pack)
         # a doc never spans more packs than its size allows
         assert r.last_pack - r.first_pack <= r.n_tokens // seq + 1
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(0, 400), min_size=1, max_size=25))
+def test_rag_chunking_invariants(spark, token_counts):
+    """t32 chunking must tile ARBITRARY documents: empty docs yield one
+    empty chunk, every token lands in ≥1 chunk, consecutive chunks
+    overlap by exactly chunk−stride tokens (when both are full), and
+    chunk fingerprints of identical windows agree."""
+    import nlp_data_pipeline_spark.operators.text_analytics as ta
+
+    df = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j}" for j in range(n)) if n else "", "en", "src", n)
+            for i, n in enumerate(token_counts)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = ta.load_table
+    try:
+        ta.load_table = lambda s, d, t: df
+        rows = ta.t32_rag_chunking(spark, "ignored").collect()
+    finally:
+        ta.load_table = orig
+    chunk, stride = ta._T32_CHUNK, ta._T32_STRIDE
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(len(token_counts)))
+    for doc_id, rs in by_doc.items():
+        n = token_counts[doc_id]
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_start for r in rs] == list(range(0, max(n, 1), stride))
+        covered = set()
+        for r in rs:
+            assert r.n_tokens == n
+            assert r.n_chunk_tokens == min(chunk, n - r.chunk_start)
+            covered.update(range(r.chunk_start, r.chunk_start + r.n_chunk_tokens))
+        assert covered == set(range(n))  # every token in ≥1 chunk
+        # consecutive full chunks share exactly chunk−stride tokens
+        for a, b in zip(rs, rs[1:]):
+            if a.n_chunk_tokens == chunk:
+                assert (a.chunk_start + chunk) - b.chunk_start == chunk - stride

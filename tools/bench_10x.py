@@ -39,6 +39,7 @@ HEAVY = [
     "t22_boilerplate_prune",
     "t28_repetition_filter",
     "t30_lm_novelty_score",
+    "t32_rag_chunking",
     "d05_shingle_jaccard_topk",
     "d06_neardup_clusters",
     "d12_leakage_safe_split",
