@@ -1915,6 +1915,75 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# --------------------------------------------------------------------------
+# t33: readability / curriculum-difficulty scoring — STAGED FOR ROUND-7
+# DECLARATION (implemented, oracle-parity-tested in
+# test_round6_ops.py::test_t33_matches_duckdb_oracle; kept out of
+# QUERIES this round only because the driver's 50-entry verification
+# window is at capacity and adding it would push the e09–e13 rotation
+# re-checks out — see COVERAGE.md "Staged for round 7").
+#
+# Flesch-reading-ease with a deterministic vowel-group syllable
+# heuristic — the curriculum-ordering signal (easy→hard schedules) and
+# a standard quality facet beside t07/t20. Pure column expressions:
+# three regexp counts per doc, no shuffle except the output sort.
+# flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word).
+# --------------------------------------------------------------------------
+def t33_readability_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ctext = clean_text("text")
+    n_words = F.greatest(
+        F.size(F.filter(F.split(ctext, " "), lambda t: t != F.lit(""))), F.lit(1)
+    )
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    n_sents = F.greatest(F.size(sents), F.lit(1))
+    n_syll = F.greatest(F.regexp_count(ctext, F.lit("[aeiouy]+")), F.lit(1))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+        F.when(flesch >= 60, "easy")
+        .when(flesch >= 30, "medium")
+        .otherwise("hard")
+        .alias("difficulty"),
+    ).orderBy("doc_id")
+
+
+T33_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         GREATEST(len(list_filter(string_split({_CLEAN_SQL}, ' '), t -> t != '')), 1) AS n_words,
+         GREATEST(len(list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                                 s -> trim(s)), s -> s != '')), 1) AS n_sents,
+         GREATEST(len(regexp_extract_all({_CLEAN_SQL}, '[aeiouy]+')), 1) AS n_syll
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_words, n_sents, n_syll,
+         206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+  FROM base
+)
+SELECT doc_id, n_words, n_sents AS n_sentences, n_syll AS n_syllables,
+       round(flesch, 4) AS flesch,
+       CASE WHEN flesch >= 60 THEN 'easy'
+            WHEN flesch >= 30 THEN 'medium'
+            ELSE 'hard' END AS difficulty
+FROM scored
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,

@@ -272,3 +272,72 @@ def test_t32_chunks_tile_documents(spark, sf_dir):
         # full coverage: last chunk reaches the final token
         last = rs[-1]
         assert last.chunk_start + last.n_chunk_tokens == n
+
+
+def test_t33_matches_duckdb_oracle(spark, sf_dir):
+    """t33 is STAGED for round-7 declaration (driver window at capacity);
+    this test runs the same oracle comparison the driver would, so the
+    later declaration is a registration-only change."""
+    import math
+
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T33_SQL,
+        t33_readability_curriculum,
+    )
+
+    got = [tuple(r) for r in t33_readability_curriculum(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(T33_SQL).fetchall()
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:4] == tuple(w[:4])  # doc_id + integer counts exact
+        assert math.isclose(g[4], w[4], abs_tol=1e-9)  # rounded flesch
+        assert g[5] == w[5]  # difficulty band
+
+
+def test_dedup_within_watermark_semantics(spark):
+    """Staged e18 surface: dropDuplicatesWithinWatermark keyed on
+    (user_id, event_type) keeps exactly one row per key for duplicates
+    arriving inside the watermark delay, and the kept row is one of the
+    key's inputs (Spark keeps the first encountered — partition-order
+    dependent, so the test asserts membership, not identity)."""
+    import os
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from nlp_data_pipeline_spark.streaming.pipelines import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    base = tempfile.mkdtemp(prefix="ddww_test_")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        for etype in ("click", "view"):
+            for k in range(3):  # 3 duplicates per key, 1 min apart
+                rows.append((eid, t0 + timedelta(minutes=k), user, etype, 1.0, "{}"))
+                eid += 1
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        os.path.join(base, "events")
+    )
+    stream = read_events_stream(spark, os.path.join(base, "events"))
+    _, result = run_to_memory_sink(
+        dedup_within_watermark(stream, "10 minutes"), output_mode="append"
+    )
+    out = result.collect()
+    keys = [(r.user_id, r.event_type) for r in out]
+    assert sorted(keys) == sorted({(u, e) for u in (1, 2) for e in ("click", "view")})
+    in_rows = {(r[2], r[3], r[0]) for r in rows}
+    assert all((r.user_id, r.event_type, r.event_id) in in_rows for r in out)
