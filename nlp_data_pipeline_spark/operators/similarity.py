@@ -962,6 +962,66 @@ LIMIT {BM25_TOP_K}
 S12_SQL = _s12_sql()
 
 
+# --------------------------------------------------------------------------
+# s13: RADIUS (range) search — STAGED FOR ROUND-7 DECLARATION
+# (oracle-parity-tested in test_round6_ops.py::test_s13_matches_duckdb_
+# oracle; held out of QUERIES because the driver's 50-entry window is
+# at capacity this round — COVERAGE.md "Staged for round 7").
+#
+# The third retrieval modality beside top-k (s01/s07) and all-pairs
+# (s02): return EVERY corpus vector within a similarity radius of each
+# query — the shape behind dedup-by-threshold, near-dup candidate
+# expansion, and recall-first retrieval. Scale: identical to s01 —
+# broadcast the query set, ONE corpus scan, no shuffle of the corpus;
+# the per-query hit count rides a window over the (small) result set.
+# --------------------------------------------------------------------------
+RADIUS_TAU = 0.25
+
+
+def s13_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    cos = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
+    hits = (
+        e.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("raw_cos"))
+        .filter(F.col("raw_cos") >= RADIUS_TAU)
+    )
+    w = Window.partitionBy("query_id")
+    return (
+        hits.select(
+            "query_id",
+            "vec_id",
+            F.round("raw_cos", 6).alias("cosine"),
+            F.count(F.lit(1)).over(w).alias("n_in_radius"),
+        )
+        .orderBy("query_id", "vec_id")
+    )
+
+
+S13_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+hits AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(q.qemb, e.emb)
+           / (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(e.emb, e.emb))) AS raw_cos
+  FROM e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, vec_id, round(raw_cos, 6) AS cosine,
+       COUNT(*) OVER (PARTITION BY query_id) AS n_in_radius
+FROM hits
+WHERE raw_cos >= {RADIUS_TAU}
+ORDER BY query_id, vec_id
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,

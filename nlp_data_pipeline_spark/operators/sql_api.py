@@ -407,6 +407,63 @@ ORDER BY s.m
 """
 
 
+# --------------------------------------------------------------------------
+# v08: SQL-language scalar UDF — STAGED FOR ROUND-7 DECLARATION
+# (oracle-parity-tested in test_round6_ops.py::test_v08_matches_duckdb_
+# oracle; held out of QUERIES because the driver's 50-entry window is
+# at capacity this round — COVERAGE.md "Staged for round 7").
+#
+# Spark 4's `CREATE FUNCTION ... RETURN <expr>` (SQL UDFs,
+# SPARK-46087): the function body is INLINED into the plan by the
+# analyzer, so unlike every Python UDF it stays inside codegen — the
+# one UDF mechanism with zero hot-path penalty at 100 TB. Demonstrated
+# by registering a discounted-price function + a price-band
+# classifier, then aggregating through both.
+# --------------------------------------------------------------------------
+def v08_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    # decimal-in, decimal-out body: the 2-dp-valued double inputs cast
+    # exactly, the multiply is exact decimal arithmetic — NEVER cast a
+    # computed double product to decimal (Spark rounds half-up, DuckDB
+    # half-even; .005 boundaries diverge)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DECIMAL(38,4) "
+        "RETURN CAST(p AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(d AS DECIMAL(18,2)))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN p >= 50000 THEN 'high' WHEN p >= 20000 THEN 'mid' ELSE 'low' END"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, price_band(l_extendedprice) AS band,
+               COUNT(*) AS n_items,
+               CAST(SUM(disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+                 AS disc_revenue
+        FROM lineitem
+        GROUP BY l_returnflag, price_band(l_extendedprice)
+        ORDER BY l_returnflag, band
+        """
+    )
+
+
+# oracle = the same query with the function bodies inlined (which is
+# exactly what Spark's analyzer does with the SQL UDF)
+V08_SQL = """
+SELECT l_returnflag,
+       CASE WHEN l_extendedprice >= 50000 THEN 'high'
+            WHEN l_extendedprice >= 20000 THEN 'mid'
+            ELSE 'low' END AS band,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS disc_revenue
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY l_returnflag, band
+"""
+
+
 QUERIES = {
     "v01_sql_big_spenders": v01_sql_big_spenders,
     "v02_sql_correlated_subquery": v02_sql_correlated_subquery,

@@ -341,3 +341,55 @@ def test_dedup_within_watermark_semantics(spark):
     assert sorted(keys) == sorted({(u, e) for u in (1, 2) for e in ("click", "view")})
     in_rows = {(r[2], r[3], r[0]) for r in rows}
     assert all((r.user_id, r.event_type, r.event_id) in in_rows for r in out)
+
+
+def test_s13_matches_duckdb_oracle(spark, sf_dir):
+    """s13 radius search is STAGED for round-7 declaration; this runs
+    the driver-style DuckDB comparison now so declaring it later is a
+    registration-only change."""
+    import math
+
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S13_SQL,
+        s13_radius_search,
+    )
+
+    got = [tuple(r) for r in s13_radius_search(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = con.execute(S13_SQL).fetchall()
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert (g[0], g[1], g[3]) == (w[0], w[1], w[3])  # ids + radius count
+        assert math.isclose(g[2], w[2], abs_tol=1e-9)  # rounded cosine
+
+
+def test_v08_matches_duckdb_oracle(spark, sf_dir):
+    """v08 SQL-language UDF is STAGED for round-7 declaration; the
+    oracle inlines the function bodies — exactly what Spark's analyzer
+    does — so a match proves the UDF mechanism is semantically
+    transparent."""
+    import math
+
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.sql_api import V08_SQL, v08_sql_scalar_udf
+    from nlp_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = v08_sql_scalar_udf(spark, sf_dir)
+    # the SQL UDF must be inlined: no Python stage in the plan
+    assert "BatchEvalPython" not in formatted_plan(df)
+    got = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    want = con.execute(V08_SQL).fetchall()
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == tuple(w[:3])
+        assert math.isclose(g[3], w[3], abs_tol=1e-6)
