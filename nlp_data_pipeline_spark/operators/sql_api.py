@@ -464,6 +464,61 @@ ORDER BY l_returnflag, band
 """
 
 
+# --------------------------------------------------------------------------
+# v09: SQL TABLE function + LATERAL correlation — STAGED FOR ROUND-7
+# DECLARATION (oracle-parity-tested in test_round6_ops.py::
+# test_v09_matches_duckdb_oracle; held out of QUERIES while the
+# driver's 50-entry window is full — COVERAGE.md "Staged for round 7").
+#
+# Spark 4's `CREATE FUNCTION ... RETURNS TABLE` (SQL UDTF): a
+# parameterized relation the analyzer inlines per call site, here
+# invoked via LATERAL so each dimension row drives its own correlated
+# top-k — the reusable-subquery API without any Python UDTF overhead.
+# (A parameterized LIMIT is rejected as unfoldable; the body uses a
+# window rank bound instead — the same plan a correlated top-k wants.)
+# --------------------------------------------------------------------------
+_V09_K = 3
+
+
+def v09_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION top_orders_of(seg STRING, k INT)
+        RETURNS TABLE (o_orderkey BIGINT, o_totalprice DOUBLE, rnk INT)
+        RETURN SELECT o_orderkey, o_totalprice, rnk FROM (
+          SELECT o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+          FROM orders WHERE o_orderpriority = seg
+        ) WHERE rnk <= k
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT p.priority, t.rnk, t.o_orderkey,
+               ROUND(t.o_totalprice, 2) AS o_totalprice
+        FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) p,
+             LATERAL top_orders_of(p.priority, {_V09_K}) t
+        ORDER BY p.priority, t.rnk
+        """
+    )
+
+
+V09_SQL = f"""
+SELECT o_orderpriority AS priority,
+       CAST(rnk AS INT) AS rnk, o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rnk <= {_V09_K}
+ORDER BY priority, rnk
+"""
+
+
 QUERIES = {
     "v01_sql_big_spenders": v01_sql_big_spenders,
     "v02_sql_correlated_subquery": v02_sql_correlated_subquery,

@@ -393,3 +393,32 @@ def test_v08_matches_duckdb_oracle(spark, sf_dir):
     for g, w in zip(got, want):
         assert g[:3] == tuple(w[:3])
         assert math.isclose(g[3], w[3], abs_tol=1e-6)
+
+
+def test_v09_matches_duckdb_oracle(spark, sf_dir):
+    """v09 SQL TABLE function is STAGED for round-7 declaration; the
+    oracle is the equivalent partitioned window top-k, so a match
+    proves the LATERAL-correlated table function inlines to exactly
+    that semantics."""
+    import math
+
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.sql_api import (
+        V09_SQL,
+        v09_sql_table_function,
+    )
+    from nlp_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = v09_sql_table_function(spark, sf_dir)
+    assert "BatchEvalPython" not in formatted_plan(df)  # no Python UDTF
+    got = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    want = con.execute(V09_SQL).fetchall()
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == tuple(w[:3])
+        assert math.isclose(g[3], w[3], abs_tol=1e-9)
