@@ -962,6 +962,65 @@ ORDER BY filename
 """
 
 
+# --------------------------------------------------------------------------
+# r12: native XML ingestion — STAGED FOR ROUND-7 DECLARATION
+# (oracle-parity-tested in test_round6_ops.py::test_r12_matches_duckdb_
+# oracle; held out of QUERIES because the driver's 50-entry window is
+# at capacity this round — COVERAGE.md "Staged for round 7").
+#
+# Spark 4 ships the spark-xml connector in-core (SPARK-44265): rowTag
+# streaming parse, schema projection, the same DataSourceV2 pushdown
+# surface as json. Round trip: write a projection of documents as XML
+# shards, read back with an EXPLICIT schema (inference is a second full
+# scan — never at 100 TB), and aggregate; the oracle computes the same
+# aggregate from the parquet source table, so a hash match proves the
+# XML write→parse path lossless. Staged fresh per invocation into a
+# per-process dir (the r08 staleness lesson). XML files are not
+# splittable within a row by design; 8 shards keeps task parallelism.
+# --------------------------------------------------------------------------
+def r12_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    stage = os.path.join(tempfile.gettempdir(), f"xmlstage_{os.getpid()}")
+    shutil.rmtree(stage, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents")
+    (
+        d.select("doc_id", "lang", "n_chars")
+        .repartition(8)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(stage)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id bigint, lang string, n_chars bigint")
+        .load(stage)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("doc_id") * F.col("doc_id")).alias("id_sq_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+R12_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id * doc_id) AS BIGINT) AS id_sq_checksum
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "p01_document_records": p01_document_records,
     "p02_export_projection": p02_export_projection,

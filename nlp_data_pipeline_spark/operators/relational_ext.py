@@ -1291,6 +1291,49 @@ ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# q42: collation-aware grouping — STAGED FOR ROUND-7 DECLARATION
+# (oracle-parity-tested in test_round6_ops.py::test_q42_matches_duckdb_
+# oracle; held out of QUERIES because the driver's 50-entry window is
+# at capacity this round — COVERAGE.md "Staged for round 7").
+#
+# Spark 4 string collations (SPARK-46830): `COLLATE UTF8_LCASE` makes
+# equality/grouping/joins case-insensitive IN THE ENGINE — hash
+# aggregation on the collation key, no lower() rewrite of every
+# predicate, and (unlike a lower() wrapper) it composes with future
+# locale collations. Exercised by deliberately case-mutating `source`
+# (odd doc_ids upper-cased) and grouping on the collated value: the
+# collated counts must merge the case variants exactly as grouping the
+# lower()ed key would — which is precisely what the oracle computes.
+# --------------------------------------------------------------------------
+def q42_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("q42_documents")
+    return spark.sql(
+        """
+        SELECT lower(k) AS source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM (
+          SELECT CASE WHEN doc_id % 2 = 1 THEN upper(source) ELSE source END
+                   COLLATE UTF8_LCASE AS k,
+                 n_chars
+          FROM q42_documents
+        )
+        GROUP BY k
+        ORDER BY source
+        """
+    )
+
+
+Q42_SQL = """
+SELECT lower(CASE WHEN doc_id % 2 = 1 THEN upper(source) ELSE source END) AS source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,

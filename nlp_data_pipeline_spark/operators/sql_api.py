@@ -519,6 +519,48 @@ ORDER BY priority, rnk
 """
 
 
+# --------------------------------------------------------------------------
+# v10: SQL PIPE syntax — STAGED FOR ROUND-7 DECLARATION
+# (oracle-parity-tested in test_round6_ops.py::test_v10_matches_duckdb_
+# oracle; held out of QUERIES because the driver's 50-entry window is
+# at capacity this round — COVERAGE.md "Staged for round 7").
+#
+# Spark 4's pipe operator syntax (SPARK-49555, `|>`): linear
+# FROM → WHERE → EXTEND → AGGREGATE … GROUP BY → ORDER BY chains that
+# parse to EXACTLY the same logical plan as the classic query — pure
+# front-end sugar, so Catalyst pushdown/pruning/codegen all apply
+# unchanged. The oracle is the classic-SQL spelling of the same query,
+# which doubles as the semantic proof of that equivalence.
+# --------------------------------------------------------------------------
+def v10_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM documents
+        |> WHERE lang IN ('en', 'de', 'fr')
+        |> EXTEND CAST(n_chars AS DOUBLE) / 100.0 AS hectochars
+        |> AGGREGATE COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                     ROUND(AVG(hectochars), 4) AS avg_hectochars
+           GROUP BY lang, source
+        |> WHERE n_docs > 1
+        |> ORDER BY lang, source
+        """
+    )
+
+
+V10_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(CAST(n_chars AS DOUBLE) / 100.0), 4) AS avg_hectochars
+FROM documents
+WHERE lang IN ('en', 'de', 'fr')
+GROUP BY lang, source
+HAVING COUNT(*) > 1
+ORDER BY lang, source
+"""
+
+
 QUERIES = {
     "v01_sql_big_spenders": v01_sql_big_spenders,
     "v02_sql_correlated_subquery": v02_sql_correlated_subquery,

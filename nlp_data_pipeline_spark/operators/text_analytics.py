@@ -1984,6 +1984,124 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# t34: BPE merge-pair counting — STAGED FOR ROUND-7 DECLARATION
+# (oracle-parity-tested in test_round6_ops.py::test_t34_matches_duckdb_
+# oracle; held out of QUERIES because the driver's 50-entry window is
+# at capacity this round — COVERAGE.md "Staged for round 7").
+#
+# The first iteration of byte-pair-encoding tokenizer training: count
+# adjacent symbol pairs across the corpus and surface the top merge
+# candidates. Scale design is the one real BPE trainers use: aggregate
+# the corpus to a WORD-FREQUENCY table first (vocabulary-sized, ~10^6
+# rows at 100 TB), then explode each distinct word's character pairs
+# ONCE, weighting by the word's corpus frequency — pair counting cost
+# is ∝ vocabulary, not ∝ corpus. Two shuffles total (word groupBy,
+# pair groupBy), both with map-side partial aggregation.
+# --------------------------------------------------------------------------
+def t34_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(clean_text("text"), " ")).alias("word"))
+        .where((F.length("word") >= 2) & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1)))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+        .select("pair", "pair_count")
+    )
+
+
+T34_SQL = f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split({_CLEAN_SQL}, ' ')) AS word FROM documents
+  ) WHERE length(word) >= 2
+  GROUP BY word
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                i -> substring(word, CAST(i AS INT), 1) || ' ' ||
+                     substring(word, CAST(i AS INT) + 1, 1))) AS pair,
+         freq
+  FROM words
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# t35: deterministic global shuffle + shard assignment — STAGED FOR
+# ROUND-7 DECLARATION (oracle-parity-tested in test_round6_ops.py::
+# test_t35_matches_duckdb_oracle; held out of QUERIES because the
+# driver's 50-entry window is at capacity — COVERAGE.md "Staged for
+# round 7").
+#
+# The pre-training data-order step: give every document a seeded
+# pseudo-random position so training sees a reproducible global
+# shuffle, materialized as (shard, pos) for N_SHARDS output files.
+# Scale design: NO global row_number (a single-partition window dies at
+# 100 TB). Shard = pure arithmetic Knuth multiplicative hash of doc_id
+# (engine-portable, no string ops); pos = row_number over a window
+# PARTITIONED BY shard ordering on the md5 shuffle key — max partition
+# is corpus/N_SHARDS and N_SHARDS scales with the cluster. The same
+# two-level shuffle (hash to shard, sort within shard) is how
+# distributed training loaders (e.g. Megatron data shuffling) realize
+# a global permutation without a global sort.
+# --------------------------------------------------------------------------
+_T35_SHARDS = 8
+_T35_SEED = 42
+
+
+def t35_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # Knuth multiplicative hash, exact in 64-bit: doc_id*2654435761 mod 2^32
+    shard = (
+        (F.col("doc_id") + F.lit(_T35_SEED)) * F.lit(2654435761)
+    ) % F.lit(4294967296) % F.lit(_T35_SHARDS)
+    key = F.md5(F.concat(F.lit(f"shuf{_T35_SEED}:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("shuffle_key")
+    return (
+        d.select(
+            "doc_id",
+            shard.cast("int").alias("shard"),
+            key.alias("shuffle_key"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .orderBy("shard", "pos")
+    )
+
+
+T35_SQL = f"""
+SELECT doc_id,
+       CAST((doc_id + {_T35_SEED}) * 2654435761 % 4294967296 % {_T35_SHARDS} AS INT) AS shard,
+       md5('shuf{_T35_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       ROW_NUMBER() OVER (
+         PARTITION BY (doc_id + {_T35_SEED}) * 2654435761 % 4294967296 % {_T35_SHARDS}
+         ORDER BY md5('shuf{_T35_SEED}:' || CAST(doc_id AS VARCHAR))
+       ) AS pos
+FROM documents
+ORDER BY shard, pos
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,

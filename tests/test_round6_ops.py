@@ -422,3 +422,126 @@ def test_v09_matches_duckdb_oracle(spark, sf_dir):
     for g, w in zip(got, want):
         assert g[:3] == tuple(w[:3])
         assert math.isclose(g[3], w[3], abs_tol=1e-9)
+
+
+def test_t34_matches_duckdb_oracle(spark, sf_dir):
+    """t34 BPE merge-pair counting is STAGED for round-7 declaration;
+    this runs the driver-style DuckDB comparison now so declaring it
+    later is a registration-only change."""
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T34_SQL,
+        t34_bpe_merge_pairs,
+    )
+
+    got = [tuple(r) for r in t34_bpe_merge_pairs(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(T34_SQL).fetchall()]
+    assert len(got) == len(want) == 20
+    assert got == want
+    # merge candidates are single-char pairs separated by one space
+    for pair, n in got:
+        assert len(pair) == 3 and pair[1] == " " and n > 0
+
+
+def test_t35_matches_duckdb_oracle(spark, sf_dir):
+    """t35 deterministic shuffle-shard is STAGED for round-7
+    declaration; oracle proves the arithmetic shard hash and the
+    per-shard md5 ordering are engine-portable."""
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _T35_SHARDS,
+        T35_SQL,
+        t35_shuffle_shards,
+    )
+    from nlp_data_pipeline_spark.plans.explain import formatted_plan
+
+    df = t35_shuffle_shards(spark, sf_dir)
+    # scale guard: the window must be partitioned (no global
+    # single-partition sort-everything window)
+    plan = formatted_plan(df)
+    assert "partitionBy=[]" not in plan.replace(" ", "")
+    got = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(T35_SQL).fetchall()]
+    assert len(got) == len(want) > 0
+    assert got == want
+    # every shard is populated and positions are dense from 1
+    by_shard = {}
+    for _, shard, _, pos in got:
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == set(range(_T35_SHARDS))
+    for positions in by_shard.values():
+        assert positions == list(range(1, len(positions) + 1))
+
+
+def test_v10_matches_duckdb_oracle(spark, sf_dir):
+    """v10 SQL pipe syntax is STAGED for round-7 declaration; the
+    oracle is the classic-SQL spelling, so a match proves the pipe
+    chain parses to the same semantics."""
+    import math
+
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.sql_api import V10_SQL, v10_pipe_syntax
+
+    got = [tuple(r) for r in v10_pipe_syntax(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(V10_SQL).fetchall()]
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:4] == tuple(w[:4])
+        assert math.isclose(g[4], w[4], abs_tol=1e-9)
+
+
+def test_r12_matches_duckdb_oracle(spark, sf_dir):
+    """r12 XML round trip is STAGED for round-7 declaration; the oracle
+    aggregates the parquet source, so a hash-equal result proves the
+    XML write→parse path lossless."""
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        R12_SQL,
+        r12_xml_roundtrip,
+    )
+
+    got = [tuple(r) for r in r12_xml_roundtrip(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(R12_SQL).fetchall()]
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_q42_matches_duckdb_oracle(spark, sf_dir):
+    """q42 collated grouping is STAGED for round-7 declaration; the
+    oracle groups on lower(key), so a match proves UTF8_LCASE grouping
+    merges case variants exactly."""
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q42_SQL,
+        q42_collated_group,
+    )
+
+    got = [tuple(r) for r in q42_collated_group(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(Q42_SQL).fetchall()]
+    assert len(got) == len(want) > 0
+    assert got == want
