@@ -545,3 +545,38 @@ def test_q42_matches_duckdb_oracle(spark, sf_dir):
     want = [tuple(r) for r in con.execute(Q42_SQL).fetchall()]
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_report_renders_deterministic_html(spark, sf_dir):
+    """Presentation layer (reference nlp_data_tagging.py:288-566): the
+    offline report renders the declared feeds into self-contained HTML
+    deterministically — same input, byte-identical output."""
+    from nlp_data_pipeline_spark.report import render_report
+
+    h1 = render_report(spark, sf_dir)
+    h2 = render_report(spark, sf_dir)
+    assert h1 == h2  # deterministic: no RNG in layout
+    # the three chart sections + the hero tiles are all present
+    for marker in (
+        "Top tokens (corpus)",
+        "Top tags (documents tagged)",
+        "Summary word cloud",
+        'class="tiles"',
+    ):
+        assert marker in h1
+    # every chart ships its data table fallback
+    assert h1.count("data table") == 3
+    # single-file artifact: no external resources
+    assert "http://" not in h1 and "https://" not in h1
+    # all SVG numbers are finite (no NaN leaked into geometry)
+    assert "NaN" not in h1
+
+
+def test_report_chart_builders_handle_empty():
+    from nlp_data_pipeline_spark.report import bar_svg, wordcloud_svg
+
+    assert "(no data)" in bar_svg([], "empty")
+    assert "(no data)" in wordcloud_svg([], "empty")
+    # XML-escapes labels
+    out = bar_svg([("<b>&", 3.0)], "t")
+    assert "<b>&" not in out and "&lt;b&gt;&amp;" in out
