@@ -1063,6 +1063,71 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# e19: state-store reader — STAGED FOR ROUND-7 DECLARATION
+# (oracle-parity-tested in test_round6_ops.py::test_e19_matches_duckdb_
+# oracle; held out of QUERIES because the driver's 50-entry window is
+# at capacity this round — COVERAGE.md "Staged for round 7").
+#
+# Spark's State Data Source (`spark.read.format("statestore")`,
+# SPARK-45511): batch-read the persisted state of a running/stopped
+# streaming query straight from its checkpoint — the operational
+# introspection surface for 100 TB streaming jobs (inspect/audit/debug
+# state WITHOUT stopping the pipeline or instrumenting the sink).
+# Here: run a stateful per-type counter to a NOOP sink (nothing ever
+# leaves through the sink), then reconstruct the aggregate PURELY from
+# the checkpoint's state files; hash-matching the batch oracle proves
+# the state contents are exactly the aggregation state. Sums go
+# through DECIMAL(18,2) INSIDE the stream so state holds exact values
+# (stream vs DuckDB double addition order would otherwise diverge).
+# --------------------------------------------------------------------------
+def e19_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from nlp_data_pipeline_spark.streaming.pipelines import read_events_stream
+
+    stage_dir = _stage_events(sf_dir, "e19_stream_")
+    ckpt = _os.path.join(tempfile.gettempdir(), f"e19_ckpt_{_os.getpid()}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    counted = (
+        read_events_stream(spark, stage_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            counted.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    state = spark.read.format("statestore").load(ckpt)
+    return (
+        state.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n_events"),
+            F.col("value.sum").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E19_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "e01_tumbling_hourly": e01_tumbling_hourly,
     "e02_session_windows": e02_session_windows,

@@ -580,3 +580,27 @@ def test_report_chart_builders_handle_empty():
     # XML-escapes labels
     out = bar_svg([("<b>&", 3.0)], "t")
     assert "<b>&" not in out and "&lt;b&gt;&amp;" in out
+
+
+def test_e19_matches_duckdb_oracle(spark, sf_dir):
+    """e19 state-store read is STAGED for round-7 declaration; the
+    result is reconstructed purely from the checkpoint's state files
+    (noop sink — nothing flows out the normal path), so a match against
+    the batch oracle proves the State Data Source exposes exactly the
+    aggregation state."""
+    import math
+
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.events import E19_SQL, e19_statestore_read
+
+    got = [tuple(r) for r in e19_statestore_read(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(E19_SQL).fetchall()]
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:2] == tuple(w[:2])
+        assert math.isclose(g[2], w[2], abs_tol=1e-6)
