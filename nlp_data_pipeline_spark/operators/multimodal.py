@@ -416,6 +416,140 @@ ORDER BY filename
 """
 
 
+# --------------------------------------------------------------------------
+# m08: perceptual-hash image dedup — STAGED FOR ROUND-7 DECLARATION
+# (oracle-parity-tested in test_round6_ops.py::test_m08_matches_duckdb_
+# oracle; held out of QUERIES because the driver's 50-entry window is
+# at capacity this round — COVERAGE.md "Staged for round 7").
+#
+# The multimodal twin of MinHash text dedup: decode (real PNG path,
+# functions/png.py) → integer-only 64-bit average-hash → SimHash-style
+# BANDING (4x16-bit keys) → equi-join on band keys for candidate pairs
+# → exact Hamming distance (bit_count(xor)) only on candidates. At
+# 100 TB of images the banded equi-join is the whole design: near-dup
+# detection without any all-pairs comparison, same shape as d03/d04.
+# The aHash is deliberately all floor-integer arithmetic (grayscale
+# floor-mean, 8x8 box means, strict > threshold) so fixture hashes are
+# bit-exact reproducible — the oracle pins them as closed-form VALUES
+# (generator: tools/make_phash_fixtures.py).
+# --------------------------------------------------------------------------
+M08_BANDS = 4
+_M08_NEAR_HAMMING = 10
+
+
+def ahash64(px) -> int:
+    """uint8 [h, w, c] -> 64-bit average hash, integer-only math."""
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.int64)
+    h, w, c = arr.shape
+    gray = arr[:, :, : min(c, 3)].sum(axis=2) // min(c, 3)
+    cells = np.empty((8, 8), dtype=np.int64)
+    for i in range(8):
+        for j in range(8):
+            box = gray[i * h // 8 : (i + 1) * h // 8, j * w // 8 : (j + 1) * w // 8]
+            cells[i, j] = box.sum() // box.size
+    mean = int(cells.sum()) // 64
+    bits = (cells > mean).astype(np.uint64).ravel()
+    return int(sum(int(b) << k for k, b in enumerate(bits)))
+
+
+def hash_bands(h: int) -> list[int]:
+    return [(h >> (16 * b)) & 0xFFFF for b in range(M08_BANDS)]
+
+
+def m08_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from nlp_data_pipeline_spark.sources.readers import read_binary_files
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    png_dir = _os.path.normpath(
+        _os.path.join(here, "..", "..", "tests", "fixtures", "png_dedup")
+    )
+    files = read_binary_files(spark, png_dir, glob="*.png")
+
+    def hash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nlp_data_pipeline_spark.functions.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf["path"], pdf["content"]):
+                _w, _h, _c, px = decode_png(bytes(payload))
+                u = ahash64(px)
+                rows.append(
+                    {
+                        "filename": path.rsplit("/", 1)[-1],
+                        # store as signed 64-bit for the BIGINT column
+                        "ahash": u - (1 << 64) if u >= (1 << 63) else u,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    hashes = files.select("path", "content").mapInPandas(
+        hash_rows, "filename string, ahash long"
+    )
+    # banding: explode each hash into (band_idx, band_val) keys.
+    # shiftrightunsigned keeps the top band correct when bit 63 is set
+    # (two's-complement BIGINT); & 65535 masks each band to 16 bits, so
+    # band values match hash_bands()'s unsigned arithmetic exactly.
+    bands = hashes.select(
+        "filename",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.expr(
+                            f"shiftrightunsigned(ahash, {16 * b}) & 65535"
+                        ).alias("band_val"),
+                    )
+                    for b in range(M08_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("filename", "ahash", "bk.band_idx", "bk.band_val")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cands = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_val") == F.col("r.band_val"),
+                F.col("l.filename") < F.col("r.filename"),
+            ],
+        )
+        .select(
+            F.col("l.filename").alias("file_a"),
+            F.col("r.filename").alias("file_b"),
+            F.col("l.ahash").alias("hash_a"),
+            F.col("r.ahash").alias("hash_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "file_a",
+        "file_b",
+        F.expr("bit_count(hash_a ^ hash_b)").cast("int").alias("hamming"),
+        (F.expr("bit_count(hash_a ^ hash_b)") <= _M08_NEAR_HAMMING).alias("near_dup"),
+    ).orderBy("file_a", "file_b")
+
+
+# Closed-form oracle: ground truth printed by tools/make_phash_fixtures.py.
+# Exactly ONE candidate pair survives banding — the planted near-dup
+# (hamming 5, sharing band 2); every unrelated pair (hamming 27–35)
+# shares zero bands and is never compared. That asymmetry IS the
+# operator's contract: candidates ∝ near-dups, not ∝ n².
+M08_SQL = """
+SELECT * FROM (VALUES
+  ('grad_a.png', 'grad_a_noisy.png', CAST(5 AS INT), TRUE)
+) AS t(file_a, file_b, hamming, near_dup)
+ORDER BY file_a, file_b
+"""
+
+
 QUERIES = {
     "m01_binary_metadata": m01_binary_metadata,
     "m02_decode_stub_pipeline": m02_decode_stub_pipeline,

@@ -604,3 +604,36 @@ def test_e19_matches_duckdb_oracle(spark, sf_dir):
     for g, w in zip(got, want):
         assert g[:2] == tuple(w[:2])
         assert math.isclose(g[2], w[2], abs_tol=1e-6)
+
+
+def test_m08_matches_duckdb_oracle(spark, sf_dir):
+    """m08 perceptual-hash image dedup is STAGED for round-7
+    declaration; the closed-form oracle pins the one planted near-dup
+    pair — and that far pairs never become candidates (banded LSH, no
+    all-pairs)."""
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.multimodal import (
+        M08_SQL,
+        m08_image_dedup_phash,
+    )
+
+    got = [tuple(r) for r in m08_image_dedup_phash(spark, sf_dir).collect()]
+    want = [tuple(r) for r in duckdb.connect().execute(M08_SQL).fetchall()]
+    assert got == want == [("grad_a.png", "grad_a_noisy.png", 5, True)]
+
+
+def test_m08_ahash_properties():
+    """aHash invariants: 64-bit range, identical images hash equal,
+    constant images hash to all-zero bits (strict > mean)."""
+    import numpy as np
+
+    from nlp_data_pipeline_spark.operators.multimodal import ahash64, hash_bands
+
+    const = np.full((16, 16, 3), 77, dtype=np.uint8)
+    assert ahash64(const) == 0
+    grad = np.tile(np.arange(32, dtype=np.uint8)[None, :, None] * 8, (32, 1, 3))
+    h = ahash64(grad)
+    assert 0 <= h < (1 << 64)
+    assert ahash64(grad) == h  # deterministic
+    assert len(hash_bands(h)) == 4 and all(0 <= b <= 0xFFFF for b in hash_bands(h))
