@@ -841,6 +841,110 @@ ORDER BY doc_id
 ).replace("WITH cleaned AS", "WITH RECURSIVE cleaned AS", 1)
 
 
+# --------------------------------------------------------------------------
+# d13: cross-source contamination matrix — STAGED FOR ROUND-7
+# DECLARATION (oracle-parity-tested in test_round6_ops.py::
+# test_d13_matches_duckdb_oracle; held out of QUERIES because the
+# driver's 50-entry window is at capacity — COVERAGE.md "Staged for
+# round 7").
+#
+# The corpus-curation diagnostic that DECIDES dedup strategy: for each
+# pair of sources, how many distinct shingles they share and the
+# Jaccard overlap of their shingle vocabularies. High inter-source
+# overlap → near-dups straddle sources and dedup must be global (d06);
+# low → per-source dedup parallelizes freely. Scale design: the unit
+# of work is the DISTINCT (source, shingle) relation (vocabulary-
+# sized, not corpus-sized); the per-shingle source self-join is capped
+# by dropping shingles present in > _D13_MAX_SOURCES sources
+# (boilerplate — at web scale sources are domains and an uncapped hot
+# shingle explodes |S|² per shingle; the cap bounds it at ~256).
+# --------------------------------------------------------------------------
+_D13_MAX_SOURCES = 16
+
+
+def d13_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    srcsh = (
+        _shingle_set_df(spark, sf_dir)
+        .join(d, "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    spread = srcsh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    srcsh = srcsh.join(
+        spread.filter(F.col("n_sources") <= _D13_MAX_SOURCES), "shingle"
+    ).select("source", "shingle")
+    sizes = srcsh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = srcsh.alias("a")
+    b = srcsh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("src_a") == F.col("sa.source"))
+        .join(sb, F.col("src_b") == F.col("sb.source"))
+        .select(
+            "src_a",
+            "src_b",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles").cast("double")
+                / (
+                    F.col("sa.n_shingles")
+                    + F.col("sb.n_shingles")
+                    - F.col("shared_shingles")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+D13_SQL = (
+    _TOKLIST_CTE
+    + f""",
+srcsh AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM shingle_set s JOIN documents d USING (doc_id)
+),
+capped AS (
+  SELECT source, shingle FROM srcsh
+  WHERE shingle IN (
+    SELECT shingle FROM srcsh GROUP BY shingle
+    HAVING COUNT(*) <= {_D13_MAX_SOURCES}
+  )
+),
+sizes AS (SELECT source, COUNT(*) AS n_shingles FROM capped GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_shingles
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.src_a, s.src_b, s.shared_shingles,
+       round(CAST(s.shared_shingles AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - s.shared_shingles), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.src_a = sa.source
+JOIN sizes sb ON s.src_b = sb.source
+ORDER BY s.src_a, s.src_b
+"""
+)
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_signatures": d02_minhash_signatures,

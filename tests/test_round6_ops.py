@@ -637,3 +637,33 @@ def test_m08_ahash_properties():
     assert 0 <= h < (1 << 64)
     assert ahash64(grad) == h  # deterministic
     assert len(hash_bands(h)) == 4 and all(0 <= b <= 0xFFFF for b in hash_bands(h))
+
+
+def test_d13_matches_duckdb_oracle(spark, sf_dir):
+    """d13 cross-source contamination matrix is STAGED for round-7
+    declaration; this runs the driver-style DuckDB comparison now so
+    declaring it later is a registration-only change."""
+    import math
+
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D13_SQL,
+        d13_source_overlap_matrix,
+    )
+
+    got = [tuple(r) for r in d13_source_overlap_matrix(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(D13_SQL).fetchall()]
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == tuple(w[:3])
+        assert math.isclose(g[3], w[3], abs_tol=1e-9)
+        assert 0.0 <= g[3] <= 1.0
+    # symmetric-matrix shape: each unordered source pair appears once
+    pairs = [(g[0], g[1]) for g in got]
+    assert len(set(pairs)) == len(pairs)
+    assert all(a < b for a, b in pairs)
