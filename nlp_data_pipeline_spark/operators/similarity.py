@@ -1022,6 +1022,139 @@ ORDER BY query_id, vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# s14: INT8 scalar-quantized search — STAGED FOR ROUND-7 DECLARATION
+# (oracle-parity-tested in test_round6_ops.py::test_s14_matches_duckdb_
+# oracle; held out of QUERIES because the driver's 50-entry window is
+# at capacity — COVERAGE.md "Staged for round 7").
+#
+# The OTHER production ANN compression beside PQ (s10/s11): per-
+# dimension min/max scalar quantization to int8 codes — 4× bandwidth
+# cut vs float32 (8× vs the double arrays here) with trivial encode,
+# the faiss SQ8 / many vector-DB default. Asymmetric search: full-
+# precision query against DEQUANTIZED corpus codes (midpoint
+# reconstruction min + (q+0.5)·step), exact cosine audited on the
+# winners only. Every quantization step is FLOOR integer arithmetic on
+# corpus-exact min/max — no rounding-mode divergence between engines.
+# Scale: the stats row is one tiny per-dimension aggregate (broadcast);
+# the scan touches only int8 codes; the explode for stats is one pass
+# (n×DIM rows, partial-aggregated map-side).
+# --------------------------------------------------------------------------
+def s14_int8_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    # per-dimension min / step, assembled into two broadcast arrays
+    dims = e.select(F.posexplode("emb").alias("pos", "x"))
+    stats = (
+        dims.groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+                lambda s: s["mn"],
+            ).alias("mins"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))),
+                # 255 cells over [mn, mx]; max() guards zero-range dims
+                lambda s: F.greatest((s["mx"] - s["mn"]) / 255.0, F.lit(1e-12)),
+            ).alias("steps"),
+        )
+    )
+    # int8 codes: floor((x - mn) / step) clamped to [0, 254], stored
+    # shifted by -128 as true tinyint
+    coded = e.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "emb",
+        F.expr(
+            "transform(emb, (x, i) -> cast("
+            " least(greatest(floor((x - mins[i]) / steps[i]), 0D), 254D)"
+            " - 128 as tinyint))"
+        ).alias("codes"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    # dequantized corpus vector: mins[i] + (code+128+0.5)*steps[i]
+    deq = F.expr(
+        "transform(codes, (c, i) -> mins[i] + (cast(c as double) + 128.5) * steps[i])"
+    )
+    approx_cos = F.aggregate(
+        F.zip_with("qemb", "deq", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (norm("qemb") * norm("deq"))
+    scored = (
+        coded.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "qemb", "emb", deq.alias("deq"))
+        .select("query_id", "vec_id", "qemb", "emb", approx_cos.alias("approx_cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("vec_id"))
+    exact_cos = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            "nn_rank",
+            F.round("approx_cosine", 6).alias("approx_cosine"),
+            F.round(exact_cos, 6).alias("exact_cosine"),
+        )
+        .orderBy("query_id", "nn_rank")
+    )
+
+
+S14_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+dims AS (
+  SELECT g.i AS pos, e.emb[g.i] AS x
+  FROM e, generate_series(1, {DIM}) AS g(i)
+),
+stats AS (
+  SELECT list(mn ORDER BY pos) AS mins,
+         list(greatest((mx - mn) / 255.0, 1e-12) ORDER BY pos) AS steps
+  FROM (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY pos)
+),
+coded AS (
+  SELECT vec_id, emb,
+         list_transform(generate_series(1, {DIM}),
+           i -> least(greatest(floor((emb[i] - s.mins[i]) / s.steps[i]), 0), 254)) AS q
+  FROM e, stats s
+),
+deq AS (
+  SELECT vec_id, emb,
+         list_transform(generate_series(1, {DIM}),
+           i -> s.mins[i] + (q[i] + 0.5) * s.steps[i]) AS dq
+  FROM coded, stats s
+),
+scored AS (
+  SELECT qv.vec_id AS query_id, d.vec_id,
+         list_dot_product(qv.emb, d.dq)
+           / (sqrt(list_dot_product(qv.emb, qv.emb)) * sqrt(list_dot_product(d.dq, d.dq)))
+           AS approx_cosine,
+         list_dot_product(qv.emb, d.emb)
+           / (sqrt(list_dot_product(qv.emb, qv.emb)) * sqrt(list_dot_product(d.emb, d.emb)))
+           AS exact_cosine
+  FROM deq d, (SELECT vec_id, emb FROM e WHERE vec_id < {N_QUERIES}) qv
+  WHERE d.vec_id != qv.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, approx_cosine, exact_cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_cosine DESC, vec_id ASC) AS nn_rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(nn_rank AS INT) AS nn_rank,
+       round(approx_cosine, 6) AS approx_cosine,
+       round(exact_cosine, 6) AS exact_cosine
+FROM ranked WHERE nn_rank <= {TOP_K}
+ORDER BY query_id, nn_rank
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,

@@ -667,3 +667,32 @@ def test_d13_matches_duckdb_oracle(spark, sf_dir):
     pairs = [(g[0], g[1]) for g in got]
     assert len(set(pairs)) == len(pairs)
     assert all(a < b for a, b in pairs)
+
+
+def test_s14_matches_duckdb_oracle(spark, sf_dir):
+    """s14 int8 scalar-quantized search is STAGED for round-7
+    declaration; this runs the driver-style DuckDB comparison now so
+    declaring it later is a registration-only change."""
+    import math
+
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S14_SQL,
+        s14_int8_quantized_search,
+    )
+
+    got = [tuple(r) for r in s14_int8_quantized_search(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(S14_SQL).fetchall()]
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == tuple(w[:3])
+        assert math.isclose(g[3], w[3], abs_tol=1e-9)
+        assert math.isclose(g[4], w[4], abs_tol=1e-9)
+        # int8 quantization noise must stay small: approx within 0.05
+        # of the exact cosine on every winner
+        assert abs(g[3] - g[4]) < 0.05
