@@ -974,3 +974,11 @@ ORACLES = {
     "d05_shingle_jaccard_topk": D05_SQL,
     "d07_dedup_materialize": D07_SQL,
 }
+
+
+# Staged during round 6 (window at capacity); auto-declared from round 7.
+from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
+
+if _staged_live(6):
+    QUERIES.update({"d13_source_overlap_matrix": d13_source_overlap_matrix})
+    ORACLES.update({"d13_source_overlap_matrix": D13_SQL})

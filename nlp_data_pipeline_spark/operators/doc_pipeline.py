@@ -1066,3 +1066,11 @@ ORACLES = {
     "a01_approx_stats": A01_SQL,
     "a02_hll_sketch_rollup": A02_SQL,
 }
+
+
+# Staged during round 6 (window at capacity); auto-declared from round 7.
+from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
+
+if _staged_live(6):
+    QUERIES.update({"r12_xml_roundtrip": r12_xml_roundtrip})
+    ORACLES.update({"r12_xml_roundtrip": R12_SQL})

@@ -1064,6 +1064,59 @@ ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# e18: dropDuplicatesWithinWatermark — STAGED FOR ROUND-7 DECLARATION
+# (oracle-parity-tested in test_round6_ops.py::test_e18_matches_duckdb_
+# oracle; held out of QUERIES because the driver's 50-entry window is
+# at capacity — COVERAGE.md "Staged for round 7").
+#
+# The Spark 3.5 dedup API e09 does NOT cover: duplicate keys WITHOUT
+# event-time in the key — state holds one entry per key and is evicted
+# at the watermark, so at-least-once sources dedup with BOUNDED state
+# even when redeliveries carry perturbed timestamps (where e09's
+# dropDuplicates(event_id, ts) would pass the dup through). Duplicate
+# delivery is simulated with copies=2. WHICH physical row a key emits
+# is partition-order-dependent and a key MAY re-emit after its state
+# evicts, so the declared result is the deterministic invariant
+# surface: the DISTINCT key set (first arrival always emits ⇒
+# distinct(sink) ≡ distinct source keys, regardless of micro-batch
+# boundaries or eviction timing).
+# --------------------------------------------------------------------------
+def e18_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nlp_data_pipeline_spark.streaming.pipelines import (
+        dedup_within_watermark,
+        read_events_stream,
+    )
+
+    stage_dir = _stage_events(sf_dir, "e18_stream_", copies=2)  # duplicate delivery
+    deduped = dedup_within_watermark(read_events_stream(spark, stage_dir))
+    sink = f"e18_sink_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return (
+        spark.table(sink)
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+    )
+
+
+E18_SQL = """
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # e19: state-store reader — STAGED FOR ROUND-7 DECLARATION
 # (oracle-parity-tested in test_round6_ops.py::test_e19_matches_duckdb_
 # oracle; held out of QUERIES because the driver's 50-entry window is
@@ -1167,3 +1220,21 @@ ORACLES = {
     "e07_partitioned_day_scan": E07_SQL,
     "e08_streaming_append_finalized": E08_SQL,
 }
+
+
+# Staged during round 6 (window at capacity); auto-declared from round 7.
+from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
+
+if _staged_live(6):
+    QUERIES.update(
+        {
+            "e18_dedup_within_watermark": e18_dedup_within_watermark,
+            "e19_statestore_read": e19_statestore_read,
+        }
+    )
+    ORACLES.update(
+        {
+            "e18_dedup_within_watermark": E18_SQL,
+            "e19_statestore_read": E19_SQL,
+        }
+    )

@@ -569,3 +569,11 @@ ORACLES = {
     "m03_feature_extract_stub": M03_SQL,
     "m04_arrow_byte_stats": M04_SQL,
 }
+
+
+# Staged during round 6 (window at capacity); auto-declared from round 7.
+from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
+
+if _staged_live(6):
+    QUERIES.update({"m08_image_dedup_phash": m08_image_dedup_phash})
+    ORACLES.update({"m08_image_dedup_phash": M08_SQL})

@@ -1389,3 +1389,11 @@ ORACLES = {
     "u03_scalar_pandas_udf": U03_SQL,
     "u04_arrow_row_udf": U04_SQL,
 }
+
+
+# Staged during round 6 (window at capacity); auto-declared from round 7.
+from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
+
+if _staged_live(6):
+    QUERIES.update({"q42_collated_group": q42_collated_group})
+    ORACLES.update({"q42_collated_group": Q42_SQL})

@@ -1184,3 +1184,21 @@ ORACLES = {
     "s04_ivf_assign": S04_SQL,
     "s06_embedding_neardup_pairs": S06_SQL,
 }
+
+
+# Staged during round 6 (window at capacity); auto-declared from round 7.
+from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
+
+if _staged_live(6):
+    QUERIES.update(
+        {
+            "s13_radius_search": s13_radius_search,
+            "s14_int8_quantized_search": s14_int8_quantized_search,
+        }
+    )
+    ORACLES.update(
+        {
+            "s13_radius_search": S13_SQL,
+            "s14_int8_quantized_search": S14_SQL,
+        }
+    )

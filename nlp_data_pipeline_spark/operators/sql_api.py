@@ -582,3 +582,23 @@ ORACLES = {
     "v02_sql_correlated_subquery": V02_SQL,
     "v03_sentence_udtf": V03_SQL,
 }
+
+
+# Staged during round 6 (window at capacity); auto-declared from round 7.
+from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
+
+if _staged_live(6):
+    QUERIES.update(
+        {
+            "v08_sql_scalar_udf": v08_sql_scalar_udf,
+            "v09_sql_table_function": v09_sql_table_function,
+            "v10_pipe_syntax": v10_pipe_syntax,
+        }
+    )
+    ORACLES.update(
+        {
+            "v08_sql_scalar_udf": V08_SQL,
+            "v09_sql_table_function": V09_SQL,
+            "v10_pipe_syntax": V10_SQL,
+        }
+    )

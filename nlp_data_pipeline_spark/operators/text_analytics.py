@@ -2171,3 +2171,23 @@ ORACLES = {
     "t09_token_counts": T09_SQL,
     "t10_fingerprint": T10_SQL,
 }
+
+
+# Staged during round 6 (window at capacity); auto-declared from round 7.
+from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
+
+if _staged_live(6):
+    QUERIES.update(
+        {
+            "t33_readability_curriculum": t33_readability_curriculum,
+            "t34_bpe_merge_pairs": t34_bpe_merge_pairs,
+            "t35_shuffle_shards": t35_shuffle_shards,
+        }
+    )
+    ORACLES.update(
+        {
+            "t33_readability_curriculum": T33_SQL,
+            "t34_bpe_merge_pairs": T34_SQL,
+            "t35_shuffle_shards": T35_SQL,
+        }
+    )

@@ -1,0 +1,39 @@
+"""Round-gated declaration for staged operators.
+
+The driver verifies only the FIRST 50 ``queries()`` entries per round,
+ranking never-green queries first — so each NEW declaration displaces
+one rotation re-check. When a round's window is already at capacity,
+finished operators are STAGED: implemented, oracle written, driver-
+style-tested, but left out of the module QUERIES/ORACLES dicts.
+
+This module makes the deferred declaration AUTOMATIC instead of a
+manual next-round edit: the driver records ``CORRECTNESS_r{N}.json``
+at the END of round N, so "round N is over" is observable from the
+filesystem. Staged ops gated on ``staged_ops_live(N)`` stay undeclared
+for the whole of round N (including its closing verify, which runs
+before the file is written) and appear in ``queries()`` from the first
+moment of round N+1 — never-green, therefore first in the new window.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+
+def latest_recorded_round() -> int:
+    """Highest N among repo-root CORRECTNESS_r{N}.json files (0 if none)."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0)
+
+
+def staged_ops_live(staged_during_round: int) -> bool:
+    """True once the staging round's correctness record exists — i.e.
+    from the start of the NEXT round."""
+    return latest_recorded_round() >= staged_during_round

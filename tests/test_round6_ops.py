@@ -696,3 +696,77 @@ def test_s14_matches_duckdb_oracle(spark, sf_dir):
         # int8 quantization noise must stay small: approx within 0.05
         # of the exact cosine on every winner
         assert abs(g[3] - g[4]) < 0.05
+
+
+def test_e18_matches_duckdb_oracle(spark, sf_dir):
+    """e18 dropDuplicatesWithinWatermark is STAGED for round-7
+    declaration; the declared surface is the deterministic distinct-key
+    set (first arrival always emits), oracle-checked against the batch
+    DISTINCT under duplicate delivery."""
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.events import (
+        E18_SQL,
+        e18_dedup_within_watermark,
+    )
+
+    got = [tuple(r) for r in e18_dedup_within_watermark(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(E18_SQL).fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_staged_ops_auto_declare_next_round(monkeypatch):
+    """The staging gate keeps round-6 staged ops OUT of QUERIES while
+    round 6 is in flight and declares all of them the moment round 6's
+    correctness record exists (i.e. from round 7 on)."""
+    import importlib
+
+    import nlp_data_pipeline_spark.staging as staging
+
+    STAGED = {
+        "nlp_data_pipeline_spark.operators.text_analytics": [
+            "t33_readability_curriculum",
+            "t34_bpe_merge_pairs",
+            "t35_shuffle_shards",
+        ],
+        "nlp_data_pipeline_spark.operators.sql_api": [
+            "v08_sql_scalar_udf",
+            "v09_sql_table_function",
+            "v10_pipe_syntax",
+        ],
+        "nlp_data_pipeline_spark.operators.similarity": [
+            "s13_radius_search",
+            "s14_int8_quantized_search",
+        ],
+        "nlp_data_pipeline_spark.operators.events": [
+            "e18_dedup_within_watermark",
+            "e19_statestore_read",
+        ],
+        "nlp_data_pipeline_spark.operators.multimodal": ["m08_image_dedup_phash"],
+        "nlp_data_pipeline_spark.operators.dedup": ["d13_source_overlap_matrix"],
+        "nlp_data_pipeline_spark.operators.doc_pipeline": ["r12_xml_roundtrip"],
+        "nlp_data_pipeline_spark.operators.relational_ext": ["q42_collated_group"],
+    }
+
+    def check(expected_declared: bool):
+        for modname, names in STAGED.items():
+            mod = importlib.reload(importlib.import_module(modname))
+            for name in names:
+                assert (name in mod.QUERIES) is expected_declared, (
+                    f"{name} declared={not expected_declared} unexpectedly"
+                )
+                assert (name in mod.ORACLES) is expected_declared
+
+    try:
+        monkeypatch.setattr(staging, "latest_recorded_round", lambda: 5)
+        check(expected_declared=False)
+        monkeypatch.setattr(staging, "latest_recorded_round", lambda: 6)
+        check(expected_declared=True)
+    finally:
+        monkeypatch.undo()
+        for modname in STAGED:
+            importlib.reload(importlib.import_module(modname))
