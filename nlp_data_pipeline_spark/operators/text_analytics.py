@@ -2173,6 +2173,73 @@ ORACLES = {
 }
 
 
+# --------------------------------------------------------------------------
+# t36: corpus-wide sentence dedup — STAGED FOR ROUND-7 DECLARATION
+# (oracle-parity-tested in test_round6_ops.py::test_t36_matches_duckdb_
+# oracle; held out of QUERIES because the driver's 50-entry window is
+# at capacity — COVERAGE.md "Staged for round 7").
+#
+# The C4 curation step d11's WITHIN-doc span dedup does not cover:
+# remove every repeat of a sentence ACROSS the whole corpus, keeping
+# only its first occurrence in (doc_id, position) order. One shuffle
+# on the sentence value (hash-partitioned groupBy — the only shape
+# that works when the duplicate set spans the corpus), then a per-doc
+# rollup. At 100 TB, partition on a sentence HASH (not the string) and
+# the same plan holds; hot boilerplate sentences are bounded because
+# each group only ranks its occurrences.
+# --------------------------------------------------------------------------
+def t36_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sents = (
+        d.select("doc_id", F.posexplode(F.split("text", r"[.!?]+")).alias("pos", "s"))
+        .select("doc_id", "pos", F.trim("s").alias("sentence"))
+        .filter(F.length("sentence") > 10)
+    )
+    w = Window.partitionBy("sentence").orderBy("doc_id", "pos")
+    ranked = sents.withColumn("occ", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum((F.col("occ") > 1).cast("long")).alias("n_dup_removed"),
+        )
+        .select(
+            "doc_id",
+            "n_sentences",
+            "n_dup_removed",
+            F.round(
+                F.col("n_dup_removed").cast("double") / F.col("n_sentences"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T36_SQL = """
+WITH sents AS (
+  SELECT doc_id, u.i - 1 AS pos, trim(parts[u.i]) AS sentence
+  FROM (
+    SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS parts
+    FROM documents
+  ) t, (SELECT unnest(range(1, 1000)) AS i) u
+  WHERE u.i <= len(parts) AND length(trim(parts[u.i])) > 10
+),
+ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY sentence ORDER BY doc_id, pos) AS occ
+  FROM sents
+)
+SELECT doc_id,
+       COUNT(*) AS n_sentences,
+       CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_removed,
+       round(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS dup_ratio
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
 
@@ -2182,6 +2249,7 @@ if _staged_live(6):
             "t33_readability_curriculum": t33_readability_curriculum,
             "t34_bpe_merge_pairs": t34_bpe_merge_pairs,
             "t35_shuffle_shards": t35_shuffle_shards,
+            "t36_sentence_dedup": t36_sentence_dedup,
         }
     )
     ORACLES.update(
@@ -2189,5 +2257,6 @@ if _staged_live(6):
             "t33_readability_curriculum": T33_SQL,
             "t34_bpe_merge_pairs": T34_SQL,
             "t35_shuffle_shards": T35_SQL,
+            "t36_sentence_dedup": T36_SQL,
         }
     )

@@ -732,6 +732,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
             "t33_readability_curriculum",
             "t34_bpe_merge_pairs",
             "t35_shuffle_shards",
+            "t36_sentence_dedup",
         ],
         "nlp_data_pipeline_spark.operators.sql_api": [
             "v08_sql_scalar_udf",
@@ -770,3 +771,53 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         monkeypatch.undo()
         for modname in STAGED:
             importlib.reload(importlib.import_module(modname))
+
+
+def test_t36_matches_duckdb_oracle(spark, sf_dir):
+    """t36 corpus-wide sentence dedup is STAGED for round-7
+    declaration; this runs the driver-style DuckDB comparison now so
+    declaring it later is a registration-only change."""
+    import math
+
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T36_SQL,
+        t36_sentence_dedup,
+    )
+
+    got = [tuple(r) for r in t36_sentence_dedup(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(T36_SQL).fetchall()]
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == tuple(w[:3])
+        assert math.isclose(g[3], w[3], abs_tol=1e-9)
+        assert 0 <= g[2] <= g[1]
+    # the driver corpus has no verbatim repeated sentences (checked),
+    # so n_dup_removed is honestly zero here; the dedup semantics are
+    # pinned on a planted-duplicate corpus in the test below
+
+
+def test_t36_removes_cross_doc_repeats(spark, monkeypatch):
+    """Planted duplicates: the same sentence in three docs keeps only
+    its first (doc_id, pos) occurrence; within-doc repeats count too."""
+    import nlp_data_pipeline_spark.operators.text_analytics as ta
+
+    boiler = "subscribe to our newsletter today"
+    rows = [
+        ("srcA", f"alpha bravo charlie delta. {boiler}."),
+        ("srcA", f"{boiler}. echo foxtrot golf hotel."),
+        ("srcB", f"india juliet kilo lima. {boiler}. {boiler}."),
+        ("srcB", "mike november oscar papa."),
+    ]
+    monkeypatch.setattr(ta, "load_table", lambda s, d, n: _docs(spark, rows))
+    out = {r.doc_id: r for r in ta.t36_sentence_dedup(spark, "ignored").collect()}
+    assert out[0].n_dup_removed == 0          # first occurrence kept
+    assert out[1].n_dup_removed == 1          # cross-doc repeat removed
+    assert out[2].n_dup_removed == 2          # cross-doc + within-doc
+    assert out[3].n_dup_removed == 0
+    assert out[2].n_sentences == 3 and 0 < out[2].dup_ratio < 1
