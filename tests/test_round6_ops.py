@@ -821,3 +821,25 @@ def test_t36_removes_cross_doc_repeats(spark, monkeypatch):
     assert out[2].n_dup_removed == 2          # cross-doc + within-doc
     assert out[3].n_dup_removed == 0
     assert out[2].n_sentences == 3 and 0 < out[2].dup_ratio < 1
+
+
+def test_staged_plan_shapes(spark, sf_dir):
+    """Plan pins for the staged ops' scale-critical properties: s14's
+    quantization-stats relation is broadcast and no Python stage exists
+    in s14/t34/t36 (pure column expressions end to end)."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        s14_int8_quantized_search,
+    )
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        t34_bpe_merge_pairs,
+        t36_sentence_dedup,
+    )
+
+    p = formatted_plan(s14_int8_quantized_search(spark, sf_dir))
+    assert "BroadcastExchange" in p
+    for df_plan in (
+        p,
+        formatted_plan(t34_bpe_merge_pairs(spark, sf_dir)),
+        formatted_plan(t36_sentence_dedup(spark, sf_dir)),
+    ):
+        assert "BatchEvalPython" not in df_plan and "ArrowEvalPython" not in df_plan
