@@ -1068,9 +1068,89 @@ ORACLES = {
 }
 
 
+# --------------------------------------------------------------------------
+# r13: training-shard materialization — STAGED FOR ROUND-7 DECLARATION
+# (oracle-parity-tested in test_round6_ops.py::test_r13_matches_duckdb_
+# oracle; held out of QUERIES because the driver's 50-entry window is
+# at capacity — COVERAGE.md "Staged for round 7").
+#
+# The LAST step of the training-data pipeline: take p04's kept
+# documents, assign t35's deterministic shard, physically WRITE the
+# shard-partitioned parquet layout (partitionBy — one directory per
+# shard, the layout training loaders consume), then read the landed
+# files back and emit the MANIFEST (per-shard doc count, char sum,
+# id-weighted checksum) a data card ships with. The oracle computes
+# the same manifest from the SOURCE table through p04's keep rule —
+# a hash match proves keep-filter → shard-assign → partitioned write →
+# read-back end-to-end lossless. Scale: the write is one shuffle on
+# shard (8 dirs → thousands at 100 TB via the same constant), and the
+# manifest aggregates the landed data, not the source.
+# --------------------------------------------------------------------------
+_R13_SHARDS = 8
+_R13_SEED = 42
+
+
+def r13_training_shards_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    out = os.path.join(tempfile.gettempdir(), f"r13_shards_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    kept = p04_curation_pipeline(spark, sf_dir).filter("keep").select("doc_id")
+    d = load_table(spark, sf_dir, "documents").join(kept, "doc_id")
+    shard = (
+        (F.col("doc_id") + F.lit(_R13_SEED)) * F.lit(2654435761)
+    ) % F.lit(4294967296) % F.lit(_R13_SHARDS)
+    (
+        d.select("doc_id", "source", "n_chars", shard.cast("int").alias("shard"))
+        .repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("doc_id") * F.col("n_chars")).alias("weighted_checksum"),
+        )
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_docs",
+            "total_chars",
+            "weighted_checksum",
+        )
+        .orderBy("shard")
+    )
+
+
+R13_SQL = f"""
+WITH p04_out AS ({P04_SQL})
+SELECT CAST((d.doc_id + {_R13_SEED}) * 2654435761 % 4294967296 % {_R13_SHARDS} AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(d.doc_id * d.n_chars) AS BIGINT) AS weighted_checksum
+FROM documents d JOIN p04_out p ON d.doc_id = p.doc_id
+WHERE p.keep
+GROUP BY 1
+ORDER BY shard
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
 
 if _staged_live(6):
-    QUERIES.update({"r12_xml_roundtrip": r12_xml_roundtrip})
-    ORACLES.update({"r12_xml_roundtrip": R12_SQL})
+    QUERIES.update(
+        {
+            "r12_xml_roundtrip": r12_xml_roundtrip,
+            "r13_training_shards_sink": r13_training_shards_sink,
+        }
+    )
+    ORACLES.update(
+        {
+            "r12_xml_roundtrip": R12_SQL,
+            "r13_training_shards_sink": R13_SQL,
+        }
+    )

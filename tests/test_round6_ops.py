@@ -749,7 +749,10 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         ],
         "nlp_data_pipeline_spark.operators.multimodal": ["m08_image_dedup_phash"],
         "nlp_data_pipeline_spark.operators.dedup": ["d13_source_overlap_matrix"],
-        "nlp_data_pipeline_spark.operators.doc_pipeline": ["r12_xml_roundtrip"],
+        "nlp_data_pipeline_spark.operators.doc_pipeline": [
+            "r12_xml_roundtrip",
+            "r13_training_shards_sink",
+        ],
         "nlp_data_pipeline_spark.operators.relational_ext": ["q42_collated_group"],
     }
 
@@ -843,3 +846,28 @@ def test_staged_plan_shapes(spark, sf_dir):
         formatted_plan(t36_sentence_dedup(spark, sf_dir)),
     ):
         assert "BatchEvalPython" not in df_plan and "ArrowEvalPython" not in df_plan
+
+
+def test_r13_matches_duckdb_oracle(spark, sf_dir):
+    """r13 training-shard materialization is STAGED for round-7
+    declaration; the manifest is computed from the LANDED partitioned
+    files while the oracle recomputes it from the source through p04's
+    keep rule — a match proves the full materialization lossless."""
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        R13_SQL,
+        r13_training_shards_sink,
+    )
+
+    got = [tuple(r) for r in r13_training_shards_sink(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(R13_SQL).fetchall()]
+    assert len(got) == len(want) > 0
+    assert got == want
+    # every shard materialized and non-empty
+    assert [g[0] for g in got] == sorted(g[0] for g in got)
+    assert all(g[1] > 0 for g in got)
