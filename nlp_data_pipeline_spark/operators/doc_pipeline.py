@@ -43,6 +43,18 @@ ELSE ctext END
 """
 
 
+def _tmp_stage(name: str) -> str:
+    """Per-process staging dir, wiped on entry: repeated bench/test runs
+    REUSE the same path instead of accumulating mkdtemp copies under
+    /tmp (the r09 lesson, applied to every roundtrip stage here)."""
+    import shutil
+
+    path = os.path.join(tempfile.gettempdir(), f"{name}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+
 # --------------------------------------------------------------------------
 # p01: per-document pipeline records (reference :410-418, minus tags).
 # filename ≅ "doc_<id>.txt" (the driver corpus has no file names).
@@ -200,7 +212,7 @@ def r01_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = p01_document_records(spark, sf_dir).select(
         "filename", "text_length", "summary_length"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="csv_export_"), "export")
+    out = _tmp_stage("csv_export")
     write_csv(rec, out)
     back = spark.read.option("header", True).schema(
         "filename string, text_length long, summary_length long"
@@ -237,7 +249,7 @@ def r02_corrupt_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 7 == 3,
         F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(', "source": "')),
     ).otherwise(F.to_json(F.struct("doc_id", "source")))
-    out = os.path.join(tempfile.mkdtemp(prefix="json_ingest_"), "docs_jsonl")
+    out = _tmp_stage("json_ingest")
     d.select(line.alias("value")).write.mode("overwrite").text(out)
 
     back = spark.read.schema(
@@ -415,7 +427,7 @@ def r03_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.length("text").cast("long").alias("text_len")
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="orc_export_"), "docs_orc")
+    out = _tmp_stage("orc_export")
     d.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return (
@@ -449,7 +461,7 @@ ORDER BY source
 # --------------------------------------------------------------------------
 def r04_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="schema_evo_")
+    out = _tmp_stage("schema_evo")
     d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source").write.mode(
         "overwrite"
     ).parquet(os.path.join(out, "batch=old"))
@@ -550,7 +562,7 @@ def r06_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="json_export_"), "export")
+    out = _tmp_stage("json_export")
     d.write.mode("overwrite").json(out)
     back = spark.read.schema("doc_id long, lang string, source string, n_chars long").json(
         out
@@ -591,7 +603,7 @@ def r07_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", F.to_date("ts").alias("day")
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="dyn_overwrite_"), "events_by_day")
+    out = _tmp_stage("dyn_overwrite")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
