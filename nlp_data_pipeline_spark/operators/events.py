@@ -76,6 +76,8 @@ def _stage_events(sf_dir: str, prefix: str, copies: int = 1) -> str:
     import os
     import tempfile
 
+    import shutil
+
     path = os.path.join(sf_dir, "events.parquet")
     leaves = (
         sorted(glob.glob(os.path.join(path, "*.parquet")))
@@ -84,7 +86,11 @@ def _stage_events(sf_dir: str, prefix: str, copies: int = 1) -> str:
     )
     if not leaves:
         raise FileNotFoundError(f"no parquet leaves under {path}")
-    stage_dir = tempfile.mkdtemp(prefix=prefix)
+    # per-process dir wiped on entry: symlinks are cheap to recreate and
+    # repeated bench/test runs must not accumulate mkdtemp dirs
+    stage_dir = os.path.join(tempfile.gettempdir(), f"{prefix}{os.getpid()}")
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(stage_dir)
     for c in range(copies):
         for i, leaf in enumerate(leaves):
             os.symlink(leaf, os.path.join(stage_dir, f"part_{c}_{i:05d}.parquet"))
