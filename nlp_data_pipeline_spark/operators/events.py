@@ -619,7 +619,11 @@ def e11_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(D182)).cast("double").alias("total_value"),
         )
     )
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="e11_sink_"), "daily")
+    import shutil
+
+    root = _os.path.join(tempfile.gettempdir(), f"e11_sink_{_os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    out_dir = _os.path.join(root, "daily")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)

@@ -287,7 +287,7 @@ def run_to_memory_sink(
         df.writeStream.format("memory")
         .queryName(sink)
         .outputMode(output_mode)
-        .option("checkpointLocation", os.path.join(tempfile.mkdtemp(), "ckpt"))
+        .option("checkpointLocation", os.path.join(tempfile.mkdtemp(), "ckpt"))  # unique per stream BY DESIGN: concurrent callers must not share checkpoints; dirs are small (offsets only, no data)
         .trigger(availableNow=True)
         .start()
     )
