@@ -1150,6 +1150,67 @@ ORDER BY shard
 """
 
 
+# --------------------------------------------------------------------------
+# r14: metadata-column file lineage — STAGED FOR ROUND-7 DECLARATION
+# (oracle-parity-tested in test_round6_ops.py::test_r14_matches_duckdb_
+# oracle; held out of QUERIES because the driver's 50-entry window is
+# at capacity — COVERAGE.md "Staged for round 7").
+#
+# Spark's hidden `_metadata` struct (SPARK-37273): every file-source
+# row carries file_path/file_size/row_index without any data-side
+# lineage column — the provenance/debugging surface a 100 TB corpus
+# needs (which file produced this bad row?). Demonstrated on a
+# DETERMINISTIC 4-file layout (doc_id % 4 split, one file each) and
+# verified through order-robust aggregates: per-file row_index is
+# always 0..n_f-1, so n_files, Σ row_index = Σ n_f(n_f-1)/2 and
+# max row_index = max(n_f)-1 are all closed-form from the per-group
+# counts — no dependence on physical row order or file naming.
+# --------------------------------------------------------------------------
+def r14_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _tmp_stage("r14_lineage")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    for k in range(4):
+        (
+            d.filter(F.col("doc_id") % 4 == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, f"g{k}"))
+        )
+    # four explicit paths, not a glob: the glob string trips a noisy
+    # FileStreamSink metadata probe on the literal path
+    back = spark.read.parquet(*[os.path.join(stage, f"g{k}") for k in range(4)]).select(
+        "doc_id",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    per_file = back.groupBy("file_path").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("row_index").alias("min_ri"),
+        F.max("row_index").alias("max_ri"),
+        F.sum("row_index").alias("sum_ri"),
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum((F.col("min_ri") == 0).cast("long")).alias("files_starting_at_0"),
+        F.max("max_ri").alias("max_row_index"),
+        F.sum("sum_ri").alias("sum_row_index"),
+    )
+
+
+R14_SQL = """
+WITH groups AS (
+  SELECT doc_id % 4 AS g, COUNT(*) AS n_f FROM documents GROUP BY doc_id % 4
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_f) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS files_starting_at_0,
+       CAST(MAX(n_f) - 1 AS BIGINT) AS max_row_index,
+       CAST(SUM(n_f * (n_f - 1) / 2) AS BIGINT) AS sum_row_index
+FROM groups
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
 
@@ -1158,11 +1219,13 @@ if _staged_live(6):
         {
             "r12_xml_roundtrip": r12_xml_roundtrip,
             "r13_training_shards_sink": r13_training_shards_sink,
+            "r14_file_lineage": r14_file_lineage,
         }
     )
     ORACLES.update(
         {
             "r12_xml_roundtrip": R12_SQL,
             "r13_training_shards_sink": R13_SQL,
+            "r14_file_lineage": R14_SQL,
         }
     )

@@ -752,6 +752,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "nlp_data_pipeline_spark.operators.doc_pipeline": [
             "r12_xml_roundtrip",
             "r13_training_shards_sink",
+            "r14_file_lineage",
         ],
         "nlp_data_pipeline_spark.operators.relational_ext": ["q42_collated_group"],
     }
@@ -871,3 +872,25 @@ def test_r13_matches_duckdb_oracle(spark, sf_dir):
     # every shard materialized and non-empty
     assert [g[0] for g in got] == sorted(g[0] for g in got)
     assert all(g[1] > 0 for g in got)
+
+
+def test_r14_matches_duckdb_oracle(spark, sf_dir):
+    """r14 metadata-column lineage is STAGED for round-7 declaration;
+    the order-robust aggregates (per-file row_index = 0..n_f-1) are
+    closed-form from the deterministic doc_id%4 file split."""
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        R14_SQL,
+        r14_file_lineage,
+    )
+
+    got = [tuple(r) for r in r14_file_lineage(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(R14_SQL).fetchall()]
+    assert got == want and len(got) == 1
+    n_files, n_rows, starting0, max_ri, _sum_ri = got[0]
+    assert n_files == 4 == starting0 and max_ri < n_rows
