@@ -2048,6 +2048,87 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# bpe_train: FULL distributed BPE tokenizer training — the iterative
+# loop t34's single round sets up. Library API (not a declared query:
+# k-step recursion is not one-shot-SQL-expressible; semantics are
+# pinned against a pure-Python reference in
+# test_round6_ops.py::test_bpe_train_matches_python_reference).
+#
+# Distributed shape (the real sentencepiece/HF-tokenizers training
+# loop re-expressed on Spark):
+#   - state = the WORD-FREQUENCY table with each word as a symbol
+#     array (vocabulary-sized — corpus size only matters for the one
+#     initial word count);
+#   - per merge: ONE pair-count aggregation (map-side partial) picks
+#     argmax(freq, then lexicographic pair) → a 1-row collect; ONE
+#     pure-Catalyst `aggregate` fold rewrites every word's symbols,
+#     fusing LEFTMOST-FIRST NON-OVERLAPPING occurrences (the `fused`
+#     flag stops the just-created symbol from chain-merging — the
+#     exact greedy-left convention reference BPE uses). Zero UDFs:
+#     the whole merge step is codegen'd JVM expressions.
+#   - localCheckpoint per iteration caps lineage/analysis growth.
+# At 100 TB: the loop touches only the vocabulary table after the
+# first aggregation, so each merge costs seconds regardless of corpus
+# size — exactly why production BPE trainers pre-aggregate to word
+# counts.
+# --------------------------------------------------------------------------
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 10
+) -> list[tuple[str, str, int]]:
+    """Train `n_merges` BPE merges over the corpus; returns
+    [(sym_a, sym_b, pair_count), ...] in merge order."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(clean_text("text"), " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr("filter(split(word, ''), x -> x != '')").alias("syms"), "freq"
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            words.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] as a, syms[i] as b))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
+        merges.append((a, b, cnt))
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        fuse = (
+            "aggregate(syms,"
+            " struct(cast(array() as array<string>) as out, false as fused),"
+            " (st, x) -> if("
+            f"   size(st.out) > 0 and not st.fused"
+            f"   and element_at(st.out, -1) = '{qa}' and x = '{qb}',"
+            f"   struct(concat(slice(st.out, 1, size(st.out) - 1),"
+            f"                 array('{qa}{qb}')), true),"
+            "   struct(concat(st.out, array(x)), false)),"
+            " st -> st.out)"
+        )
+        words = words.select(F.expr(fuse).alias("syms"), "freq").filter(
+            F.size("syms") >= 2
+        ).localCheckpoint()
+    return merges
+
+
+# --------------------------------------------------------------------------
 # t35: deterministic global shuffle + shard assignment — STAGED FOR
 # ROUND-7 DECLARATION (oracle-parity-tested in test_round6_ops.py::
 # test_t35_matches_duckdb_oracle; held out of QUERIES because the

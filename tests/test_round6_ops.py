@@ -894,3 +894,79 @@ def test_r14_matches_duckdb_oracle(spark, sf_dir):
     assert got == want and len(got) == 1
     n_files, n_rows, starting0, max_ri, _sum_ri = got[0]
     assert n_files == 4 == starting0 and max_ri < n_rows
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """Pure-Python BPE trainer mirroring bpe_train's conventions:
+    argmax pair count with lexicographic-ascending tie-break, greedy
+    leftmost-first non-overlapping merge."""
+    words = [([c for c in w], f) for w, f in word_freqs if len(w) >= 2]
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + f
+        if not counts:
+            break
+        maxc = max(counts.values())
+        a, b = min(k for k, v in counts.items() if v == maxc)
+        merges.append((a, b, maxc))
+        nxt = []
+        for syms, f in words:
+            out, fused = [], False
+            for x in syms:
+                if out and not fused and out[-1] == a and x == b:
+                    out[-1] = a + b
+                    fused = True
+                else:
+                    out.append(x)
+                    fused = False
+            if len(out) >= 2:
+                nxt.append((out, f))
+        words = nxt
+    return merges
+
+
+def test_bpe_train_overlap_semantics(spark, monkeypatch):
+    """Greedy-left non-overlap: 'aaaa' with pair (a,a) merges to
+    [aa, aa], never [aa, a, a] chained into [aaa, a]."""
+    import nlp_data_pipeline_spark.operators.text_analytics as ta
+
+    rows = [("src", "aaaa aaaa bc bc bc")]
+    monkeypatch.setattr(ta, "load_table", lambda s, d, n: _docs(spark, rows))
+    merges = ta.bpe_train(spark, "ignored", n_merges=3)
+    # round 1: (a,a) appears 3x per 'aaaa' (positions 1-2,2-3,3-4 of the
+    # pair scan) x2 words = 6 > (b,c)'s 3 → merged first
+    assert merges[0][:2] == ("a", "a")
+    # round 2: each 'aaaa' is now [aa, aa] → pair (aa,aa) count 2;
+    # (b,c) count 3 wins
+    assert merges[1][:2] == ("b", "c")
+    assert merges[2][:2] == ("aa", "aa")
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed trainer reproduces the pure-Python reference
+    merge-for-merge on the real corpus."""
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _CLEAN_SQL,
+        bpe_train,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    wf = con.execute(
+        f"""SELECT word, COUNT(*) FROM (
+              SELECT unnest(string_split({_CLEAN_SQL}, ' ')) AS word FROM documents
+            ) WHERE length(word) >= 2 GROUP BY word"""
+    ).fetchall()
+    want = _bpe_reference(wf, 8)
+    got = bpe_train(spark, sf_dir, n_merges=8)
+    assert got == want
+    # merges chain: later merges may use earlier merged symbols
+    assert len(got) == 8 and all(c > 0 for _, _, c in got)
