@@ -981,6 +981,101 @@ ORDER BY filename
 
 
 # --------------------------------------------------------------------------
+# a03: sketch set algebra — HLL INTERSECTION via inclusion-exclusion —
+# STAGED FOR ROUND-7 DECLARATION (oracle-parity-tested in
+# test_round6_ops.py::test_a03_matches_duckdb_oracle; held out of
+# QUERIES because the driver's 50-entry window is at capacity —
+# COVERAGE.md "Staged for round 7").
+#
+# HLL sketches union natively (a02) but NOT intersect; the standard
+# answer is inclusion-exclusion over union estimates:
+# |A∩B| ≈ est(A) + est(B) − est(A∪B). For every event-type pair:
+# exact audience overlap (oracle-exact) plus the sketch estimate's
+# tolerance flag. Error compounds through the subtraction, so the
+# bound is stated against the UNION size (the quantity the absolute
+# errors scale with), not the intersection. At 100 TB this is the
+# overlap-analysis primitive: per-type sketches are built in ONE pass
+# and every pairwise intersection comes from tiny sketch merges — no
+# per-pair corpus rescan.
+# --------------------------------------------------------------------------
+def a03_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr(f"hll_sketch_agg(user_id, {_A02_LGK})").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact_users").alias("exact_a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact_users").alias("exact_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    exact_inter = ev.alias("x").join(
+        ev.alias("y"),
+        (F.col("x.user_id") == F.col("y.user_id"))
+        & (F.col("x.event_type") < F.col("y.event_type")),
+    ).select(
+        F.col("x.event_type").alias("type_a"),
+        F.col("y.event_type").alias("type_b"),
+        "x.user_id",
+    ).distinct().groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("exact_inter")
+    )
+    est_inter = (
+        F.expr("hll_sketch_estimate(sk_a)")
+        + F.expr("hll_sketch_estimate(sk_b)")
+        - F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+    )
+    exact_union = (
+        F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")
+    )
+    return (
+        pairs.join(exact_inter, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            (
+                F.abs(est_inter - F.col("exact_inter"))
+                <= F.lit(0.1) * exact_union
+            ).alias("inter_est_within_10pct_of_union"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+A03_SQL = """
+WITH audiences AS (
+  SELECT event_type, user_id FROM events GROUP BY event_type, user_id
+),
+sizes AS (
+  SELECT event_type, COUNT(*) AS n FROM audiences GROUP BY event_type
+),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         COUNT(*) AS exact_inter
+  FROM audiences x JOIN audiences y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b,
+       sa.n AS exact_a, sb.n AS exact_b, i.exact_inter,
+       TRUE AS inter_est_within_10pct_of_union
+FROM inter i
+JOIN sizes sa ON i.type_a = sa.event_type
+JOIN sizes sb ON i.type_b = sb.event_type
+ORDER BY i.type_a, i.type_b
+"""
+
+
+# --------------------------------------------------------------------------
 # r12: native XML ingestion — STAGED FOR ROUND-7 DECLARATION
 # (oracle-parity-tested in test_round6_ops.py::test_r12_matches_duckdb_
 # oracle; held out of QUERIES because the driver's 50-entry window is
@@ -1220,6 +1315,7 @@ if _staged_live(6):
             "r12_xml_roundtrip": r12_xml_roundtrip,
             "r13_training_shards_sink": r13_training_shards_sink,
             "r14_file_lineage": r14_file_lineage,
+            "a03_hll_intersection": a03_hll_intersection,
         }
     )
     ORACLES.update(
@@ -1227,5 +1323,6 @@ if _staged_live(6):
             "r12_xml_roundtrip": R12_SQL,
             "r13_training_shards_sink": R13_SQL,
             "r14_file_lineage": R14_SQL,
+            "a03_hll_intersection": A03_SQL,
         }
     )

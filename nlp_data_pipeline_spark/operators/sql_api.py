@@ -584,6 +584,55 @@ ORACLES = {
 }
 
 
+# --------------------------------------------------------------------------
+# v11: parameterized SQL + IDENTIFIER clause — STAGED FOR ROUND-7
+# DECLARATION (oracle-parity-tested in test_round6_ops.py::
+# test_v11_matches_duckdb_oracle; held out of QUERIES because the
+# driver's 50-entry window is at capacity — COVERAGE.md "Staged for
+# round 7").
+#
+# Spark's named-parameter binding (`spark.sql(text, args={...})`,
+# SPARK-41271) + the IDENTIFIER clause (SPARK-43205): values bind as
+# typed literals (never string-spliced — the SQL-injection-safe path
+# every templated pipeline should use) and IDENTIFIER() parameterizes
+# the table/column NAME position, which plain parameter markers cannot
+# occupy. The oracle is the same query with literals inlined — exactly
+# what binding resolves to, so a hash match proves the mechanism is
+# semantically transparent.
+# --------------------------------------------------------------------------
+def v11_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderdate >= :start_date AND o_orderdate < :end_date
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={
+            "tbl": "orders",
+            "start_date": "1995-01-01",
+            "end_date": "1996-01-01",
+            "status": "F",
+        },
+    )
+
+
+V11_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
 
@@ -593,6 +642,7 @@ if _staged_live(6):
             "v08_sql_scalar_udf": v08_sql_scalar_udf,
             "v09_sql_table_function": v09_sql_table_function,
             "v10_pipe_syntax": v10_pipe_syntax,
+            "v11_parameterized_sql": v11_parameterized_sql,
         }
     )
     ORACLES.update(
@@ -600,5 +650,6 @@ if _staged_live(6):
             "v08_sql_scalar_udf": V08_SQL,
             "v09_sql_table_function": V09_SQL,
             "v10_pipe_syntax": V10_SQL,
+            "v11_parameterized_sql": V11_SQL,
         }
     )

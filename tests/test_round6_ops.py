@@ -738,6 +738,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
             "v08_sql_scalar_udf",
             "v09_sql_table_function",
             "v10_pipe_syntax",
+            "v11_parameterized_sql",
         ],
         "nlp_data_pipeline_spark.operators.similarity": [
             "s13_radius_search",
@@ -753,6 +754,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
             "r12_xml_roundtrip",
             "r13_training_shards_sink",
             "r14_file_lineage",
+            "a03_hll_intersection",
         ],
         "nlp_data_pipeline_spark.operators.relational_ext": ["q42_collated_group"],
     }
@@ -970,3 +972,51 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
     assert got == want
     # merges chain: later merges may use earlier merged symbols
     assert len(got) == 8 and all(c > 0 for _, _, c in got)
+
+
+def test_v11_matches_duckdb_oracle(spark, sf_dir):
+    """v11 parameterized SQL + IDENTIFIER is STAGED for round-7
+    declaration; the oracle inlines the bound literals — exactly what
+    parameter binding resolves to."""
+    import math
+
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.sql_api import (
+        V11_SQL,
+        v11_parameterized_sql,
+    )
+
+    got = [tuple(r) for r in v11_parameterized_sql(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(V11_SQL).fetchall()]
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:2] == tuple(w[:2])
+        assert math.isclose(g[2], w[2], abs_tol=1e-6)
+
+
+def test_a03_matches_duckdb_oracle(spark, sf_dir):
+    """a03 HLL intersection via inclusion-exclusion is STAGED for
+    round-7 declaration; exact overlaps hash-match and the sketch
+    estimate stays within 10% of the union on every pair."""
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        A03_SQL,
+        a03_hll_intersection,
+    )
+
+    got = [tuple(r) for r in a03_hll_intersection(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(A03_SQL).fetchall()]
+    assert got == want and len(got) > 0
+    for _, _, ea, eb, ei, within in got:
+        assert within is True
+        assert ei <= min(ea, eb)
