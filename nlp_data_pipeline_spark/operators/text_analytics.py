@@ -2128,6 +2128,59 @@ def bpe_train(
     return merges
 
 
+def bpe_encode_counts(
+    spark: SparkSession, sf_dir: str, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """The INFERENCE half of bpe_train: per-document token counts under
+    the trained merge list. The whole merge chain compiles to ONE
+    nested Catalyst expression per document (k `aggregate` folds inside
+    a per-word `transform` — zero UDFs, zero extra shuffles: encoding
+    rides the corpus scan, exactly what tokenizing 100 TB demands).
+    Returns (doc_id, n_chars_in_words, n_bpe_tokens, compression).
+    Semantics pinned against the same pure-Python reference as
+    bpe_train (test_round6_ops.py::test_bpe_encode_matches_reference).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sym_expr = "filter(split(w, ''), c0 -> c0 != '')"
+    for lvl, (a, b, _cnt) in enumerate(merges):
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        st, x = f"st{lvl}", f"x{lvl}"  # unique lambda vars per nesting level
+        sym_expr = (
+            f"aggregate({sym_expr},"
+            f" struct(cast(array() as array<string>) as out, false as fused),"
+            f" ({st}, {x}) -> if("
+            f"   size({st}.out) > 0 and not {st}.fused"
+            f"   and element_at({st}.out, -1) = '{qa}' and {x} = '{qb}',"
+            f"   struct(concat(slice({st}.out, 1, size({st}.out) - 1),"
+            f"                 array('{qa}{qb}')), true),"
+            f"   struct(concat({st}.out, array({x})), false)),"
+            f" {st} -> {st}.out)"
+        )
+    words_expr = "filter(split(__ctext__, ' '), w0 -> length(w0) >= 2)"
+    per_doc = (
+        f"aggregate(transform({words_expr}, w -> struct("
+        f"  length(w) as nc, size({sym_expr}) as nt)),"
+        f" struct(0L as nc, 0L as nt),"
+        f" (acc, e) -> struct(acc.nc + e.nc as nc, acc.nt + e.nt as nt))"
+    )
+    return (
+        d.select("doc_id", clean_text("text").alias("__ctext__"))
+        .select("doc_id", F.expr(per_doc).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.nc").alias("n_chars_in_words"),
+            F.col("s.nt").alias("n_bpe_tokens"),
+            F.round(
+                F.when(
+                    F.col("s.nt") > 0, F.col("s.nc") / F.col("s.nt").cast("double")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # t35: deterministic global shuffle + shard assignment — STAGED FOR
 # ROUND-7 DECLARATION (oracle-parity-tested in test_round6_ops.py::

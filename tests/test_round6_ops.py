@@ -1020,3 +1020,47 @@ def test_a03_matches_duckdb_oracle(spark, sf_dir):
     for _, _, ea, eb, ei, within in got:
         assert within is True
         assert ei <= min(ea, eb)
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """bpe_encode_counts reproduces the Python reference tokenization
+    (same merges, same greedy-left application) doc-for-doc."""
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _CLEAN_SQL,
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    merges = bpe_train(spark, sf_dir, n_merges=6)
+    got = {r.doc_id: r for r in bpe_encode_counts(spark, sf_dir, merges).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    docs = con.execute(f"SELECT doc_id, {_CLEAN_SQL} FROM documents").fetchall()
+
+    def encode(word):
+        syms = list(word)
+        for a, b, _ in merges:
+            out, fused = [], False
+            for x in syms:
+                if out and not fused and out[-1] == a and x == b:
+                    out[-1] = a + b
+                    fused = True
+                else:
+                    out.append(x)
+                    fused = False
+            syms = out
+        return syms
+
+    assert len(got) == len(docs) > 0
+    for doc_id, ctext in docs:
+        words = [w for w in ctext.split(" ") if len(w) >= 2]
+        nt = sum(len(encode(w)) for w in words)
+        nc = sum(len(w) for w in words)
+        g = got[doc_id]
+        assert (g.n_chars_in_words, g.n_bpe_tokens) == (nc, nt), doc_id
+        assert g.n_bpe_tokens <= g.n_chars_in_words  # merges only shrink
