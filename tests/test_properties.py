@@ -175,3 +175,49 @@ def test_rag_chunking_invariants(spark, token_counts):
         for a, b in zip(rs, rs[1:]):
             if a.n_chunk_tokens == chunk:
                 assert (a.chunk_start + chunk) - b.chunk_start == chunk - stride
+
+
+def test_bpe_fold_property_random_words(spark):
+    """Property: the Catalyst aggregate-fold merge used by
+    bpe_train/bpe_encode matches the Python greedy-left reference on
+    adversarial symbol sequences (runs, overlaps, merged-symbol
+    collisions like pair ('a','a') over 'aaaaa')."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    def py_merge(syms, a, b):
+        out, fused = [], False
+        for x in syms:
+            if out and not fused and out[-1] == a and x == b:
+                out[-1] = a + b
+                fused = True
+            else:
+                out.append(x)
+                fused = False
+        return out
+
+    # every word over {a, b} up to length 6 — covers all run/overlap
+    # shapes — merged with pairs (a,a), (a,b), (b,a)
+    words = [
+        "".join(w)
+        for n in range(2, 7)
+        for w in itertools.product("ab", repeat=n)
+    ]
+    cases = [(w, a, b) for w in words for a, b in (("a", "a"), ("a", "b"), ("b", "a"))]
+    df = spark.createDataFrame(cases, "word string, a string, b string")
+    fused = (
+        "aggregate(filter(split(word, ''), c -> c != ''),"
+        " struct(cast(array() as array<string>) as out, false as fused),"
+        " (st, x) -> if("
+        "   size(st.out) > 0 and not st.fused"
+        "   and element_at(st.out, -1) = a and x = b,"
+        "   struct(concat(slice(st.out, 1, size(st.out) - 1),"
+        "                 array(concat(a, b))), true),"
+        "   struct(concat(st.out, array(x)), false)),"
+        " st -> st.out)"
+    )
+    got = df.select("word", "a", "b", F.expr(fused).alias("merged")).collect()
+    assert len(got) == len(cases)
+    for r in got:
+        assert r.merged == py_merge(list(r.word), r.a, r.b), (r.word, r.a, r.b)
