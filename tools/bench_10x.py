@@ -49,6 +49,10 @@ HEAVY = [
     # their modules directly in main()
     "t34_bpe_merge_pairs",
     "t35_shuffle_shards",
+    "t36_sentence_dedup",
+    "d13_source_overlap_matrix",
+    "s14_int8_quantized_search",
+    "r13_training_shards_sink",
 ]
 
 
@@ -135,10 +139,20 @@ def main() -> int:
     queries = dict(e.queries())
     # staged (declaration-deferred) operators live in their modules but
     # not yet in queries(); probe them at scale all the same
+    from nlp_data_pipeline_spark.operators import dedup as _dd
+    from nlp_data_pipeline_spark.operators import doc_pipeline as _dp
+    from nlp_data_pipeline_spark.operators import similarity as _sim
     from nlp_data_pipeline_spark.operators import text_analytics as _ta
 
-    for staged in ("t34_bpe_merge_pairs", "t35_shuffle_shards"):
-        queries.setdefault(staged, getattr(_ta, staged))
+    for mod, staged in (
+        (_ta, "t34_bpe_merge_pairs"),
+        (_ta, "t35_shuffle_shards"),
+        (_ta, "t36_sentence_dedup"),
+        (_dd, "d13_source_overlap_matrix"),
+        (_sim, "s14_int8_quantized_search"),
+        (_dp, "r13_training_shards_sink"),
+    ):
+        queries.setdefault(staged, getattr(mod, staged))
 
     # Stage BOTH scales through the same 32-file writer: the raw driver
     # tables are single-row-group files whose scans cap at 1 task, so
