@@ -869,13 +869,23 @@ def d13_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d, "doc_id")
         .select("source", "shingle")
         .distinct()
+        # materialize ONCE: sizes, spread, and both self-join sides all
+        # consume this relation — without the checkpoint Spark re-runs
+        # the full corpus shingle scan for every branch (4 corpus scans
+        # at 100 TB instead of one + three reads of a vocabulary-sized
+        # table)
+        .localCheckpoint()
     )
     spread = srcsh.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("n_sources")
     )
-    srcsh = srcsh.join(
-        spread.filter(F.col("n_sources") <= _D13_MAX_SOURCES), "shingle"
-    ).select("source", "shingle")
+    srcsh = (
+        srcsh.join(
+            spread.filter(F.col("n_sources") <= _D13_MAX_SOURCES), "shingle"
+        )
+        .select("source", "shingle")
+        .localCheckpoint()
+    )
     sizes = srcsh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = srcsh.alias("a")
     b = srcsh.alias("b")

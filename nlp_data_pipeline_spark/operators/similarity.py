@@ -1044,23 +1044,24 @@ def s14_int8_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    # per-dimension min / step, assembled into two broadcast arrays
-    dims = e.select(F.posexplode("emb").alias("pos", "x"))
-    stats = (
-        dims.groupBy("pos")
+    # per-dimension min / step: ONE aggregation pass, then the DIM-sized
+    # result (64 doubles) is collected and inlined as literal arrays —
+    # the plan references the quantization grid as constants, so the
+    # corpus is scanned exactly once for stats and once for the search
+    # (a crossJoin'd stats subplan would re-run the full aggregation in
+    # every branch that references it)
+    dim_rows = (
+        e.select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
         .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-        .groupBy()
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mn"))),
-                lambda s: s["mn"],
-            ).alias("mins"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))),
-                # 255 cells over [mn, mx]; max() guards zero-range dims
-                lambda s: F.greatest((s["mx"] - s["mn"]) / 255.0, F.lit(1e-12)),
-            ).alias("steps"),
-        )
+        .orderBy("pos")
+        .collect()
+    )
+    mins_v = [r["mn"] for r in dim_rows]
+    steps_v = [max((r["mx"] - r["mn"]) / 255.0, 1e-12) for r in dim_rows]
+    stats = spark.range(1).select(
+        F.array(*[F.lit(v) for v in mins_v]).alias("mins"),
+        F.array(*[F.lit(v) for v in steps_v]).alias("steps"),
     )
     # int8 codes: floor((x - mn) / step) clamped to [0, 254], stored
     # shifted by -128 as true tinyint
