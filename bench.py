@@ -135,6 +135,10 @@ def main() -> int:
             return {
                 "plan_md5": hashlib.md5(p.encode()).hexdigest()[:12],
                 "n_exchanges": p.count("Exchange"),
+                # ReusedExchange = a shuffle COMPUTED ONCE and read twice
+                # (self-joins); counted inside n_exchanges above, so
+                # real shuffle work = n_exchanges - n_reused
+                "n_reused": p.count("ReusedExchange"),
                 "n_python": p.count("Python") + p.count("ArrowEval"),
             }
         except Exception:

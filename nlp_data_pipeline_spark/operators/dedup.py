@@ -249,7 +249,11 @@ GROUP BY doc_id
 def d05_shingle_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = _shingle_set_df(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    ss = ss.join(d, "doc_id").select("doc_id", "source", "shingle")
+    # materialize ONCE: sizes and both self-join sides consume this
+    # relation; without the checkpoint each branch re-runs the corpus
+    # shingle scan (measured: zero ReusedExchange in the uncheckpointed
+    # plan — 3 full scans at 100 TB instead of one)
+    ss = ss.join(d, "doc_id").select("doc_id", "source", "shingle").localCheckpoint()
     sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = ss.alias("a")
     b = ss.alias("b")
