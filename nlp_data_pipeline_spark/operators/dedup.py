@@ -552,7 +552,9 @@ ORDER BY e.doc_id
 # --------------------------------------------------------------------------
 def d09_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d05_shingle_jaccard_topk(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
-    sig = d02_minhash_signatures(spark, sf_dir)
+    # doc-count-sized; consumed by BOTH join sides below — checkpoint so
+    # the signature scan (a full corpus shingle pass) runs once
+    sig = d02_minhash_signatures(spark, sf_dir).localCheckpoint()
     siga = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
