@@ -34,6 +34,8 @@ KNOWN_FP_DRIFT = {
     "n03_topic_metrics": "LDA disk-cache state",
     "q30_bucketed_colocated_join": "one-time bucketed-table build",
     "q37_observed_metrics": "observation ids",
+    "d05_shingle_jaccard_topk": "localCheckpoint ids in lineage",
+    "d09_minhash_calibration": "localCheckpoint ids in lineage",
     "d13_source_overlap_matrix": "localCheckpoint ids in lineage",
     "s14_int8_quantized_search": "quantization grid inlined as data-derived literals",
 }
