@@ -2374,8 +2374,84 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# t37: vocabulary coverage / OOV rate — STAGED FOR ROUND-8 DECLARATION
+# (gated on staged_ops_live(7); oracle-parity-tested in
+# test_round6_ops.py::test_t37_matches_duckdb_oracle now, so the later
+# declaration is automatic).
+#
+# The tokenizer-coverage diagnostic: fix the top-V corpus vocabulary
+# (frequency-desc, token-asc tie-break — a deterministic stand-in for
+# a trained tokenizer's vocab) and measure each document's
+# out-of-vocabulary token fraction — the signal that flags documents a
+# fixed vocabulary serves poorly (code, other languages, noise). One
+# corpus token pass builds the vocabulary; the per-doc pass joins
+# against the BROADCAST vocab (at real scale V≈50k still broadcasts)
+# — no O(corpus × V) work anywhere.
+# --------------------------------------------------------------------------
+_T37_VOCAB = 100
+
+
+def t37_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(clean_text("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(_T37_VOCAB)
+        .select(F.col("token").alias("vtoken"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), toks.token == vocab.vtoken, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("vtoken").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T37_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_CLEAN_SQL}, ' ')) AS token
+  FROM documents
+),
+nonempty AS (SELECT doc_id, token FROM toks WHERE token != ''),
+vocab AS (
+  SELECT token AS vtoken FROM (
+    SELECT token, COUNT(*) AS freq FROM nonempty GROUP BY token
+    ORDER BY freq DESC, token ASC LIMIT {_T37_VOCAB}
+  )
+)
+SELECT n.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.vtoken IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(CAST(SUM(CASE WHEN v.vtoken IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM nonempty n LEFT JOIN vocab v ON n.token = v.vtoken
+GROUP BY n.doc_id
+ORDER BY n.doc_id
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
+
+if _staged_live(7):
+    QUERIES.update({"t37_oov_rate": t37_oov_rate})
+    ORACLES.update({"t37_oov_rate": T37_SQL})
 
 if _staged_live(6):
     QUERIES.update(

@@ -1064,3 +1064,28 @@ def test_bpe_encode_matches_reference(spark, sf_dir):
         g = got[doc_id]
         assert (g.n_chars_in_words, g.n_bpe_tokens) == (nc, nt), doc_id
         assert g.n_bpe_tokens <= g.n_chars_in_words  # merges only shrink
+
+
+def test_t37_matches_duckdb_oracle(spark, sf_dir):
+    """t37 OOV-rate is staged for ROUND-8 declaration (gated on
+    staged_ops_live(7)); this runs the driver-style comparison now."""
+    import math
+
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T37_SQL,
+        t37_oov_rate,
+    )
+
+    got = [tuple(r) for r in t37_oov_rate(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(T37_SQL).fetchall()]
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == tuple(w[:3])
+        assert math.isclose(g[3], w[3], abs_tol=1e-9)
+        assert 0.0 <= g[3] <= 1.0
