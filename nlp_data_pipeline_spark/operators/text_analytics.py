@@ -1675,7 +1675,10 @@ def t22_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", "source", toks.alias("t")).filter(F.size("t") >= 3)
     segs = base.select(
         "doc_id", "source", F.explode(ngrams(F.col("t"), 3)).alias("seg")
-    )
+    ).localCheckpoint()  # feeds doc-frequency AND the per-doc join:
+    # without this every branch re-runs the corpus tokenize+explode
+    # (zero ReusedExchange measured) — one materialization beats three
+    # regex passes over 100 TB
     docseg = segs.distinct()  # doc-frequency counts a doc once per segment
     srcdocs = docseg.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs")
