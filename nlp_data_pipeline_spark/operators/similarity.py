@@ -897,14 +897,42 @@ def s12_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_data_pipeline_spark.operators.text_analytics import _tokens_df
 
     toks = _tokens_df(spark, sf_dir).select("doc_id", "token")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    # ONE corpus pass: doc length and every query term's tf come from a
+    # single conditional aggregation (the first cut aggregated toks
+    # twice — dl and tf — re-running the tokenize+explode each time);
+    # the doc-grain result is checkpointed because stats, dfreq and the
+    # scoring join all consume it
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum((F.col("token") == t).cast("long")).alias(f"tf_{i}")
+                for i, t in enumerate(BM25_TERMS)
+            ],
+        )
+        .localCheckpoint()
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        toks.filter(F.col("token").isin(*BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_doc.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("token"), F.col(f"tf_{i}").alias("tf")
+                        )
+                        for i, t in enumerate(BM25_TERMS)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "dl", F.col("e.token").alias("token"), F.col("e.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -920,7 +948,6 @@ def s12_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", score.alias("s"))
         .groupBy("doc_id")
