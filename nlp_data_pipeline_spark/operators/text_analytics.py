@@ -1770,13 +1770,21 @@ _T31_TARGET = "src0"
 
 
 def t31_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _tokens_df(spark, sf_dir)
-    src_tok = toks.groupBy("source", "token").agg(
-        F.count(F.lit(1)).alias("c")
+    # ONE corpus pass: everything (per-source model, totals, scoring)
+    # derives from the compact (doc_id, source, token, tf) relation —
+    # the first cut joined the model back against the RAW token stream,
+    # re-running the tokenize+explode for every consumer (3 corpus
+    # scans). Per-doc log-weights are tf-weighted sums (Σ tf·lr), the
+    # same association shape the oracle states.
+    doc_tok = (
+        _tokens_df(spark, sf_dir)
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
-    model = src_tok.groupBy("token").agg(
-        F.sum("c").alias("c_raw"),
-        F.sum(F.when(F.col("source") == _T31_TARGET, F.col("c")).otherwise(0)).alias(
+    model = doc_tok.groupBy("token").agg(
+        F.sum("tf").alias("c_raw"),
+        F.sum(F.when(F.col("source") == _T31_TARGET, F.col("tf")).otherwise(0)).alias(
             "c_tgt"
         ),
     )
@@ -1786,19 +1794,22 @@ def t31_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("v"),
     )
     scored = (
-        toks.select("doc_id", "token")
-        .join(F.broadcast(model), "token")
+        doc_tok.join(F.broadcast(model), "token")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
+            "tf",
             (
-                F.log((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v")))
-                - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + F.col("v")))
+                F.col("tf")
+                * (
+                    F.log((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v")))
+                    - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + F.col("v")))
+                )
             ).alias("lr"),
         )
     )
     agg = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_toks"),
+        F.sum("tf").alias("n_toks"),
         F.sum("lr").alias("logw"),
     )
     return agg.select(
@@ -1823,13 +1834,16 @@ model AS (
 totals AS (
   SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt, COUNT(*) AS v FROM model
 ),
+doc_tok AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY doc_id, token
+),
 scored AS (
-  SELECT t.doc_id,
-         ln((m.c_tgt + 1.0) / (o.n_tgt + o.v)) - ln((m.c_raw + 1.0) / (o.n_raw + o.v)) AS lr
-  FROM tokens t JOIN model m USING (token) CROSS JOIN totals o
+  SELECT t.doc_id, t.tf,
+         t.tf * (ln((m.c_tgt + 1.0) / (o.n_tgt + o.v)) - ln((m.c_raw + 1.0) / (o.n_raw + o.v))) AS lr
+  FROM doc_tok t JOIN model m USING (token) CROSS JOIN totals o
 ),
 agg AS (
-  SELECT doc_id, COUNT(*) AS n_toks, SUM(lr) AS logw FROM scored GROUP BY doc_id
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks, SUM(lr) AS logw FROM scored GROUP BY doc_id
 )
 SELECT doc_id, n_toks, round(logw, 4) AS dsir_logweight, logw > 0 AS toward_target
 FROM agg
