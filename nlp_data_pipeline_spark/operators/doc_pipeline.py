@@ -373,7 +373,10 @@ def a02_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.expr(f"hll_sketch_agg(user_id, {_A02_LGK})").alias("sk"),
         F.count_distinct("user_id").alias("exact_users"),
-    )
+    ).localCheckpoint()  # day-grain; consumed by the per-day rows AND
+    # the union-merge — without this both branches re-aggregate the
+    # events corpus. The direct pass below stays a second corpus scan
+    # BY DESIGN (rollup-equals-direct is the property under test).
     within = lambda est, exact: (
         F.abs(est.cast("double") - exact) <= F.lit(0.05) * exact
     )
