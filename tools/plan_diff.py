@@ -34,7 +34,12 @@ KNOWN_FP_DRIFT = {
     "n03_topic_metrics": "LDA disk-cache state",
     "q30_bucketed_colocated_join": "one-time bucketed-table build",
     "q37_observed_metrics": "observation ids",
+    "a02_hll_sketch_rollup": "localCheckpoint ids in lineage",
     "d05_shingle_jaccard_topk": "localCheckpoint ids in lineage",
+    "p04_curation_pipeline": "localCheckpoint ids in lineage (embeds t22)",
+    "s12_bm25_topk": "localCheckpoint ids in lineage",
+    "t22_boilerplate_prune": "localCheckpoint ids in lineage",
+    "t31_dsir_importance": "localCheckpoint ids in lineage",
     "d09_minhash_calibration": "localCheckpoint ids in lineage",
     "d13_source_overlap_matrix": "localCheckpoint ids in lineage",
     "s14_int8_quantized_search": "quantization grid inlined as data-derived literals",
