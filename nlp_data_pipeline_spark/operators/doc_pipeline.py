@@ -1309,8 +1309,91 @@ FROM groups
 """
 
 
+# --------------------------------------------------------------------------
+# p05: corpus snapshot diff — STAGED FOR ROUND-8 DECLARATION (gated on
+# staged_ops_live(7); oracle-parity-tested in test_round6_ops.py::
+# test_p05_matches_duckdb_oracle now, so the later declaration is
+# automatic).
+#
+# Dataset-versioning diff: given two corpus snapshots, classify every
+# document as unchanged / changed (same id, different content hash) /
+# removed / added, rolled up per source — the release audit a managed
+# training corpus publishes between crawls (what Delta's table history
+# gives you, computed relationally over plain parquet snapshots). The
+# "next crawl" snapshot is synthesized DETERMINISTICALLY from the
+# current one (drop id%11==3, edit id%7==2, add a copy of id%13==5
+# under a new id) so the oracle is closed-form; the diff itself is a
+# full-outer join on doc_id comparing sha256 content hashes — ONE
+# shuffle, the same shape at any corpus size.
+# --------------------------------------------------------------------------
+def p05_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    h = F.sha2(F.col("text").cast("binary"), 256)
+    snap_a = d.select("doc_id", "source", h.alias("h"))
+    kept = d.filter(F.col("doc_id") % 11 != 3)
+    edited = F.when(
+        F.col("doc_id") % 7 == 2, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    added = d.filter(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
+    )
+    snap_b = (
+        kept.select("doc_id", "source", edited.alias("text"))
+        .unionByName(added)
+        .select("doc_id", "source", F.sha2(F.col("text").cast("binary"), 256).alias("h"))
+    )
+    a = snap_a.select("doc_id", F.col("source").alias("src_a"), F.col("h").alias("h_a"))
+    b = snap_b.select("doc_id", F.col("source").alias("src_b"), F.col("h").alias("h_b"))
+    diff = a.join(b, "doc_id", "full_outer").select(
+        F.coalesce("src_a", "src_b").alias("source"),
+        F.when(F.col("h_a").isNull(), "added")
+        .when(F.col("h_b").isNull(), "removed")
+        .when(F.col("h_a") == F.col("h_b"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )
+    return (
+        diff.groupBy("source")
+        .pivot("status", ["unchanged", "changed", "removed", "added"])
+        .count()
+        .fillna(0)
+        .orderBy("source")
+    )
+
+
+P05_SQL = """
+WITH b AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 2 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 != 3
+  UNION ALL
+  SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 13 = 5
+),
+diff AS (
+  SELECT COALESCE(a.source, b.source) AS source,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.text = b.text THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM documents a FULL OUTER JOIN b USING (doc_id)
+)
+SELECT source,
+       COUNT(*) FILTER (status = 'unchanged') AS unchanged,
+       COUNT(*) FILTER (status = 'changed') AS changed,
+       COUNT(*) FILTER (status = 'removed') AS removed,
+       COUNT(*) FILTER (status = 'added') AS added
+FROM diff
+GROUP BY source
+ORDER BY source
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
+
+if _staged_live(7):
+    QUERIES.update({"p05_snapshot_diff": p05_snapshot_diff})
+    ORACLES.update({"p05_snapshot_diff": P05_SQL})
 
 if _staged_live(6):
     QUERIES.update(

@@ -1089,3 +1089,25 @@ def test_t37_matches_duckdb_oracle(spark, sf_dir):
         assert g[:3] == tuple(w[:3])
         assert math.isclose(g[3], w[3], abs_tol=1e-9)
         assert 0.0 <= g[3] <= 1.0
+
+
+def test_p05_matches_duckdb_oracle(spark, sf_dir):
+    """p05 snapshot diff is staged for ROUND-8 declaration (gated on
+    staged_ops_live(7)); this runs the driver-style comparison now."""
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        P05_SQL,
+        p05_snapshot_diff,
+    )
+
+    got = [tuple(r) for r in p05_snapshot_diff(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(P05_SQL).fetchall()]
+    assert got == want and len(got) > 0
+    # every class is exercised by the synthetic next-crawl rules
+    tot = [sum(c) for c in zip(*[g[1:] for g in got])]
+    assert all(t > 0 for t in tot), tot
