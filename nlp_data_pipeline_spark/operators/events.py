@@ -32,7 +32,11 @@ D182 = "decimal(18,2)"
 # is frozen into the checkpoint at query start from
 # spark.sql.shuffle.partitions. At test scale (≤1M events) 32
 # partitions means the fixed per-store commit overhead dominates the
-# actual work (measured: e12 7.1s @ 32 → 2.3s @ 8 on identical data).
+# actual work (measured: e12 7.1s @ 32 → 2.3s @ 8 on identical data;
+# going BELOW 8 helps the pure-JVM streams marginally but degrades the
+# applyInPandasWithState path badly — e13 4.0s @ 8 → 6.7s @ 4 →
+# 11.7s @ 2, the Python stateful worker wants the parallelism — so 8
+# is the measured optimum for this suite).
 # Production sizing is the same decision in reverse: pick the state
 # partition count from state volume ÷ per-executor memory, NOT from
 # the global shuffle default — hence a dedicated, env-tunable knob.
