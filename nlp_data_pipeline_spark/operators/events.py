@@ -1236,8 +1236,94 @@ ORACLES = {
 }
 
 
+# --------------------------------------------------------------------------
+# e20: STREAMING quantile monitoring — STAGED FOR ROUND-8 DECLARATION
+# (gated on staged_ops_live(7); oracle-parity-tested in
+# test_round6_ops.py::test_e20_matches_duckdb_oracle now).
+#
+# Production streams monitor value DISTRIBUTIONS, not just counts:
+# per-type approximate percentiles maintained by the stream
+# (percentile_approx — a bounded-size quantile summary per group, the
+# streaming-safe form; an exact streaming percentile would buffer the
+# stream). Declared surface = a01's audit pattern: the oracle-exact
+# batch percentiles as values + booleans pinning the STREAM's sketch
+# within 5% of them — so the hash check proves the streaming sketch
+# path works without asking DuckDB to reproduce Spark's summary.
+# --------------------------------------------------------------------------
+def e20_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nlp_data_pipeline_spark.streaming.pipelines import read_events_stream
+
+    stage_dir = _stage_events(sf_dir, "e20_stream_")
+    agg = (
+        read_events_stream(spark, stage_dir)
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("pct_est"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    sink = f"e20_sink_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    streamed = spark.table(sink)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.5D, 0.95D))").alias("pct_exact")
+        )
+    )
+    within = lambda i: (
+        F.abs(
+            F.element_at("pct_est", i) - F.element_at("pct_exact", i)
+        )
+        # 5%: percentile_approx returns an actual element (no
+        # interpolation), so on small groups the nearest-element gap
+        # near p95 can exceed 1% of the interpolated exact value
+        <= F.lit(0.05) * F.abs(F.element_at("pct_exact", i))
+    )
+    return (
+        streamed.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.element_at("pct_exact", 1), 4).alias("p50"),
+            F.round(F.element_at("pct_exact", 2), 4).alias("p95"),
+            within(1).alias("stream_p50_within_5pct"),
+            within(2).alias("stream_p95_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E20_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       TRUE AS stream_p50_within_5pct,
+       TRUE AS stream_p95_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
+
+if _staged_live(7):
+    QUERIES.update({"e20_streaming_quantiles": e20_streaming_quantiles})
+    ORACLES.update({"e20_streaming_quantiles": E20_SQL})
 
 if _staged_live(6):
     QUERIES.update(

@@ -1111,3 +1111,31 @@ def test_p05_matches_duckdb_oracle(spark, sf_dir):
     # every class is exercised by the synthetic next-crawl rules
     tot = [sum(c) for c in zip(*[g[1:] for g in got])]
     assert all(t > 0 for t in tot), tot
+
+
+def test_e20_matches_duckdb_oracle(spark, sf_dir):
+    """e20 streaming quantile monitoring is staged for ROUND-8
+    declaration (gated on staged_ops_live(7)); the oracle-exact batch
+    percentiles carry the hash while booleans pin the streaming sketch
+    within 5%."""
+    import math
+
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.events import (
+        E20_SQL,
+        e20_streaming_quantiles,
+    )
+
+    got = [tuple(r) for r in e20_streaming_quantiles(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(E20_SQL).fetchall()]
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:2] == tuple(w[:2])
+        assert math.isclose(g[2], w[2], abs_tol=1e-9)
+        assert math.isclose(g[3], w[3], abs_tol=1e-9)
+        assert g[4] is True and g[5] is True
