@@ -633,8 +633,48 @@ ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# v12: GROUP BY ALL / ORDER BY ALL — STAGED FOR ROUND-8 DECLARATION
+# (gated on staged_ops_live(7); oracle-parity-tested in
+# test_round6_ops.py::test_v12_matches_duckdb_oracle now).
+#
+# The analyst-ergonomics syntax (SPARK-41440): grouping keys inferred
+# as every non-aggregate select item, ordering as the full select
+# list — resolves to exactly the explicit query (which is what the
+# oracle states), so it is front-end sugar with an unchanged plan.
+# --------------------------------------------------------------------------
+def v12_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE n_chars > 100
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+V12_SQL = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE n_chars > 100
+GROUP BY lang, source
+ORDER BY lang, source, n_docs, total_chars
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
+
+if _staged_live(7):
+    QUERIES.update({"v12_group_by_all": v12_group_by_all})
+    ORACLES.update({"v12_group_by_all": V12_SQL})
 
 if _staged_live(6):
     QUERIES.update(

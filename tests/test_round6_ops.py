@@ -1139,3 +1139,20 @@ def test_e20_matches_duckdb_oracle(spark, sf_dir):
         assert math.isclose(g[2], w[2], abs_tol=1e-9)
         assert math.isclose(g[3], w[3], abs_tol=1e-9)
         assert g[4] is True and g[5] is True
+
+
+def test_v12_matches_duckdb_oracle(spark, sf_dir):
+    """v12 GROUP BY ALL / ORDER BY ALL is staged for ROUND-8
+    declaration (gated on staged_ops_live(7)); the oracle is the
+    explicit spelling the syntax resolves to."""
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.sql_api import V12_SQL, v12_group_by_all
+
+    got = [tuple(r) for r in v12_group_by_all(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(V12_SQL).fetchall()]
+    assert got == want and len(got) > 0
