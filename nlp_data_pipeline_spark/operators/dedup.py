@@ -992,8 +992,60 @@ ORACLES = {
 }
 
 
+# --------------------------------------------------------------------------
+# d14: dedup yield histogram — STAGED FOR ROUND-8 DECLARATION (gated
+# on staged_ops_live(7); oracle-parity-tested in test_round6_ops.py::
+# test_d14_matches_duckdb_oracle now).
+#
+# The planning number a dedup run is sized by: the near-dup
+# CLUSTER-SIZE distribution. n_clusters × (size − 1) docs are
+# removable at keep-one-per-cluster; the histogram shows where the
+# yield lives (many pairs vs few giant clusters — the latter demands a
+# boilerplate investigation, not dedup). Pure rollup over d06's
+# labels; the oracle reuses d06's recursive-CTE closure.
+# --------------------------------------------------------------------------
+def d14_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = d06_neardup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).alias(
+                "docs_removable"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+D14_SQL = (
+    D06_SQL.replace(
+        """SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM (SELECT doc_id, MIN(dst) AS cluster_id FROM closure GROUP BY doc_id) t
+ORDER BY cluster_id, doc_id""",
+        """SELECT cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS docs_removable
+FROM (
+  SELECT cluster_id, COUNT(*) AS cluster_size
+  FROM (SELECT doc_id, MIN(dst) AS cluster_id FROM closure GROUP BY doc_id) t
+  GROUP BY cluster_id
+)
+GROUP BY cluster_size
+ORDER BY cluster_size""",
+    )
+)
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
+
+if _staged_live(7):
+    QUERIES.update({"d14_cluster_size_histogram": d14_cluster_size_histogram})
+    ORACLES.update({"d14_cluster_size_histogram": D14_SQL})
 
 if _staged_live(6):
     QUERIES.update({"d13_source_overlap_matrix": d13_source_overlap_matrix})

@@ -1156,3 +1156,25 @@ def test_v12_matches_duckdb_oracle(spark, sf_dir):
     )
     want = [tuple(r) for r in con.execute(V12_SQL).fetchall()]
     assert got == want and len(got) > 0
+
+
+def test_d14_matches_duckdb_oracle(spark, sf_dir):
+    """d14 dedup yield histogram is staged for ROUND-8 declaration
+    (gated on staged_ops_live(7)); the oracle reuses d06's recursive
+    closure, rolled up to the cluster-size distribution."""
+    import duckdb
+
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D14_SQL,
+        d14_cluster_size_histogram,
+    )
+
+    got = [tuple(r) for r in d14_cluster_size_histogram(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(D14_SQL).fetchall()]
+    assert got == want and len(got) > 0
+    for size, n, removable in got:
+        assert size >= 2 and removable == n * (size - 1)
