@@ -75,3 +75,14 @@ def test_fast_oracle_equivalence(spark, sf_dir, duck, name):
     cols = [d[0] for d in res.description]
     issues = compare(name, sdf, res.fetchall(), cols)
     assert issues == [], issues
+
+
+def test_rows_only_set_is_exactly_the_sanctioned_three():
+    """Every declared query carries a DuckDB oracle EXCEPT the three
+    sanctioned LDA-dependent ones (SURVEY §5.2-2) — a forgotten ORACLES
+    entry would silently downgrade a query to the weaker rows-only
+    check, which this pins. Holds across staging-gate states: staged
+    operators must ship their oracle in the same gate block."""
+    qs = set(entry_mod.queries())
+    oracled = set(entry_mod.oracle_sql())
+    assert qs - oracled == {"n01_lda_topics", "n02_doc_tags", "n03_topic_metrics"}
