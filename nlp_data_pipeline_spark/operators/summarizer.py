@@ -50,9 +50,17 @@ def summary_general_path(
     )
     # per-doc sentence count via unbounded window — one shuffle on doc_id,
     # no second scan of the corpus (vs groupBy + self-join)
-    sent = sent.withColumn(
-        "n_sentences", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    ).filter(F.col("n_sentences") > num_sentences)
+    sent = (
+        sent.withColumn(
+            "n_sentences", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        .filter(F.col("n_sentences") > num_sentences)
+        # fan-out: consumed by the term explosion AND the zero-score
+        # backfill join — materialize once (Spark re-runs the corpus
+        # sentence-split per consumer otherwise; ReusedExchange never
+        # fires here, measured)
+        .localCheckpoint()
+    )
 
     stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS_SORTED])
     terms = F.filter(
@@ -64,12 +72,14 @@ def summary_general_path(
     )
 
     # Single upstream aggregation tf0; EVERY later relation (vocab cap,
-    # capped tf, per-doc df) derives from it, so all branches share one
-    # identical shuffle subplan and Spark's ReuseExchange computes the
-    # scan→explode→agg lineage once instead of per-branch.
+    # capped tf, per-doc df) derives from it. Materialized once: the
+    # branches do NOT share the shuffle subplan automatically
+    # (ReusedExchange requires byte-identical exchanges and never fires
+    # across these differently-keyed consumers — measured), so without
+    # the checkpoint each branch re-runs the explode+count.
     tf0 = tok.groupBy("doc_id", "sent_pos", "n_sentences", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    )
+    ).localCheckpoint()
 
     # per-document vocabulary cap: top `vocab_size` terms by total count
     # (sklearn max_features rule: frequency desc, term asc)
