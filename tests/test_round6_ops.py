@@ -768,11 +768,31 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
                 )
                 assert (name in mod.ORACLES) is expected_declared
 
+    ROUND8 = {
+        "nlp_data_pipeline_spark.operators.text_analytics": ["t37_oov_rate"],
+        "nlp_data_pipeline_spark.operators.doc_pipeline": ["p05_snapshot_diff"],
+        "nlp_data_pipeline_spark.operators.events": ["e20_streaming_quantiles"],
+        "nlp_data_pipeline_spark.operators.sql_api": ["v12_group_by_all"],
+        "nlp_data_pipeline_spark.operators.dedup": ["d14_cluster_size_histogram"],
+    }
+
+    def check_r8(expected_declared: bool):
+        for modname, names in ROUND8.items():
+            mod = importlib.import_module(modname)
+            for name in names:
+                assert (name in mod.QUERIES) is expected_declared
+                assert (name in mod.ORACLES) is expected_declared
+
     try:
         monkeypatch.setattr(staging, "latest_recorded_round", lambda: 5)
         check(expected_declared=False)
+        check_r8(expected_declared=False)
         monkeypatch.setattr(staging, "latest_recorded_round", lambda: 6)
         check(expected_declared=True)
+        check_r8(expected_declared=False)  # round-8 batch still gated
+        monkeypatch.setattr(staging, "latest_recorded_round", lambda: 7)
+        check(expected_declared=True)
+        check_r8(expected_declared=True)
     finally:
         monkeypatch.undo()
         for modname in STAGED:
