@@ -23,7 +23,17 @@ import re
 
 
 def latest_recorded_round() -> int:
-    """Highest N among repo-root CORRECTNESS_r{N}.json files (0 if none)."""
+    """Highest N among repo-root CORRECTNESS_r{N}.json files (0 if none).
+
+    Override: SPARK_GRAFT_ASSUME_ROUND=<N> forces the value — the
+    one-command way to rehearse a future round's declarations
+    (e.g. ``SPARK_GRAFT_ASSUME_ROUND=7 python tools/check_oracle.py
+    /root/testdata/sf0.01 t33``) without copying the repo and planting
+    a marker file.
+    """
+    forced = os.environ.get("SPARK_GRAFT_ASSUME_ROUND")
+    if forced is not None:
+        return int(forced)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = [
         int(m.group(1))
