@@ -43,6 +43,11 @@ _MODULES = [
 #      regressions in once-green queries eventually resurface.
 # Ties keep module/dict order (keeps n01 before n02/n03/p03, sharing
 # the warm LDA fit within a driver run).
+# A sanctioned rows-only row (err == "no_oracle" with spark_rows > 0 —
+# the n01–n03 LDA queries, SURVEY §5.2-2) counts as "checked that
+# round": it is the strongest row those queries can ever earn, so
+# treating it as never-green would pin them to the window's head
+# forever and permanently consume 3 of the 50 rotation slots.
 def _verification_rank() -> dict:
     """name -> (has_green: bool, last_checked_round: int)."""
     import glob
@@ -61,12 +66,17 @@ def _verification_rank() -> dict:
         except Exception:
             continue  # unreadable round file: ignore
         for name, row in rows.items():
-            green = (
-                isinstance(row, dict)
-                and bool(row.get("rows_match"))
-                and bool(row.get("schema_match"))
-                and bool(row.get("hash_match"))
-                and not row.get("err")
+            green = isinstance(row, dict) and (
+                (
+                    bool(row.get("rows_match"))
+                    and bool(row.get("schema_match"))
+                    and bool(row.get("hash_match"))
+                    and not row.get("err")
+                )
+                or (
+                    row.get("err") == "no_oracle"
+                    and (row.get("spark_rows") or 0) > 0
+                )
             )
             prev_green, prev_rnd = rank.get(name, (False, 0))
             rank[name] = (prev_green or green, max(prev_rnd, rnd))
@@ -76,6 +86,8 @@ def _verification_rank() -> dict:
 def _collect(attr: str) -> dict:
     import importlib
 
+    from nlp_data_pipeline_spark import staging
+
     out: dict = {}
     for modname in _MODULES:
         try:
@@ -83,6 +95,13 @@ def _collect(attr: str) -> dict:
         except ImportError:
             continue  # module not built yet
         out.update(getattr(mod, attr, {}))
+        # Staged declarations (see staging.py): merged lazily per call so
+        # declaration state tracks the committed CORRECTNESS_r*.json
+        # round markers, not whatever existed at first import.
+        staged = getattr(mod, "STAGED_" + attr, {})
+        for rnd in sorted(staged):
+            if staging.staged_ops_live(rnd):
+                out.update(staged[rnd])
     rank = _verification_rank()
     names = list(out)
     # (needs-verification first, then oldest last-check, then dict order)

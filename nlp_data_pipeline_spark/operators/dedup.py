@@ -1041,12 +1041,13 @@ ORDER BY cluster_size""",
 
 
 # Staged during round 6 (window at capacity); auto-declared from round 7.
-from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
-
-if _staged_live(7):
-    QUERIES.update({"d14_cluster_size_histogram": d14_cluster_size_histogram})
-    ORACLES.update({"d14_cluster_size_histogram": D14_SQL})
-
-if _staged_live(6):
-    QUERIES.update({"d13_source_overlap_matrix": d13_source_overlap_matrix})
-    ORACLES.update({"d13_source_overlap_matrix": D13_SQL})
+# Staged while the declaring round's window was at capacity; auto-
+# declared the round after by __spark_entry__._collect (lazy gate).
+STAGED_QUERIES = {
+    6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
+    7: {"d14_cluster_size_histogram": d14_cluster_size_histogram},
+}
+STAGED_ORACLES = {
+    6: {"d13_source_overlap_matrix": D13_SQL},
+    7: {"d14_cluster_size_histogram": D14_SQL},
+}

@@ -1389,26 +1389,23 @@ ORDER BY source
 
 
 # Staged during round 6 (window at capacity); auto-declared from round 7.
-from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
-
-if _staged_live(7):
-    QUERIES.update({"p05_snapshot_diff": p05_snapshot_diff})
-    ORACLES.update({"p05_snapshot_diff": P05_SQL})
-
-if _staged_live(6):
-    QUERIES.update(
-        {
-            "r12_xml_roundtrip": r12_xml_roundtrip,
-            "r13_training_shards_sink": r13_training_shards_sink,
-            "r14_file_lineage": r14_file_lineage,
-            "a03_hll_intersection": a03_hll_intersection,
-        }
-    )
-    ORACLES.update(
-        {
-            "r12_xml_roundtrip": R12_SQL,
-            "r13_training_shards_sink": R13_SQL,
-            "r14_file_lineage": R14_SQL,
-            "a03_hll_intersection": A03_SQL,
-        }
-    )
+# Staged while the declaring round's window was at capacity; auto-
+# declared the round after by __spark_entry__._collect (lazy gate).
+STAGED_QUERIES = {
+    6: {
+        "r12_xml_roundtrip": r12_xml_roundtrip,
+        "r13_training_shards_sink": r13_training_shards_sink,
+        "r14_file_lineage": r14_file_lineage,
+        "a03_hll_intersection": a03_hll_intersection,
+    },
+    7: {"p05_snapshot_diff": p05_snapshot_diff},
+}
+STAGED_ORACLES = {
+    6: {
+        "r12_xml_roundtrip": R12_SQL,
+        "r13_training_shards_sink": R13_SQL,
+        "r14_file_lineage": R14_SQL,
+        "a03_hll_intersection": A03_SQL,
+    },
+    7: {"p05_snapshot_diff": P05_SQL},
+}

@@ -1318,23 +1318,21 @@ ORDER BY event_type
 """
 
 
-# Staged during round 6 (window at capacity); auto-declared from round 7.
-from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
-
-if _staged_live(7):
-    QUERIES.update({"e20_streaming_quantiles": e20_streaming_quantiles})
-    ORACLES.update({"e20_streaming_quantiles": E20_SQL})
-
-if _staged_live(6):
-    QUERIES.update(
-        {
-            "e18_dedup_within_watermark": e18_dedup_within_watermark,
-            "e19_statestore_read": e19_statestore_read,
-        }
-    )
-    ORACLES.update(
-        {
-            "e18_dedup_within_watermark": E18_SQL,
-            "e19_statestore_read": E19_SQL,
-        }
-    )
+# Staged while the declaring round's window was at capacity; auto-
+# declared the round after (keyed by staging round) by
+# __spark_entry__._collect, which evaluates staging.staged_ops_live
+# lazily per queries()/oracle_sql() call (not at import).
+STAGED_QUERIES = {
+    6: {
+        "e18_dedup_within_watermark": e18_dedup_within_watermark,
+        "e19_statestore_read": e19_statestore_read,
+    },
+    7: {"e20_streaming_quantiles": e20_streaming_quantiles},
+}
+STAGED_ORACLES = {
+    6: {
+        "e18_dedup_within_watermark": E18_SQL,
+        "e19_statestore_read": E19_SQL,
+    },
+    7: {"e20_streaming_quantiles": E20_SQL},
+}

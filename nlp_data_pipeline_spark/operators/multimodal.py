@@ -572,8 +572,7 @@ ORACLES = {
 
 
 # Staged during round 6 (window at capacity); auto-declared from round 7.
-from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
-
-if _staged_live(6):
-    QUERIES.update({"m08_image_dedup_phash": m08_image_dedup_phash})
-    ORACLES.update({"m08_image_dedup_phash": M08_SQL})
+# Staged during round 6; auto-declared from round 7 by
+# __spark_entry__._collect (lazy staged_ops_live gate).
+STAGED_QUERIES = {6: {"m08_image_dedup_phash": m08_image_dedup_phash}}
+STAGED_ORACLES = {6: {"m08_image_dedup_phash": M08_SQL}}

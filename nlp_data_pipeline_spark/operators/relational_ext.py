@@ -1392,8 +1392,7 @@ ORACLES = {
 
 
 # Staged during round 6 (window at capacity); auto-declared from round 7.
-from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
-
-if _staged_live(6):
-    QUERIES.update({"q42_collated_group": q42_collated_group})
-    ORACLES.update({"q42_collated_group": Q42_SQL})
+# Staged during round 6; auto-declared from round 7 by
+# __spark_entry__._collect (lazy staged_ops_live gate).
+STAGED_QUERIES = {6: {"q42_collated_group": q42_collated_group}}
+STAGED_ORACLES = {6: {"q42_collated_group": Q42_SQL}}

@@ -1214,19 +1214,18 @@ ORACLES = {
 }
 
 
-# Staged during round 6 (window at capacity); auto-declared from round 7.
-from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
-
-if _staged_live(6):
-    QUERIES.update(
-        {
-            "s13_radius_search": s13_radius_search,
-            "s14_int8_quantized_search": s14_int8_quantized_search,
-        }
-    )
-    ORACLES.update(
-        {
-            "s13_radius_search": S13_SQL,
-            "s14_int8_quantized_search": S14_SQL,
-        }
-    )
+# Staged during round 6 (window at capacity); auto-declared from round 7
+# by __spark_entry__._collect, which evaluates staging.staged_ops_live
+# lazily per queries()/oracle_sql() call (not at import).
+STAGED_QUERIES = {
+    6: {
+        "s13_radius_search": s13_radius_search,
+        "s14_int8_quantized_search": s14_int8_quantized_search,
+    },
+}
+STAGED_ORACLES = {
+    6: {
+        "s13_radius_search": S13_SQL,
+        "s14_int8_quantized_search": S14_SQL,
+    },
+}

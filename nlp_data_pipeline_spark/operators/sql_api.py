@@ -670,26 +670,23 @@ ORDER BY lang, source, n_docs, total_chars
 
 
 # Staged during round 6 (window at capacity); auto-declared from round 7.
-from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
-
-if _staged_live(7):
-    QUERIES.update({"v12_group_by_all": v12_group_by_all})
-    ORACLES.update({"v12_group_by_all": V12_SQL})
-
-if _staged_live(6):
-    QUERIES.update(
-        {
-            "v08_sql_scalar_udf": v08_sql_scalar_udf,
-            "v09_sql_table_function": v09_sql_table_function,
-            "v10_pipe_syntax": v10_pipe_syntax,
-            "v11_parameterized_sql": v11_parameterized_sql,
-        }
-    )
-    ORACLES.update(
-        {
-            "v08_sql_scalar_udf": V08_SQL,
-            "v09_sql_table_function": V09_SQL,
-            "v10_pipe_syntax": V10_SQL,
-            "v11_parameterized_sql": V11_SQL,
-        }
-    )
+# Staged while the declaring round's window was at capacity; auto-
+# declared the round after by __spark_entry__._collect (lazy gate).
+STAGED_QUERIES = {
+    6: {
+        "v08_sql_scalar_udf": v08_sql_scalar_udf,
+        "v09_sql_table_function": v09_sql_table_function,
+        "v10_pipe_syntax": v10_pipe_syntax,
+        "v11_parameterized_sql": v11_parameterized_sql,
+    },
+    7: {"v12_group_by_all": v12_group_by_all},
+}
+STAGED_ORACLES = {
+    6: {
+        "v08_sql_scalar_udf": V08_SQL,
+        "v09_sql_table_function": V09_SQL,
+        "v10_pipe_syntax": V10_SQL,
+        "v11_parameterized_sql": V11_SQL,
+    },
+    7: {"v12_group_by_all": V12_SQL},
+}

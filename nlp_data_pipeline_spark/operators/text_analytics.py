@@ -2464,26 +2464,23 @@ ORDER BY n.doc_id
 
 
 # Staged during round 6 (window at capacity); auto-declared from round 7.
-from nlp_data_pipeline_spark.staging import staged_ops_live as _staged_live
-
-if _staged_live(7):
-    QUERIES.update({"t37_oov_rate": t37_oov_rate})
-    ORACLES.update({"t37_oov_rate": T37_SQL})
-
-if _staged_live(6):
-    QUERIES.update(
-        {
-            "t33_readability_curriculum": t33_readability_curriculum,
-            "t34_bpe_merge_pairs": t34_bpe_merge_pairs,
-            "t35_shuffle_shards": t35_shuffle_shards,
-            "t36_sentence_dedup": t36_sentence_dedup,
-        }
-    )
-    ORACLES.update(
-        {
-            "t33_readability_curriculum": T33_SQL,
-            "t34_bpe_merge_pairs": T34_SQL,
-            "t35_shuffle_shards": T35_SQL,
-            "t36_sentence_dedup": T36_SQL,
-        }
-    )
+# Staged while the declaring round's window was at capacity; auto-
+# declared the round after by __spark_entry__._collect (lazy gate).
+STAGED_QUERIES = {
+    6: {
+        "t33_readability_curriculum": t33_readability_curriculum,
+        "t34_bpe_merge_pairs": t34_bpe_merge_pairs,
+        "t35_shuffle_shards": t35_shuffle_shards,
+        "t36_sentence_dedup": t36_sentence_dedup,
+    },
+    7: {"t37_oov_rate": t37_oov_rate},
+}
+STAGED_ORACLES = {
+    6: {
+        "t33_readability_curriculum": T33_SQL,
+        "t34_bpe_merge_pairs": T34_SQL,
+        "t35_shuffle_shards": T35_SQL,
+        "t36_sentence_dedup": T36_SQL,
+    },
+    7: {"t37_oov_rate": T37_SQL},
+}

@@ -13,6 +13,15 @@ filesystem. Staged ops gated on ``staged_ops_live(N)`` stay undeclared
 for the whole of round N (including its closing verify, which runs
 before the file is written) and appear in ``queries()`` from the first
 moment of round N+1 — never-green, therefore first in the new window.
+
+The gate is evaluated LAZILY: operator modules export their staged
+entries as ``STAGED_QUERIES`` / ``STAGED_ORACLES`` dicts keyed by
+staging round, and ``__spark_entry__._collect`` consults
+``staged_ops_live`` on every ``queries()`` / ``oracle_sql()`` call —
+so a long-lived process picks up a newly-landed round record without
+re-import, and declaration state never depends on import order. The
+round markers themselves (``CORRECTNESS_r*.json``) are committed to
+git, so a fresh clone reproduces the same declaration state.
 """
 
 from __future__ import annotations
@@ -33,7 +42,12 @@ def latest_recorded_round() -> int:
     """
     forced = os.environ.get("SPARK_GRAFT_ASSUME_ROUND")
     if forced is not None:
-        return int(forced)
+        try:
+            return int(forced)
+        except ValueError:
+            # Malformed/empty override: fall back to the filesystem scan
+            # rather than crashing every operator-module import.
+            pass
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = [
         int(m.group(1))

@@ -720,83 +720,63 @@ def test_e18_matches_duckdb_oracle(spark, sf_dir):
 
 
 def test_staged_ops_auto_declare_next_round(monkeypatch):
-    """The staging gate keeps round-6 staged ops OUT of QUERIES while
-    round 6 is in flight and declares all of them the moment round 6's
-    correctness record exists (i.e. from round 7 on)."""
+    """The staging gate keeps staged ops OUT of queries()/oracle_sql()
+    while their declaring round is in flight and declares all of them
+    the moment that round's correctness record exists. The gate is
+    evaluated lazily per call (ADVICE r06): flipping the recorded round
+    changes the declared set with NO module re-import."""
     import importlib
 
     import nlp_data_pipeline_spark.staging as staging
 
-    STAGED = {
-        "nlp_data_pipeline_spark.operators.text_analytics": [
-            "t33_readability_curriculum",
-            "t34_bpe_merge_pairs",
-            "t35_shuffle_shards",
-            "t36_sentence_dedup",
-        ],
-        "nlp_data_pipeline_spark.operators.sql_api": [
-            "v08_sql_scalar_udf",
-            "v09_sql_table_function",
-            "v10_pipe_syntax",
-            "v11_parameterized_sql",
-        ],
-        "nlp_data_pipeline_spark.operators.similarity": [
-            "s13_radius_search",
-            "s14_int8_quantized_search",
-        ],
-        "nlp_data_pipeline_spark.operators.events": [
-            "e18_dedup_within_watermark",
-            "e19_statestore_read",
-        ],
-        "nlp_data_pipeline_spark.operators.multimodal": ["m08_image_dedup_phash"],
-        "nlp_data_pipeline_spark.operators.dedup": ["d13_source_overlap_matrix"],
-        "nlp_data_pipeline_spark.operators.doc_pipeline": [
-            "r12_xml_roundtrip",
-            "r13_training_shards_sink",
-            "r14_file_lineage",
-            "a03_hll_intersection",
-        ],
-        "nlp_data_pipeline_spark.operators.relational_ext": ["q42_collated_group"],
-    }
+    entry = importlib.import_module("__spark_entry__")
 
-    def check(expected_declared: bool):
-        for modname, names in STAGED.items():
-            mod = importlib.reload(importlib.import_module(modname))
-            for name in names:
-                assert (name in mod.QUERIES) is expected_declared, (
-                    f"{name} declared={not expected_declared} unexpectedly"
-                )
-                assert (name in mod.ORACLES) is expected_declared
+    ROUND6 = [
+        "t33_readability_curriculum",
+        "t34_bpe_merge_pairs",
+        "t35_shuffle_shards",
+        "t36_sentence_dedup",
+        "v08_sql_scalar_udf",
+        "v09_sql_table_function",
+        "v10_pipe_syntax",
+        "v11_parameterized_sql",
+        "s13_radius_search",
+        "s14_int8_quantized_search",
+        "e18_dedup_within_watermark",
+        "e19_statestore_read",
+        "m08_image_dedup_phash",
+        "d13_source_overlap_matrix",
+        "r12_xml_roundtrip",
+        "r13_training_shards_sink",
+        "r14_file_lineage",
+        "a03_hll_intersection",
+        "q42_collated_group",
+    ]
+    ROUND8 = [
+        "t37_oov_rate",
+        "p05_snapshot_diff",
+        "e20_streaming_quantiles",
+        "v12_group_by_all",
+        "d14_cluster_size_histogram",
+    ]
 
-    ROUND8 = {
-        "nlp_data_pipeline_spark.operators.text_analytics": ["t37_oov_rate"],
-        "nlp_data_pipeline_spark.operators.doc_pipeline": ["p05_snapshot_diff"],
-        "nlp_data_pipeline_spark.operators.events": ["e20_streaming_quantiles"],
-        "nlp_data_pipeline_spark.operators.sql_api": ["v12_group_by_all"],
-        "nlp_data_pipeline_spark.operators.dedup": ["d14_cluster_size_histogram"],
-    }
+    def declared():
+        q, o = entry.queries(), entry.oracle_sql()
+        assert set(o) <= set(q)  # every oracle has a query
+        return set(q)
 
-    def check_r8(expected_declared: bool):
-        for modname, names in ROUND8.items():
-            mod = importlib.import_module(modname)
-            for name in names:
-                assert (name in mod.QUERIES) is expected_declared
-                assert (name in mod.ORACLES) is expected_declared
+    monkeypatch.setattr(staging, "latest_recorded_round", lambda: 5)
+    at5 = declared()
+    assert not (set(ROUND6) & at5) and not (set(ROUND8) & at5)
 
-    try:
-        monkeypatch.setattr(staging, "latest_recorded_round", lambda: 5)
-        check(expected_declared=False)
-        check_r8(expected_declared=False)
-        monkeypatch.setattr(staging, "latest_recorded_round", lambda: 6)
-        check(expected_declared=True)
-        check_r8(expected_declared=False)  # round-8 batch still gated
-        monkeypatch.setattr(staging, "latest_recorded_round", lambda: 7)
-        check(expected_declared=True)
-        check_r8(expected_declared=True)
-    finally:
-        monkeypatch.undo()
-        for modname in STAGED:
-            importlib.reload(importlib.import_module(modname))
+    monkeypatch.setattr(staging, "latest_recorded_round", lambda: 6)
+    at6 = declared()
+    assert set(ROUND6) <= at6
+    assert not (set(ROUND8) & at6)  # round-8 batch still gated
+
+    monkeypatch.setattr(staging, "latest_recorded_round", lambda: 7)
+    at7 = declared()
+    assert set(ROUND6) <= at7 and set(ROUND8) <= at7
 
 
 def test_t36_matches_duckdb_oracle(spark, sf_dir):
