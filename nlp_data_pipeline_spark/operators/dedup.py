@@ -244,16 +244,35 @@ GROUP BY doc_id
 # pairs — the "verify" half of candidate-generation + verification.
 # Top 20 most-similar pairs with full tie-break.
 # Scale: the intersect count is an equi-join on shingle, never a cross
-# join; candidate scoping (same source) bounds the pair space.
+# join; candidate scoping (same source) bounds the pair space, and a
+# stop-shingle rule (standard in web-scale near-dup pipelines) drops
+# shingles whose per-source document frequency exceeds _D05_MAX_DF:
+# a boilerplate shingle in k docs of one source otherwise yields k²
+# pair rows from the postings self-join, which is the one term that
+# grows quadratically at 100×. Jaccard is therefore computed over the
+# non-boilerplate shingle universe (sizes AND intersections both use
+# the capped relation — same exclusion as d13's source-overlap cap),
+# and the oracle states the identical exclusion.
 # --------------------------------------------------------------------------
+_D05_MAX_DF = 256
+
+
 def d05_shingle_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = _shingle_set_df(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    # materialize ONCE: sizes and both self-join sides consume this
-    # relation; without the checkpoint each branch re-runs the corpus
-    # shingle scan (measured: zero ReusedExchange in the uncheckpointed
-    # plan — 3 full scans at 100 TB instead of one)
+    # materialize ONCE: the df-cap, sizes, and both self-join sides all
+    # consume this relation; without the checkpoint each branch re-runs
+    # the corpus shingle scan (measured: zero ReusedExchange in the
+    # uncheckpointed plan — 4 full scans at 100 TB instead of one)
     ss = ss.join(d, "doc_id").select("doc_id", "source", "shingle").localCheckpoint()
+    # stop-shingle cap: shingle_set rows are distinct (doc_id, shingle),
+    # so the per-(source, shingle) row count IS the document frequency
+    dfreq = ss.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    ss = (
+        ss.join(dfreq.filter(F.col("df") <= _D05_MAX_DF), ["source", "shingle"])
+        .select("doc_id", "source", "shingle")
+        .localCheckpoint()
+    )
     sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = ss.alias("a")
     b = ss.alias("b")
@@ -289,16 +308,26 @@ def d05_shingle_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D05_SQL = (
     _TOKLIST_CTE
-    + """,
+    + f""",
 with_src AS (
   SELECT s.doc_id, d.source, s.shingle
   FROM shingle_set s JOIN documents d USING (doc_id)
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingle_set GROUP BY doc_id),
+-- stop-shingle rule mirroring the Spark side: drop shingles whose
+-- per-source document frequency exceeds {_D05_MAX_DF} (boilerplate)
+dfreq AS (
+  SELECT source, shingle FROM with_src
+  GROUP BY source, shingle HAVING COUNT(*) <= {_D05_MAX_DF}
+),
+capped AS (
+  SELECT w.doc_id, w.source, w.shingle
+  FROM with_src w JOIN dfreq USING (source, shingle)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM capped GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM with_src a
-  JOIN with_src b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a
+  JOIN capped b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b, n_inter,

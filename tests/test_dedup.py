@@ -93,3 +93,17 @@ def test_shingles_short_arrays_are_empty_not_error(spark):
     df = spark.createDataFrame([(0, []), (1, ["solo"]), (2, ["two", "toks"])], ["i", "t"])
     got = {r["i"]: r["s"] for r in df.select("i", _shingles(F.col("t")).alias("s")).collect()}
     assert got == {0: [], 1: [], 2: []}
+
+
+def test_d05_hot_shingle_cap_bounds_pairs(spark, monkeypatch):
+    """The d05 stop-shingle rule: with the per-source document-frequency
+    cap forced to 1, no shingle survives in two docs of the same source,
+    so the postings self-join yields ZERO pair rows — a planted
+    boilerplate shingle can never contribute quadratic pairs. At the
+    default cap the same corpus produces a non-empty top-k."""
+    from nlp_data_pipeline_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    assert dedup.d05_shingle_jaccard_topk(spark, sf).count() > 0
+    monkeypatch.setattr(dedup, "_D05_MAX_DF", 1)
+    assert dedup.d05_shingle_jaccard_topk(spark, sf).count() == 0
