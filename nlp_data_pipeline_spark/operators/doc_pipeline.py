@@ -32,6 +32,7 @@ from nlp_data_pipeline_spark.functions.text import clean_text, tokenize_joined, 
 from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL, _STOP_SQL
 from nlp_data_pipeline_spark.sources.catalog import load_table
 from nlp_data_pipeline_spark.sources.writers import write_csv
+from nlp_data_pipeline_spark.scratch import scratch_path
 
 _SUMMARY_SQL = """
 CASE WHEN length(ctext) > 150 THEN
@@ -49,7 +50,7 @@ def _tmp_stage(name: str) -> str:
     /tmp (the r09 lesson, applied to every roundtrip stage here)."""
     import shutil
 
-    path = os.path.join(tempfile.gettempdir(), f"{name}_{os.getpid()}")
+    path = scratch_path(f"{name}_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     return path
 
@@ -675,7 +676,7 @@ def r08_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is O(selected columns), a fraction of the query's cost; correctness
     # beats the cache. escape='"' makes Spark double embedded quotes, the
     # exact dialect csv.reader's default parses (custom_datasource.py).
-    stage = os.path.join(tempfile.gettempdir(), f"docstats_{os.getpid()}")
+    stage = scratch_path(f"docstats_{os.getpid()}")
     d = load_table(spark, sf_dir, "documents")
     (
         d.select("doc_id", "source", "n_chars")
@@ -726,7 +727,7 @@ def r09_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic per-process dir, cleaned on entry — a fresh
     # tempfile.mkdtemp per call leaked a full column copy under /tmp on
     # every bench/correctness invocation.
-    root = os.path.join(tempfile.gettempdir(), f"docsink_{os.getpid()}")
+    root = scratch_path(f"docsink_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     out = os.path.join(root, "shards")
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
@@ -899,7 +900,7 @@ ORDER BY doc_id
 def r11_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    stage = os.path.join(tempfile.gettempdir(), f"gzjsonl_{os.getpid()}")
+    stage = scratch_path(f"gzjsonl_{os.getpid()}")
     shutil.rmtree(stage, ignore_errors=True)
     d = load_table(spark, sf_dir, "documents")
     (
@@ -1097,7 +1098,7 @@ ORDER BY i.type_a, i.type_b
 def r12_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    stage = os.path.join(tempfile.gettempdir(), f"xmlstage_{os.getpid()}")
+    stage = scratch_path(f"xmlstage_{os.getpid()}")
     shutil.rmtree(stage, ignore_errors=True)
     d = load_table(spark, sf_dir, "documents")
     (
@@ -1203,7 +1204,7 @@ _R13_SEED = 42
 def r13_training_shards_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    out = os.path.join(tempfile.gettempdir(), f"r13_shards_{os.getpid()}")
+    out = scratch_path(f"r13_shards_{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     kept = p04_curation_pipeline(spark, sf_dir).filter("keep").select("doc_id")
     d = load_table(spark, sf_dir, "documents").join(kept, "doc_id")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nlp_data_pipeline_spark.sources.catalog import load_table
+from nlp_data_pipeline_spark.scratch import scratch_path
 
 D182 = "decimal(18,2)"
 
@@ -92,7 +93,7 @@ def _stage_events(sf_dir: str, prefix: str, copies: int = 1) -> str:
         raise FileNotFoundError(f"no parquet leaves under {path}")
     # per-process dir wiped on entry: symlinks are cheap to recreate and
     # repeated bench/test runs must not accumulate mkdtemp dirs
-    stage_dir = os.path.join(tempfile.gettempdir(), f"{prefix}{os.getpid()}")
+    stage_dir = scratch_path(f"{prefix}{os.getpid()}")
     shutil.rmtree(stage_dir, ignore_errors=True)
     os.makedirs(stage_dir)
     for c in range(copies):
@@ -392,9 +393,7 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     for f in files:
         st = os.stat(f)
         h.update(f"{os.path.basename(f)}|{st.st_size}|{st.st_mtime_ns}\n".encode())
-    out = os.path.join(
-        tempfile.gettempdir(), f"events_by_day_{os.getpid()}_{h.hexdigest()[:8]}"
-    )
+    out = scratch_path(f"events_by_day_{os.getpid()}_{h.hexdigest()[:8]}")
     marker = os.path.join(out, "_PARTITIONED")
     if not os.path.isdir(marker):
         e = load_table(spark, sf_dir, "events")
@@ -625,7 +624,7 @@ def e11_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import shutil
 
-    root = _os.path.join(tempfile.gettempdir(), f"e11_sink_{_os.getpid()}")
+    root = scratch_path(f"e11_sink_{_os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     out_dir = _os.path.join(root, "daily")
 
@@ -863,8 +862,8 @@ def e17_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nlp_data_pipeline_spark.streaming.pipelines import read_events_stream
 
-    src = os.path.join(tempfile.gettempdir(), f"e17_src_{os.getpid()}")
-    state = os.path.join(tempfile.gettempdir(), f"e17_state_{os.getpid()}")
+    src = scratch_path(f"e17_src_{os.getpid()}")
+    state = scratch_path(f"e17_state_{os.getpid()}")
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(state, ignore_errors=True)
     (
@@ -1089,11 +1088,15 @@ ORDER BY event_type
 # even when redeliveries carry perturbed timestamps (where e09's
 # dropDuplicates(event_id, ts) would pass the dup through). Duplicate
 # delivery is simulated with copies=2. WHICH physical row a key emits
-# is partition-order-dependent and a key MAY re-emit after its state
-# evicts, so the declared result is the deterministic invariant
-# surface: the DISTINCT key set (first arrival always emits ⇒
-# distinct(sink) ≡ distinct source keys, regardless of micro-batch
-# boundaries or eviction timing).
+# is partition-order-dependent, so value columns stay out of the
+# declared surface — but the EMIT COUNT is deterministic here: the two
+# staged copies arrive in one availableNow batch (file source, no
+# maxFilesPerTrigger), the first batch runs with watermark 0, so no
+# state evicts mid-run and every key emits exactly once. Declaring
+# per-key n_emitted (all 1) makes the hash gate sensitive to the dedup
+# itself: if dropDuplicatesWithinWatermark regressed to a no-op the
+# counts double and the gate goes red, where a bare DISTINCT over the
+# sink would have masked it (ADVICE r06).
 # --------------------------------------------------------------------------
 def e18_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
@@ -1117,15 +1120,15 @@ def e18_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(120)
     return (
         spark.table(sink)
-        .select("user_id", "event_type")
-        .distinct()
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_emitted"))
         .orderBy("user_id", "event_type")
     )
 
 
 E18_SQL = """
-SELECT DISTINCT user_id, event_type
-FROM events
+SELECT user_id, event_type, CAST(1 AS BIGINT) AS n_emitted
+FROM (SELECT DISTINCT user_id, event_type FROM events)
 ORDER BY user_id, event_type
 """
 
@@ -1155,7 +1158,7 @@ def e19_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_data_pipeline_spark.streaming.pipelines import read_events_stream
 
     stage_dir = _stage_events(sf_dir, "e19_stream_")
-    ckpt = _os.path.join(tempfile.gettempdir(), f"e19_ckpt_{_os.getpid()}")
+    ckpt = scratch_path(f"e19_ckpt_{_os.getpid()}")
     shutil.rmtree(ckpt, ignore_errors=True)
     counted = (
         read_events_stream(spark, stage_dir)

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from nlp_data_pipeline_spark.config import DEFAULT_CONFIG
 from nlp_data_pipeline_spark.functions.text import clean_text, tokenize_joined
 from nlp_data_pipeline_spark.sources.catalog import load_table
+from nlp_data_pipeline_spark.scratch import scratch_path
 
 
 # Fit memo, two layers: in-process dict (n01/n02/n03/p03 within one
@@ -56,7 +57,7 @@ def _disk_cache_dir(sf_dir: str, k_req: int) -> str:
     import tempfile
 
     key = hashlib.md5(f"{_CACHE_VERSION}|{sf_dir}|{k_req}".encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"nlp_lda_cache_{key}")
+    return scratch_path(f"nlp_lda_cache_{key}")
 
 
 def _fit_corpus_model(spark: SparkSession, sf_dir: str, n_topics: int = None):

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nlp_data_pipeline_spark.sources.catalog import load_table
+from nlp_data_pipeline_spark.scratch import scratch_path
 
 D182 = "decimal(18,2)"
 
@@ -534,7 +535,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     o_name, l_name = f"orders_bkt_{key}", f"lineitem_bkt_{key}"
     if not spark.catalog.tableExists(o_name):
-        base = os.path.join(tempfile.gettempdir(), f"bucketed_{key}")
+        base = scratch_path(f"bucketed_{key}")
         (
             load_table(spark, sf_dir, "orders")
             .write.mode("overwrite")
@@ -1270,7 +1271,7 @@ def q41_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # deterministic per-process dir, cleaned on entry (the r09 pattern:
     # repeated bench runs must not accumulate copies under /tmp)
-    root = os.path.join(tempfile.gettempdir(), f"q41_bloom_{os.getpid()}")
+    root = scratch_path(f"q41_bloom_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     out = os.path.join(root, "agg")
     with _scoped_confs(spark, _Q41_CONFS):

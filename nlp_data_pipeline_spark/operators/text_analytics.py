@@ -2368,12 +2368,17 @@ def t36_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T36_SQL = """
 WITH sents AS (
-  SELECT doc_id, u.i - 1 AS pos, trim(parts[u.i]) AS sentence
+  -- parallel unnests of equal-length lists align positionally, so the
+  -- position index is data-derived (no fixed segment-count ceiling)
+  SELECT doc_id, i - 1 AS pos, trim(s) AS sentence
   FROM (
-    SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS parts
-    FROM documents
-  ) t, (SELECT unnest(range(1, 1000)) AS i) u
-  WHERE u.i <= len(parts) AND length(trim(parts[u.i])) > 10
+    SELECT doc_id, unnest(parts) AS s, unnest(range(1, len(parts) + 1)) AS i
+    FROM (
+      SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS parts
+      FROM documents
+    ) t
+  ) u
+  WHERE length(trim(s)) > 10
 ),
 ranked AS (
   SELECT doc_id, pos,

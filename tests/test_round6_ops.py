@@ -699,10 +699,10 @@ def test_s14_matches_duckdb_oracle(spark, sf_dir):
 
 
 def test_e18_matches_duckdb_oracle(spark, sf_dir):
-    """e18 dropDuplicatesWithinWatermark is STAGED for round-7
-    declaration; the declared surface is the deterministic distinct-key
-    set (first arrival always emits), oracle-checked against the batch
-    DISTINCT under duplicate delivery."""
+    """e18 dropDuplicatesWithinWatermark declares per-key emit counts
+    (all exactly 1 under duplicate delivery — the dedup-sensitive
+    signal from ADVICE r06), oracle-checked against the batch DISTINCT
+    key set with n_emitted = 1."""
     import duckdb
 
     from nlp_data_pipeline_spark.operators.events import (
