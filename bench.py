@@ -50,8 +50,10 @@ def _prep_multifile(spark, sf_dir: str, n_files: int = 32) -> str:
         for fn in sorted(files):
             st = os.stat(os.path.join(dirpath, fn))
             fp.update(f"{os.path.relpath(os.path.join(dirpath, fn), sf_dir)}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    from nlp_data_pipeline_spark.scratch import scratch_path
+
     key = hashlib.md5(f"{sf_dir}|{n_files}|v2|{fp.hexdigest()}".encode()).hexdigest()[:10]
-    out = os.path.join(tempfile.gettempdir(), f"bench_prep_{key}")
+    out = scratch_path(f"bench_prep_{key}")
     marker = os.path.join(out, "_PREPPED")
     if os.path.isdir(marker):
         return out
@@ -144,8 +146,41 @@ def main() -> int:
         except Exception:
             return {"plan_md5": None, "n_exchanges": None, "n_python": None}
 
+    # Previous round's per-query plan fingerprints (from the committed
+    # bench_full_r{N}.json artifact): lets THIS run's driver-recorded
+    # BENCH line carry a per-query plan_stable verdict, so "structure
+    # unchanged, timing delta is host noise" is machine-checkable from
+    # the artifact itself instead of trusted prose.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_plans: dict[str, dict] = {}
+    import glob as _glob
+
+    prev_files = [
+        (int(m.group(1)), p)
+        for p in _glob.glob(os.path.join(here, "bench_full_r*.json"))
+        if (m := re.search(r"bench_full_r(\d+)\.json$", p))
+    ]
+    if prev_files:
+        try:
+            with open(max(prev_files)[1]) as f:
+                prev_plans = json.load(f).get("queries", {})
+        except Exception:
+            prev_plans = {}
+
+    def _plan_stable(name: str, fp: dict):
+        """True/False vs previous round; None when no prior fingerprint
+        (new query) or either fingerprint failed to compute."""
+        prev = prev_plans.get(name)
+        if not prev or not prev.get("plan_md5") or not fp.get("plan_md5"):
+            return None
+        return bool(
+            prev["plan_md5"] == fp["plan_md5"]
+            and prev.get("n_exchanges") == fp.get("n_exchanges")
+        )
+
     timings: dict[str, float] = {}
     full: dict[str, dict] = {}
+    stability: dict[str, bool | None] = {}
     failures: dict[str, str] = {}
     for name, fn in e.queries().items():
         if prefixes and not name.startswith(prefixes):
@@ -156,7 +191,9 @@ def main() -> int:
                 t2, df = _measure(fn)
                 t = min(t, t2)
             timings[name] = t
-            full[name] = {"sec": t, **_plan_fingerprint(df)}
+            fp = _plan_fingerprint(df)
+            stability[name] = _plan_stable(name, fp)
+            full[name] = {"sec": t, "plan_stable": stability[name], **fp}
         except Exception as ex:  # keep benching; report the failure
             failures[name] = f"{type(ex).__name__}: {ex}"
         sys.stderr.write(f"[bench] {name}: {timings.get(name, 'FAIL')}\n")
@@ -167,6 +204,12 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # per-query: physical plan identical to the previous round's
+        # bench_full artifact (normalized md5 + exchange count)? null =
+        # new query / no prior fingerprint. A timing delta with
+        # plan_stable=true is environment, not a plan regression.
+        "plan_stable": stability,
+        "plan_changed": sorted(k for k, v in stability.items() if v is False),
         # physical-layout provenance: numbers measured after the
         # multi-file prep are NOT comparable to timings on the driver's
         # single-row-group files (see _prep_multifile docstring)
@@ -183,9 +226,6 @@ def main() -> int:
     # only written for full-suite runs (a prefix-filtered run would
     # clobber the artifact with a subset).
     if not prefixes:
-        import glob as _glob
-
-        here = os.path.dirname(os.path.abspath(__file__))
         rounds = [
             int(m.group(1))
             for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
