@@ -1069,14 +1069,112 @@ ORDER BY cluster_size""",
 )
 
 
-# Staged during round 6 (window at capacity); auto-declared from round 7.
+# --------------------------------------------------------------------------
+# d15: blocked edit-distance near-dup pairs — STAGED FOR ROUND-8
+# DECLARATION (gated on staged_ops_live(7); oracle-parity-tested in
+# test_round7_ops.py::test_d15_matches_duckdb_oracle).
+#
+# The record-linkage dedup modality the shingle/MinHash family misses:
+# CHARACTER-level edit distance catches near-dups whose token sets
+# diverge (typos, OCR noise, truncations) that Jaccard under-scores.
+# All-pairs Levenshtein is O(n²·L²) — never. Standard blocking
+# instead: candidates must share (source, first token of the cleaned
+# prefix), and hot blocks above _D15_MAX_BLOCK docs are dropped
+# whole (the d05/d13 stop rule — a boilerplate leading token would
+# otherwise contribute block² pairs). Distance is computed only on
+# _D15_PREFIX-char prefixes, so per-candidate cost is a fixed 40²
+# cell DP, and only for candidates. Declared surface: global 20
+# nearest prefix pairs with a near-dup flag, fully tie-broken.
+# --------------------------------------------------------------------------
+_D15_PREFIX = 40
+_D15_MAX_BLOCK = 64
+_D15_NEAR = 10
+
+
+def d15_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.substring(clean_text("text"), 1, _D15_PREFIX).alias("prefix"),
+    ).withColumn("blk", F.split("prefix", " ").getItem(0))
+    # materialize ONCE: block sizes and both self-join sides consume it
+    base = base.localCheckpoint()
+    sizes = base.groupBy("source", "blk").agg(F.count(F.lit(1)).alias("n"))
+    capped = (
+        base.join(sizes.filter(F.col("n") <= _D15_MAX_BLOCK), ["source", "blk"])
+        .select("doc_id", "source", "blk", "prefix")
+        .localCheckpoint()
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+        .cast("long")
+        .alias("edit_dist"),
+    )
+    return (
+        pairs.orderBy("edit_dist", "doc_a", "doc_b")
+        .limit(20)
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_dist",
+            (F.col("edit_dist") <= _D15_NEAR).alias("is_near"),
+        )
+    )
+
+
+D15_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         substring({_CLEAN_SQL}, 1, {_D15_PREFIX}) AS prefix
+  FROM documents
+),
+blocked AS (
+  SELECT doc_id, source, prefix, string_split(prefix, ' ')[1] AS blk
+  FROM base
+),
+capped AS (
+  SELECT b.* FROM blocked b
+  JOIN (
+    SELECT source, blk FROM blocked
+    GROUP BY source, blk HAVING COUNT(*) <= {_D15_MAX_BLOCK}
+  ) ok USING (source, blk)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+  FROM capped a
+  JOIN capped b ON a.source = b.source AND a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, edit_dist, edit_dist <= {_D15_NEAR} AS is_near
+FROM pairs
+ORDER BY edit_dist, doc_a, doc_b
+LIMIT 20
+"""
+
+
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
 STAGED_QUERIES = {
     6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
-    7: {"d14_cluster_size_histogram": d14_cluster_size_histogram},
+    7: {
+        "d14_cluster_size_histogram": d14_cluster_size_histogram,
+        "d15_fuzzy_prefix_pairs": d15_fuzzy_prefix_pairs,
+    },
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
-    7: {"d14_cluster_size_histogram": D14_SQL},
+    7: {
+        "d14_cluster_size_histogram": D14_SQL,
+        "d15_fuzzy_prefix_pairs": D15_SQL,
+    },
 }

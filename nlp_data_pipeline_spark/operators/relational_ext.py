@@ -1339,6 +1339,51 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q43: explicit GROUPING SETS — STAGED FOR ROUND-8 DECLARATION (gated
+# on staged_ops_live(7); oracle-parity-tested in test_round7_ops.py::
+# test_q43_matches_duckdb_oracle).
+#
+# The DataFrame-API twin of v04's SQL GROUPING SETS: the
+# df.groupingSets() method (SPARK-45929, new in Spark 4) — previously
+# the ONE aggregation shape with no DSL spelling — plus grouping_id()
+# to disambiguate NULL-as-total rows and the grand-total set v04
+# omits. Scale: one Expand + one shuffle regardless of how many sets —
+# strictly cheaper than UNION ALL of per-set aggregates (re-scans).
+# --------------------------------------------------------------------------
+def q43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [
+                ["o_orderpriority", "o_orderstatus"],
+                ["o_orderpriority"],
+                ["o_orderstatus"],
+                [],
+            ],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(D182)).cast("double").alias("total_price"),
+        )
+        .orderBy("gid", F.asc_nulls_first("o_orderpriority"), F.asc_nulls_first("o_orderstatus"))
+    )
+
+
+Q43_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus), ())
+ORDER BY gid, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "q21_pivot_event_matrix": q21_pivot_event_matrix,
     "q22_analytic_funcs": q22_analytic_funcs,
@@ -1399,5 +1444,11 @@ ORACLES = {
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged during round 6; auto-declared from round 7 by
 # __spark_entry__._collect (lazy staged_ops_live gate).
-STAGED_QUERIES = {6: {"q42_collated_group": q42_collated_group}}
-STAGED_ORACLES = {6: {"q42_collated_group": Q42_SQL}}
+STAGED_QUERIES = {
+    6: {"q42_collated_group": q42_collated_group},
+    7: {"q43_grouping_sets": q43_grouping_sets},
+}
+STAGED_ORACLES = {
+    6: {"q42_collated_group": Q42_SQL},
+    7: {"q43_grouping_sets": Q43_SQL},
+}

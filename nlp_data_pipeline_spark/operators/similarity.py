@@ -1183,6 +1183,319 @@ ORDER BY query_id, nn_rank
 """
 
 
+# --------------------------------------------------------------------------
+# s15: reciprocal-rank fusion of two retrieval rankings — STAGED FOR
+# ROUND-8 DECLARATION (gated on staged_ops_live(7); oracle-parity-
+# tested in test_round7_ops.py::test_s15_matches_duckdb_oracle).
+#
+# The hybrid-retrieval combinator every RAG / training-data retrieval
+# stack runs: rank candidates under MULTIPLE scorers and fuse with
+# RRF(d) = Σ_r 1/(k + rank_r(d)) (Cormack et al. 2009, k=60). The two
+# rankers are full-dimension cosine and TRUNCATED-dimension cosine
+# (first 32 of 64 dims — the matryoshka/MRL cheap-ranker every tiered
+# retrieval stack pairs with a full-precision scorer). The corpus
+# embeddings are unit-norm, so inner product or euclidean would order
+# identically to cosine and make fusion vacuous; the truncated view
+# genuinely disagrees (measured: ~2.5k rank inversions at sf0.01). A
+# text/dense (BM25+cosine) fusion would have no honest ground truth
+# here — the driver's text queries and embedding space are disjoint.
+# Scale: the corpus is SCORED ONCE per query (one broadcast join, both
+# scores from the same row); both rankings are windows over that
+# single scored relation sharing one partitioning on query_id —
+# fusion adds zero extra corpus scans, and RRF itself is rank
+# arithmetic (exact integers → deterministic doubles: 1/(60+r) sums
+# identically in any engine).
+# --------------------------------------------------------------------------
+RRF_K = 60
+TRUNC_DIM = 32
+
+
+def s15_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
+    qt = F.slice("qemb", 1, TRUNC_DIM)
+    et = F.slice("emb", 1, TRUNC_DIM)
+    cos_t = dot(qt, et) / (norm(qt) * norm(et))
+    scored = joined.select(
+        "query_id", "vec_id", cos.alias("c_full"), cos_t.alias("c_trunc")
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("c_full"), F.asc("vec_id"))
+    w_ip = Window.partitionBy("query_id").orderBy(F.desc("c_trunc"), F.asc("vec_id"))
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(w_cos).alias("r_full"),
+        F.row_number().over(w_ip).alias("r_trunc"),
+    )
+    rrf = 1.0 / (F.lit(RRF_K) + F.col("r_full")) + 1.0 / (
+        F.lit(RRF_K) + F.col("r_trunc")
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_raw"), F.asc("vec_id")
+    )
+    return (
+        ranked.withColumn("rrf_raw", rrf)
+        .withColumn("fused_rank", F.row_number().over(w_fused))
+        .filter(F.col("fused_rank") <= TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            "fused_rank",
+            "r_full",
+            "r_trunc",
+            F.round("rrf_raw", 6).alias("rrf_score"),
+        )
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+S15_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         (embedding::DOUBLE[])[1:{TRUNC_DIM}] AS embt
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS qemb, embt AS qembt
+  FROM e WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(q.qemb, e.emb)
+           / (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(e.emb, e.emb))) AS c_full,
+         list_dot_product(q.qembt, e.embt)
+           / (sqrt(list_dot_product(q.qembt, q.qembt)) * sqrt(list_dot_product(e.embt, e.embt))) AS c_trunc
+  FROM e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c_full DESC, vec_id ASC) AS r_full,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c_trunc DESC, vec_id ASC) AS r_trunc
+  FROM scored
+),
+fused AS (
+  SELECT query_id, vec_id, r_full, r_trunc,
+         1.0 / ({RRF_K} + r_full) + 1.0 / ({RRF_K} + r_trunc) AS rrf_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY 1.0 / ({RRF_K} + r_full) + 1.0 / ({RRF_K} + r_trunc) DESC,
+                                     vec_id ASC) AS fused_rank
+  FROM ranked
+)
+SELECT query_id, vec_id, CAST(fused_rank AS INT) AS fused_rank,
+       CAST(r_full AS INT) AS r_full, CAST(r_trunc AS INT) AS r_trunc,
+       round(rrf_raw, 6) AS rrf_score
+FROM fused WHERE fused_rank <= {TOP_K}
+ORDER BY query_id, fused_rank
+"""
+
+
+# --------------------------------------------------------------------------
+# s16: graph-based ANN (NSW shape) — STAGED FOR ROUND-8 DECLARATION
+# (gated on staged_ops_live(7); oracle-parity-tested in
+# test_round7_ops.py::test_s16_matches_duckdb_oracle).
+#
+# The third ANN index family beside LSH (s03) and IVF (s04/s07): a
+# neighbor GRAPH + greedy beam search, the HNSW/NSW idea that wins
+# most ANN benchmarks. Two phases:
+#   BUILD (one-time): exact M-NN graph. Here via the s01-style scored
+#   join + per-node top-M window; at corpus scale swap the scorer for
+#   s02's packed-block BLAS tile kernel emitting per-row top-M — the
+#   standard NN-descent seed — with identical downstream semantics
+#   (the s09 swap-note pattern).
+#   SEARCH: batch beam search for ALL queries at once — a d06-style
+#   driver loop of H hops, each hop ONE edge join (beam × graph) +
+#   ONE score join + a top-EF window per query, localCheckpoint per
+#   round. Revisited nodes re-score idempotently, so no visited-set
+#   state is needed (the beam is monotone in cosine); cost per hop is
+#   |beam|·M edge rows, independent of corpus size — this is why graph
+#   ANN serves queries at 100 TB without scanning anything.
+#
+# Declared surface (s08 audit pattern): per query, the structurally
+# deterministic facts — k found, the fixed entry point, and
+# recall@K ≥ 0.6 vs the in-Spark brute-force truth (beam search on an
+# exact-NN graph lands ~1.0; 0.6 leaves margin). A search regression
+# flips the booleans and the hash gate catches it; the closed-form
+# oracle states the invariant.
+# --------------------------------------------------------------------------
+GRAPH_M = 8  # out-degree of the neighbor graph
+GRAPH_EF = 24  # beam width during search
+GRAPH_HOPS = 6  # fixed search rounds (graph diameter bound at test SFs)
+GRAPH_ENTRY = 0  # deterministic entry node
+GRAPH_RECALL_MIN = 0.6
+
+
+def _knn_graph(spark: SparkSession, sf_dir: str, m: int = GRAPH_M) -> DataFrame:
+    """Exact M-NN graph by cosine, made UNDIRECTED (NSW links are
+    bidirectional — a directed kNN digraph strands greedy search inside
+    tight clusters; measured: 2/5 queries recalled at sf0.1 directed,
+    5/5 undirected). Build uses the s02 packed-block BLAS tile kernel
+    (one flat Arrow buffer per block, B(B+1)/2 tiles, per-row top-M per
+    tile, then a per-src window merges the ≤B·M tile candidates) — the
+    expression-fold scorer at 2000² pairs took 50 s where the tiles
+    take ~2 s, and the same kernel is the 100 TB path."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = F.collect_list(F.struct("vec_id", "embedding")).alias("vecs")
+    packed = (
+        e.withColumn("blk", F.pmod(F.col("vec_id"), N_BLOCKS))
+        .groupBy("blk")
+        .agg(vecs)
+        .select(
+            "blk",
+            F.transform("vecs", lambda v: v["vec_id"]).alias("ids"),
+            F.flatten(F.transform("vecs", lambda v: v["embedding"])).alias("flat"),
+        )
+    )
+    a = packed.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("flat").alias("flat_a")
+    )
+    b = packed.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("flat").alias("flat_b")
+    )
+    grid = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
+        N_BLOCKS * (N_BLOCKS + 1) // 2, "blk_a", "blk_b"
+    )
+
+    def _unpack(ids_cell, flat_cell):
+        ids = np.asarray(ids_cell, dtype="int64")
+        M = np.asarray(flat_cell, dtype="float64").reshape(len(ids), DIM)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        return ids, M
+
+    def tile_topm(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a, A = _unpack(row["ids_a"], row["flat_a"])
+                ids_b, B = _unpack(row["ids_b"], row["flat_b"])
+                G = A @ B.T  # cosine tile via BLAS (rows pre-normalized)
+                same = row["blk_a"] == row["blk_b"]
+                if same:
+                    G[ids_a[:, None] == ids_b[None, :]] = -2.0  # no self-edge
+                out = []
+
+                def emit(ids_src, ids_dst, Gm):
+                    k = min(m, Gm.shape[1])
+                    idx = np.argpartition(-Gm, k - 1, axis=1)[:, :k]
+                    rows = np.repeat(np.arange(Gm.shape[0]), k)
+                    cols = idx.ravel()
+                    keep = Gm[rows, cols] > -2.0
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "src": ids_src[rows[keep]],
+                                "dst": ids_dst[cols[keep]],
+                                "cos": Gm[rows[keep], cols[keep]],
+                            }
+                        )
+                    )
+
+                emit(ids_a, ids_b, G)
+                if not same:  # off-diagonal tiles serve both sides
+                    emit(ids_b, ids_a, np.ascontiguousarray(G.T))
+                yield pd.concat(out)
+
+    cand = grid.mapInPandas(tile_topm, "src long, dst long, cos double")
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    knn = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= m)
+        .select("src", "dst")
+    )
+    return knn.union(
+        knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def s16_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .localCheckpoint()  # scored once per hop — pin it
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    graph = _knn_graph(spark, sf_dir).localCheckpoint()
+
+    def score(ids: DataFrame) -> DataFrame:
+        """(query_id, vec_id) → + cosine, via one join to embeddings."""
+        cos = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
+        return (
+            ids.join(e, "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "vec_id", cos.alias("cos"))
+        )
+
+    beam = score(
+        q.select("query_id").withColumn("vec_id", F.lit(GRAPH_ENTRY))
+    ).localCheckpoint()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    for _ in range(GRAPH_HOPS):
+        frontier = (
+            beam.join(graph, beam.vec_id == graph.src)
+            .select("query_id", F.col("dst").alias("vec_id"))
+            .union(beam.select("query_id", "vec_id"))
+            .distinct()
+        )
+        beam = (
+            score(frontier)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= GRAPH_EF)
+            .drop("rk")
+            .localCheckpoint()
+        )
+    # the query vectors are corpus members, so the beam finds them at
+    # cosine 1.0 — drop self before taking top-K (the s01 truth is
+    # self-excluding too)
+    found = (
+        beam.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    truth = s01_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("tvec_id")
+    )
+    hits = (
+        found.join(
+            truth,
+            (found.query_id == truth.query_id) & (found.vec_id == truth.tvec_id),
+            "left",
+        )
+        .groupBy(found.query_id.alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_found"),
+            F.count("tvec_id").alias("n_hits"),
+        )
+    )
+    return hits.select(
+        "query_id",
+        "n_found",
+        F.lit(GRAPH_ENTRY).cast("long").alias("entry_id"),
+        (F.col("n_hits") >= F.lit(TOP_K * GRAPH_RECALL_MIN)).alias("recall_ok"),
+    ).orderBy("query_id")
+
+
+S16_SQL = f"""
+SELECT vec_id AS query_id,
+       CAST({TOP_K} AS BIGINT) AS n_found,
+       CAST({GRAPH_ENTRY} AS BIGINT) AS entry_id,
+       TRUE AS recall_ok
+FROM embeddings
+WHERE vec_id < {N_QUERIES}
+ORDER BY query_id
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
@@ -1222,10 +1535,18 @@ STAGED_QUERIES = {
         "s13_radius_search": s13_radius_search,
         "s14_int8_quantized_search": s14_int8_quantized_search,
     },
+    7: {
+        "s15_rrf_fusion": s15_rrf_fusion,
+        "s16_graph_ann_recall": s16_graph_ann_recall,
+    },
 }
 STAGED_ORACLES = {
     6: {
         "s13_radius_search": S13_SQL,
         "s14_int8_quantized_search": S14_SQL,
+    },
+    7: {
+        "s15_rrf_fusion": S15_SQL,
+        "s16_graph_ann_recall": S16_SQL,
     },
 }

@@ -758,6 +758,10 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "e20_streaming_quantiles",
         "v12_group_by_all",
         "d14_cluster_size_histogram",
+        "q43_grouping_sets",
+        "s15_rrf_fusion",
+        "s16_graph_ann_recall",
+        "d15_fuzzy_prefix_pairs",
     ]
 
     def declared():
