@@ -147,16 +147,16 @@ def test_r08_custom_source_partitions_per_shard(spark, sf_dir):
     shard — the property that makes the custom scan parallel."""
     import glob
     import os
-    import tempfile
 
     from nlp_data_pipeline_spark.operators.doc_pipeline import (
         r08_python_datasource,
     )
+    from nlp_data_pipeline_spark.scratch import scratch_path
     from nlp_data_pipeline_spark.sources.custom_datasource import DocStatsDataSource
 
     r08_python_datasource(spark, sf_dir).collect()  # stages + registers
-    # per-process stage dir (the stale-cache fix replaced the md5(sf_dir) key)
-    stage = os.path.join(tempfile.gettempdir(), f"docstats_{os.getpid()}")
+    # per-process stage dir under the per-user scratch root
+    stage = scratch_path(f"docstats_{os.getpid()}")
     n_shards = len(glob.glob(os.path.join(stage, "part-*")))
     assert n_shards == 8
     df = spark.read.format("docstats").load(stage)

@@ -116,9 +116,9 @@ def test_r11_gzip_stage_is_actually_gzip(spark, sf_dir, tmp_path):
 
     out = r11_gzip_jsonl_roundtrip(spark, sf_dir)
     assert out.count() > 0
-    stage = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), f"gzjsonl_{os.getpid()}"
-    )
+    from nlp_data_pipeline_spark.scratch import scratch_path
+
+    stage = scratch_path(f"gzjsonl_{os.getpid()}")
     files = glob.glob(os.path.join(stage, "part-*.json.gz"))
     assert files, "stage must be .gz-suffixed shards"
     with gzip.open(files[0], "rt") as fh:  # decodes only if really gzip

@@ -334,9 +334,9 @@ def test_e17_cdc_upsert_matches_batch_argmax(spark, sf_dir):
     got = {r.user_id: (r.last_event_id, r.last_ts_epoch)
            for r in e17_streaming_cdc_upsert(spark, sf_dir).collect()}
     # the source really was staged as multiple files → multiple merges
-    src = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), f"e17_src_{os.getpid()}"
-    )
+    from nlp_data_pipeline_spark.scratch import scratch_path
+
+    src = scratch_path(f"e17_src_{os.getpid()}")
     assert len(glob.glob(os.path.join(src, "part-*.parquet"))) == 4
 
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
