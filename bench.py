@@ -134,6 +134,9 @@ def main() -> int:
             p = re.sub(r"/root/testdata/[\w\-./=]*", "<path>", p)
             # lambda vars carry a session-global counter (x_5, x_7, ...)
             p = re.sub(r"lambda [a-zA-Z]+_\d+#", "lambda v#", p)
+            # localCheckpoint / Python-created scans embed the session-
+            # global RDD id (MapPartitionsRDD[159]) — pure run noise
+            p = re.sub(r"RDD\[\d+\]", "RDD[]", p)
             return {
                 "plan_md5": hashlib.md5(p.encode()).hexdigest()[:12],
                 "n_exchanges": p.count("Exchange"),

@@ -45,14 +45,19 @@ HEAVY = [
     "d12_leakage_safe_split",
     "s02_top_similar_pairs",
     "s11_pq_adc_search",
-    # staged round-7 operators (not yet in queries()): resolved from
-    # their modules directly in main()
+    # staged operators are resolved from their modules directly in
+    # main() until their declaration round arrives
     "t34_bpe_merge_pairs",
     "t35_shuffle_shards",
     "t36_sentence_dedup",
     "d13_source_overlap_matrix",
     "s14_int8_quantized_search",
     "r13_training_shards_sink",
+    # round-7 additions
+    "t38_bpe_encode",
+    "d15_fuzzy_prefix_pairs",
+    "s15_rrf_fusion",
+    "s16_graph_ann_recall",
 ]
 
 
@@ -75,6 +80,9 @@ def _fingerprint(df) -> tuple[str, int]:
     # lambda variables carry a session-global counter (x_5, x_7, ...)
     # that differs between plan INSTANCES of the same query
     p = re.sub(r"lambda [a-zA-Z]+_\d+#", "lambda v#", p)
+    # localCheckpoint / Python-created scans embed the session-global
+    # RDD id (MapPartitionsRDD[159]) — pure run noise
+    p = re.sub(r"RDD\[\d+\]", "RDD[]", p)
     return hashlib.md5(p.encode()).hexdigest()[:12], p.count("Exchange")
 
 
@@ -84,7 +92,9 @@ def _stage(spark, sf_dir: str, factor: int) -> str:
 
     from nlp_data_pipeline_spark.sources.catalog import load_table
 
-    out = os.path.join(tempfile.gettempdir(), f"scale{factor}x_{os.getpid()}")
+    from nlp_data_pipeline_spark.scratch import scratch_path
+
+    out = scratch_path(f"scale{factor}x_{os.getpid()}")
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
@@ -151,6 +161,9 @@ def main() -> int:
         (_dd, "d13_source_overlap_matrix"),
         (_sim, "s14_int8_quantized_search"),
         (_dp, "r13_training_shards_sink"),
+        (_dd, "d15_fuzzy_prefix_pairs"),
+        (_sim, "s15_rrf_fusion"),
+        (_sim, "s16_graph_ann_recall"),
     ):
         queries.setdefault(staged, getattr(mod, staged))
 
