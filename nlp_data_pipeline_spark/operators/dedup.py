@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 
 from nlp_data_pipeline_spark.config import DEFAULT_CONFIG
 from nlp_data_pipeline_spark.functions.text import clean_text, ngrams, tokenize
-from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL, _STOP_SQL
+from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL, _MOD, _STOP_SQL
 from nlp_data_pipeline_spark.sources.catalog import load_table
 
 # derived from the config surface so tuning the knobs actually changes
@@ -1162,6 +1162,121 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# d16: content-defined chunking (FastCDC shape) — STAGED FOR ROUND-9
+# DECLARATION (gated on staged_ops_live(8); oracle-parity-tested in
+# test_round7_ops.py::test_d16_matches_duckdb_oracle).
+#
+# The chunk-granularity dedup primitive d11's fixed spans can't give:
+# chunk boundaries chosen by CONTENT (rolling hash of the trailing
+# W-char window hits a modulus), so an insertion early in a document
+# shifts only the one chunk it lands in — every later boundary
+# re-synchronizes — where fixed-width spans shift ALL downstream
+# chunks and defeat dedup. Declared surface: per-doc chunk count /
+# mean / max chunk length under (W=8, divisor=64 → ~64-char expected
+# chunks). Pure per-row array expressions, no shuffle at all;
+# chunk-hash grouping for actual dedup then rides d01's exact-hash
+# machinery per chunk.
+#
+# The window hashes are computed as W chained zip_with passes over
+# W shifted slices of the char array (hash of window ending at i =
+# Σ_j chars[i-j]·31^j, reduced mod once at the end — identical to the
+# stepwise (a*31+x)%M fold because max codepoint · Σ31^j < 2^63, no
+# overflow). A per-position slice+aggregate formulation is
+# semantically the same but runs n interpreted 8-element folds per doc
+# (~30× slower measured at sf0.01); W whole-array passes keep the
+# higher-order-function interpreter overhead O(W), not O(n).
+# --------------------------------------------------------------------------
+_D16_W = 8
+_D16_DIV = 64
+
+
+def d16_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", clean_text("text").alias("ctext"))
+    chars = F.transform(
+        F.split("ctext", ""), lambda c: F.ascii(c).cast("long")
+    )
+    ln = F.length("ctext")
+    n_win = ln - (_D16_W - 1)  # window count when ln >= W
+    acc = F.transform(
+        F.slice(chars, 1, n_win),
+        lambda x: x * F.lit(31 ** (_D16_W - 1)),
+    )
+    def _fma(coef):
+        return lambda a, x: a + x * F.lit(coef)
+
+    for j in range(1, _D16_W):
+        acc = F.zip_with(
+            acc, F.slice(chars, j + 1, n_win), _fma(31 ** (_D16_W - 1 - j))
+        )
+    marks = F.zip_with(
+        acc,
+        F.sequence(F.lit(_D16_W), ln),
+        lambda h, i: F.when((h % _MOD) % _D16_DIV == 0, i),
+    )
+    bounds = F.when(
+        ln >= _D16_W, F.filter(marks, lambda x: x.isNotNull())
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    bl = F.concat(F.array(F.lit(0)), bounds, F.array(ln))
+    lens = F.filter(
+        F.transform(
+            F.sequence(F.lit(2), F.size(bl)),
+            lambda j: F.element_at(bl, j) - F.element_at(bl, j - 1),
+        ),
+        lambda x: x > 0,
+    )
+    return (
+        base.select("doc_id", ln.alias("n_chars"), lens.alias("lens"))
+        .select(
+            "doc_id",
+            F.size("lens").cast("long").alias("n_chunks"),
+            F.round(
+                F.when(
+                    F.size("lens") > 0,
+                    F.col("n_chars") / F.size("lens").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("avg_chunk_len"),
+            F.coalesce(F.array_max("lens"), F.lit(0)).cast("long").alias("max_chunk_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+D16_SQL = f"""
+WITH cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents),
+arr AS (
+  SELECT doc_id, length(ctext) AS n_chars,
+         list_transform(string_split(ctext, ''), c -> CAST(ascii(c) AS BIGINT)) AS chars
+  FROM cleaned
+),
+bnds AS (
+  SELECT doc_id, n_chars,
+         list_filter(range({_D16_W}, n_chars + 1),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), chars[i - {_D16_W - 1}:i]),
+                            (a, b) -> (a * 31 + b) % {_MOD}) % {_D16_DIV} = 0) AS bounds
+  FROM arr
+),
+lens AS (
+  SELECT doc_id, n_chars,
+         list_filter(
+           list_transform(range(2, len(bl) + 1), j -> bl[j] - bl[j - 1]),
+           x -> x > 0) AS lens
+  FROM (SELECT doc_id, n_chars,
+               list_concat(list_concat([CAST(0 AS BIGINT)], bounds), [CAST(n_chars AS BIGINT)]) AS bl
+        FROM bnds)
+)
+SELECT doc_id,
+       CAST(len(lens) AS BIGINT) AS n_chunks,
+       round(CASE WHEN len(lens) > 0
+                  THEN CAST(n_chars AS DOUBLE) / len(lens) ELSE 0.0 END, 6) AS avg_chunk_len,
+       CAST(COALESCE(list_max(lens), 0) AS BIGINT) AS max_chunk_len
+FROM lens
+ORDER BY doc_id
+"""
+
+
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
 STAGED_QUERIES = {
@@ -1170,6 +1285,7 @@ STAGED_QUERIES = {
         "d14_cluster_size_histogram": d14_cluster_size_histogram,
         "d15_fuzzy_prefix_pairs": d15_fuzzy_prefix_pairs,
     },
+    8: {"d16_cdc_chunks": d16_cdc_chunks},
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -1177,4 +1293,5 @@ STAGED_ORACLES = {
         "d14_cluster_size_histogram": D14_SQL,
         "d15_fuzzy_prefix_pairs": D15_SQL,
     },
+    8: {"d16_cdc_chunks": D16_SQL},
 }

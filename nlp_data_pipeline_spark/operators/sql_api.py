@@ -672,6 +672,102 @@ ORDER BY lang, source, n_docs, total_chars
 """
 
 
+# --------------------------------------------------------------------------
+# v13: SQL scripting (Spark 4, SPARK-48338) — STAGED FOR ROUND-9
+# DECLARATION (gated on staged_ops_live(8); oracle-parity-tested in
+# test_round7_ops.py::test_v13_matches_duckdb_oracle).
+#
+# BEGIN…END procedural SQL: DECLARE a variable, WHILE-loop doubling a
+# price threshold until fewer than 100 orders exceed it, return the
+# landing threshold + count. Scripting is CONTROL FLOW around
+# declarative statements — each loop iteration is one ordinary
+# Catalyst-planned aggregate (log₂-bounded iterations here), so the
+# 100 TB guidance stands: keep per-statement work declarative and use
+# scripts only to sequence it. Oracle: DuckDB has no scripting, so the
+# loop's fixpoint is restated closed-form over a pow(2, i) series —
+# the semantic-equivalence proof.
+# --------------------------------------------------------------------------
+def v13_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 1000.0;
+          WHILE (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr) >= 100 DO
+            SET thr = thr * 2;
+          END WHILE;
+          SELECT thr AS threshold,
+                 (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr) AS n_above;
+        END
+        """
+    )
+
+
+V13_SQL = """
+WITH series AS (
+  SELECT 1000.0 * pow(2, CAST(i AS INT)) AS thr FROM range(0, 41) t(i)
+),
+counted AS (
+  SELECT thr, (SELECT COUNT(*) FROM orders o WHERE o.o_totalprice > s.thr) AS n
+  FROM series s
+)
+SELECT thr AS threshold, n AS n_above
+FROM counted WHERE n < 100
+ORDER BY thr LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
+# v14: pandas API on Spark (pyspark.pandas) — STAGED FOR ROUND-9
+# DECLARATION (gated on staged_ops_live(8); oracle-parity-tested in
+# test_round7_ops.py::test_v14_matches_duckdb_oracle).
+#
+# The engine's THIRD front door beside the DataFrame DSL and
+# spark.sql(): pandas-shaped code (groupby/agg/reset_index) that plans
+# through the same Catalyst pipeline — the migration surface for
+# pandas-native data teams. The query round-trips ps.DataFrame →
+# groupby-agg → .to_spark() and the oracle proves the result is the
+# plain SQL aggregate. Scale note: pandas-API ops compile to ordinary
+# distributed plans (this one: a single hash aggregate); only APIs
+# documented to collect (to_pandas, default sequential index) pull to
+# the driver — avoided here.
+# --------------------------------------------------------------------------
+def v14_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.pandas as ps
+
+    psdf = ps.read_parquet(f"{sf_dir}/documents.parquet")
+    agg = (
+        psdf.groupby("source")
+        .agg(
+            n_docs=("doc_id", "count"),
+            total_chars=("n_chars", "sum"),
+            avg_chars=("n_chars", "mean"),
+        )
+        .reset_index()
+    )
+    sdf = agg.to_spark()
+    from pyspark.sql import functions as F
+
+    return sdf.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.round(F.col("avg_chars"), 4).alias("avg_chars"),
+    ).orderBy("source")
+
+
+V14_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
@@ -683,6 +779,10 @@ STAGED_QUERIES = {
         "v11_parameterized_sql": v11_parameterized_sql,
     },
     7: {"v12_group_by_all": v12_group_by_all},
+    8: {
+        "v13_sql_scripting": v13_sql_scripting,
+        "v14_pandas_api": v14_pandas_api,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -692,4 +792,8 @@ STAGED_ORACLES = {
         "v11_parameterized_sql": V11_SQL,
     },
     7: {"v12_group_by_all": V12_SQL},
+    8: {
+        "v13_sql_scripting": V13_SQL,
+        "v14_pandas_api": V14_SQL,
+    },
 }

@@ -153,6 +153,77 @@ def test_s16_matches_duckdb_oracle(spark, sf_dir):
     assert len(got) > 0 and got == want
 
 
+def test_d16_matches_duckdb_oracle(spark, sf_dir):
+    """d16 content-defined chunking is STAGED for round-9 declaration;
+    the per-doc chunk stats must match the identical rolling-hash
+    boundary rule restated in DuckDB list expressions."""
+    from nlp_data_pipeline_spark.operators.dedup import D16_SQL, d16_cdc_chunks
+
+    got = [tuple(r) for r in d16_cdc_chunks(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D16_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+
+
+def test_d16_boundaries_resync_after_edit(spark):
+    """The CDC property fixed-width spans lack: prepending a char to a
+    document shifts only the FIRST chunk — every boundary after the
+    window re-synchronizes, so all later chunk lengths are preserved.
+    (Fixed spans would shift every chunk and defeat chunk-level dedup.)"""
+    import random
+
+    from nlp_data_pipeline_spark.operators.dedup import _D16_DIV, _D16_W
+
+    rng = random.Random(42)
+    text = "".join(rng.choice("abcdefgh ") for _ in range(4000))
+    edited = "Z" + text
+
+    def chunks(s):
+        h, bounds = [], [0]
+        for i in range(_D16_W, len(s) + 1):
+            acc = 0
+            for c in s[i - _D16_W : i]:
+                acc = (acc * 31 + ord(c)) % 1000000007
+            if acc % _D16_DIV == 0:
+                bounds.append(i)
+        bounds.append(len(s))
+        return [b - a for a, b in zip(bounds, bounds[1:]) if b > a]
+
+    base, shifted = chunks(text), chunks(edited)
+    assert len(base) > 10  # the rule actually fires on this corpus
+    # every chunk after the first edited one is identical
+    assert base[1:] == shifted[1 + (len(shifted) - len(base)) :]
+
+
+def test_v13_matches_duckdb_oracle(spark, sf_dir):
+    """v13 SQL scripting is STAGED for round-9 declaration; the WHILE
+    fixpoint must equal the closed-form first-threshold-under-100 over
+    the pow(2) series."""
+    from nlp_data_pipeline_spark.operators.sql_api import V13_SQL, v13_sql_scripting
+
+    got = [tuple(r) for r in v13_sql_scripting(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(V13_SQL).fetchall()]
+    assert len(got) == 1 and got == want
+
+
+def test_v14_matches_duckdb_oracle(spark, sf_dir):
+    """v14 pandas API on Spark is STAGED for round-9 declaration; the
+    ps.DataFrame groupby-agg must equal the plain SQL aggregate."""
+    from nlp_data_pipeline_spark.operators.sql_api import V14_SQL, v14_pandas_api
+
+    got = [tuple(r) for r in v14_pandas_api(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(V14_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+
+
+def test_v14_plans_distributed(spark, sf_dir):
+    """The pandas-API groupby must compile to an ordinary distributed
+    hash aggregate — no driver-side collect hiding in the front door."""
+    from nlp_data_pipeline_spark.operators.sql_api import v14_pandas_api
+
+    plan = v14_pandas_api(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
 def test_s16_graph_is_undirected_m_regular(spark):
     """Every node has >= M out-edges (M exact + merged reverse links)
     and the edge set is symmetric — the NSW property greedy search
