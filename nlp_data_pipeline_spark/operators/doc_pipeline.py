@@ -1389,6 +1389,81 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# r15: custom STREAMING source via the Python Data Source API — STAGED
+# FOR ROUND-9 DECLARATION (gated on staged_ops_live(8); oracle-parity-
+# tested in test_round7_ops.py::test_r15_matches_duckdb_oracle).
+#
+# r08 covers the batch half of the API; this is the streaming half
+# (DataSourceStreamReader): the `docfeed` source serves the documents
+# table as doc_id stripes with dict offsets, each micro-batch's
+# stripes split into executor-side pyarrow range reads
+# (sources/custom_datasource.py::DocFeedStreamSource). The query
+# drains the feed with Trigger-Once into a memory sink (test
+# scaffolding — a real pipeline writes parquet/foreachBatch, e11/r13)
+# and re-aggregates per source; the oracle proves the streamed rows
+# are exactly the table. A fresh per-call checkpoint keeps reruns
+# deterministic — reusing one would resume past the drained offset and
+# emit an empty batch by design.
+# --------------------------------------------------------------------------
+_R15_CALLS = iter(range(10**9))
+
+
+def r15_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_data_pipeline_spark.sources.custom_datasource import (
+        DocFeedStreamSource,
+    )
+
+    spark.dataSource.register(DocFeedStreamSource)
+    max_id = (
+        load_table(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    )
+    n_stripes = 4
+    stripe_docs = max_id // n_stripes + 1
+    call = next(_R15_CALLS)
+    name = f"docfeed_sink_{os.getpid()}_{call}"
+    query = (
+        spark.readStream.format("docfeed")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("stripe_docs", stripe_docs)
+        .option("n_stripes", n_stripes)
+        .option("splits_per_stripe", 2)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            scratch_path(f"docfeed_ckpt_{os.getpid()}_{call}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+R15_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
@@ -1400,6 +1475,7 @@ STAGED_QUERIES = {
         "a03_hll_intersection": a03_hll_intersection,
     },
     7: {"p05_snapshot_diff": p05_snapshot_diff},
+    8: {"r15_python_stream_source": r15_python_stream_source},
 }
 STAGED_ORACLES = {
     6: {
@@ -1409,4 +1485,5 @@ STAGED_ORACLES = {
         "a03_hll_intersection": A03_SQL,
     },
     7: {"p05_snapshot_diff": P05_SQL},
+    8: {"r15_python_stream_source": R15_SQL},
 }

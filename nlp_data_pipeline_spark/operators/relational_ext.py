@@ -1444,11 +1444,95 @@ ORACLES = {
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged during round 6; auto-declared from round 7 by
 # __spark_entry__._collect (lazy staged_ops_live gate).
+# --------------------------------------------------------------------------
+# u06: cogrouped-pandas as-of attribution — STAGED FOR ROUND-9
+# DECLARATION (gated on staged_ops_live(8); oracle-parity-tested in
+# test_round7_ops.py::test_u06_matches_duckdb_oracle).
+#
+# The one applyInPandas surface the u-series lacked: TWO grouped
+# DataFrames cogrouped on a key, each (key, left-frame, right-frame)
+# triple handed to one pandas kernel. The classic use is last-touch
+# attribution: for every click, the same user's most recent purchase
+# strictly before it and within 24 h (pd.merge_asof backward with
+# tolerance — per-user interleaved time series, exactly what a single
+# flat join can't express without an aggregation-then-rejoin detour).
+# Declared surface re-aggregates per user in Spark: click count,
+# attributed count, mean minutes-since-purchase. Scale shape: ONE
+# shuffle of each side on user_id, then per-key pandas frames stream
+# through Arrow; 100 TB guidance is the same as q19's as-of join —
+# keys are users, so frames stay small and skew rides AQE.
+# Determinism: timestamps are exact µs integers, minute deltas are the
+# same integer ratio on both engines, 4-dp rounding absorbs the
+# avg() summation-order ulp.
+# --------------------------------------------------------------------------
+def u06_cogrouped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"))
+    )
+
+    def attribute(key, c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        c = c.sort_values("ts")
+        p = p.sort_values("purchase_ts")
+        return pd.merge_asof(
+            c,
+            p[["purchase_ts"]],
+            left_on="ts",
+            right_on="purchase_ts",
+            direction="backward",
+            allow_exact_matches=False,
+            tolerance=pd.Timedelta(hours=24),
+        )
+
+    attributed = (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(attribute, "user_id long, ts timestamp, purchase_ts timestamp")
+    )
+    mins = (F.unix_micros("ts") - F.unix_micros("purchase_ts")) / F.lit(60000000.0)
+    return (
+        attributed.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("purchase_ts").alias("n_attributed"),
+            F.round(F.avg(mins), 4).alias("avg_mins_since_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+U06_SQL = """
+WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+att AS (
+  SELECT c.user_id, c.ts,
+         (SELECT max(p.ts) FROM p
+          WHERE p.user_id = c.user_id AND p.ts < c.ts
+            AND p.ts >= c.ts - INTERVAL 24 HOUR) AS purchase_ts
+  FROM clicks c
+)
+SELECT user_id,
+       COUNT(*) AS n_clicks,
+       COUNT(purchase_ts) AS n_attributed,
+       round(AVG((epoch_us(ts) - epoch_us(purchase_ts)) / 60000000.0), 4)
+         AS avg_mins_since_purchase
+FROM att
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
+    8: {"u06_cogrouped_attribution": u06_cogrouped_attribution},
 }
 STAGED_ORACLES = {
     6: {"q42_collated_group": Q42_SQL},
     7: {"q43_grouping_sets": Q43_SQL},
+    8: {"u06_cogrouped_attribution": U06_SQL},
 }

@@ -1496,6 +1496,141 @@ ORDER BY query_id
 """
 
 
+# --------------------------------------------------------------------------
+# s17: one Lloyd refinement step for IVF centroid training — STAGED FOR
+# ROUND-9 DECLARATION (gated on staged_ops_live(8); oracle-parity-tested
+# in test_round7_ops.py::test_s17_matches_duckdb_oracle).
+#
+# s04/s07 assume a FIXED centroid set; real IVF indexes train theirs
+# with k-means. Declared surface: seed with the first K vectors (s04's
+# rule), assign all vectors by cosine, recompute each centroid as the
+# per-dimension mean of its members, re-assign, and report per-centroid
+# (size before, size after, how many vectors switched in, mean cosine
+# to the refined centroid). Fully distributed: assignment is a
+# broadcast-K cross join + per-vector argmax (no corpus shuffle);
+# the mean-centroid recompute shuffles only K·DIM tiny (cid, pos, sum)
+# partial-aggregate rows — at 100 TB the iteration cost is two corpus
+# scans per Lloyd step, the textbook scalable shape. Means are rounded
+# to 9 dp on BOTH engines before re-assignment so cross-engine ulp
+# drift in the float sums cannot flip an argmax downstream.
+# --------------------------------------------------------------------------
+KM_K = 8
+
+
+def _nearest(cents_df, e, cid_out):
+    """Assign each vector in `e` to its max-cosine centroid in the
+    broadcast `cents_df(cid, cemb)`; ties break on lowest cid."""
+    joined = e.join(F.broadcast(cents_df))
+    cos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        joined.select("vec_id", "cid", cos.alias("cos"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", F.col("cid").alias(cid_out), "cos")
+    )
+
+
+def s17_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    seeds = e.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    a1 = _nearest(seeds, e, "cid1")
+    refined = (
+        a1.join(e, "vec_id")
+        .select("cid1", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("cid1", "pos")
+        .agg(F.round(F.avg("val"), 9).alias("avgv"))
+        .groupBy("cid1")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "avgv"))),
+                lambda x: x["avgv"],
+            ).alias("cemb")
+        )
+        .select(F.col("cid1").alias("cid"), "cemb")
+    )
+    a2 = _nearest(refined, e, "cid2")
+    moved = (
+        a1.select("vec_id", "cid1")
+        .join(a2.select("vec_id", "cid2", "cos"), "vec_id")
+    )
+    size1 = a1.groupBy(F.col("cid1").alias("centroid_id")).agg(
+        F.count(F.lit(1)).alias("size_before")
+    )
+    after = moved.groupBy(F.col("cid2").alias("centroid_id")).agg(
+        F.count(F.lit(1)).alias("size_after"),
+        F.sum((F.col("cid1") != F.col("cid2")).cast("long")).alias("switched_in"),
+        F.round(F.avg("cos"), 6).alias("avg_cos"),
+    )
+    return (
+        size1.join(after, "centroid_id", "full")
+        .select(
+            "centroid_id",
+            F.coalesce("size_before", F.lit(0)).alias("size_before"),
+            F.coalesce("size_after", F.lit(0)).alias("size_after"),
+            F.coalesce("switched_in", F.lit(0)).alias("switched_in"),
+            "avg_cos",
+        )
+        .orderBy("centroid_id")
+    )
+
+
+S17_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {KM_K}),
+a1 AS (
+  SELECT vec_id, cid AS cid1 FROM (
+    SELECT e.vec_id, s.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(s.cemb, e.emb)
+               / (sqrt(list_dot_product(s.cemb, s.cemb)) * sqrt(list_dot_product(e.emb, e.emb))) DESC,
+             s.cid ASC) AS r
+    FROM e CROSS JOIN seeds s)
+  WHERE r = 1
+),
+expl AS (
+  SELECT a1.cid1, generate_subscripts(e.emb, 1) AS pos, unnest(e.emb) AS val
+  FROM e JOIN a1 USING (vec_id)
+),
+refined AS (
+  SELECT cid1 AS cid, list(avgv ORDER BY pos) AS cemb FROM (
+    SELECT cid1, pos, round(AVG(val), 9) AS avgv FROM expl GROUP BY cid1, pos)
+  GROUP BY cid1
+),
+a2 AS (
+  SELECT vec_id, cid AS cid2, cos FROM (
+    SELECT e.vec_id, c.cid,
+           list_dot_product(c.cemb, e.emb)
+             / (sqrt(list_dot_product(c.cemb, c.cemb)) * sqrt(list_dot_product(e.emb, e.emb))) AS cos,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(c.cemb, e.emb)
+               / (sqrt(list_dot_product(c.cemb, c.cemb)) * sqrt(list_dot_product(e.emb, e.emb))) DESC,
+             c.cid ASC) AS r
+    FROM e CROSS JOIN refined c)
+  WHERE r = 1
+),
+size1 AS (SELECT cid1 AS centroid_id, COUNT(*) AS size_before FROM a1 GROUP BY cid1),
+after AS (
+  SELECT a2.cid2 AS centroid_id, COUNT(*) AS size_after,
+         SUM(CASE WHEN a1.cid1 != a2.cid2 THEN 1 ELSE 0 END) AS switched_in,
+         round(AVG(a2.cos), 6) AS avg_cos
+  FROM a1 JOIN a2 USING (vec_id)
+  GROUP BY a2.cid2
+)
+SELECT centroid_id,
+       CAST(COALESCE(size_before, 0) AS BIGINT) AS size_before,
+       CAST(COALESCE(size_after, 0) AS BIGINT) AS size_after,
+       CAST(COALESCE(switched_in, 0) AS BIGINT) AS switched_in,
+       avg_cos
+FROM size1 FULL JOIN after USING (centroid_id)
+ORDER BY centroid_id
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
@@ -1539,6 +1674,7 @@ STAGED_QUERIES = {
         "s15_rrf_fusion": s15_rrf_fusion,
         "s16_graph_ann_recall": s16_graph_ann_recall,
     },
+    8: {"s17_kmeans_refine": s17_kmeans_refine},
 }
 STAGED_ORACLES = {
     6: {
@@ -1549,4 +1685,5 @@ STAGED_ORACLES = {
         "s15_rrf_fusion": S15_SQL,
         "s16_graph_ann_recall": S16_SQL,
     },
+    8: {"s17_kmeans_refine": S17_SQL},
 }

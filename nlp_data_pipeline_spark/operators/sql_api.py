@@ -768,6 +768,51 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# v15: SQL session variables (DECLARE VARIABLE / SET VAR) — STAGED FOR
+# ROUND-9 DECLARATION (gated on staged_ops_live(8); oracle-parity-
+# tested in test_round7_ops.py::test_v15_matches_duckdb_oracle).
+#
+# The session-state surface scripting (v13) builds on, usable from
+# plain multi-statement SQL: DECLARE a typed variable, SET it from a
+# scalar subquery, reference it in later statements. The threshold is
+# max(o_totalprice) * 0.5 deliberately: max is exact (no float
+# summation) and *0.5 is a power-of-two scale, so both engines compute
+# the bit-identical boundary and the > filter can never flip on ulp
+# drift. Variables are driver-side scalars folded into the plan as
+# literals — at 100 TB they parameterize pruning predicates for free
+# (no JVM round trip per row, unlike a UDF-based parameter).
+# --------------------------------------------------------------------------
+def v15_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE price_thr DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR price_thr = (SELECT max(o_totalprice) * 0.5 FROM orders)")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               round(price_thr, 2) AS thr_used
+        FROM orders
+        WHERE o_totalprice > price_thr
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+V15_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       round((SELECT max(o_totalprice) * 0.5 FROM orders), 2) AS thr_used
+FROM orders
+WHERE o_totalprice > (SELECT max(o_totalprice) * 0.5 FROM orders)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
@@ -782,6 +827,7 @@ STAGED_QUERIES = {
     8: {
         "v13_sql_scripting": v13_sql_scripting,
         "v14_pandas_api": v14_pandas_api,
+        "v15_sql_variables": v15_sql_variables,
     },
 }
 STAGED_ORACLES = {
@@ -795,5 +841,6 @@ STAGED_ORACLES = {
     8: {
         "v13_sql_scripting": V13_SQL,
         "v14_pandas_api": V14_SQL,
+        "v15_sql_variables": V15_SQL,
     },
 }

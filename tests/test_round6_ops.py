@@ -764,6 +764,16 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "d15_fuzzy_prefix_pairs",
     ]
 
+    ROUND9 = [
+        "d16_cdc_chunks",
+        "v13_sql_scripting",
+        "v14_pandas_api",
+        "v15_sql_variables",
+        "s17_kmeans_refine",
+        "u06_cogrouped_attribution",
+        "r15_python_stream_source",
+    ]
+
     def declared():
         q, o = entry.queries(), entry.oracle_sql()
         assert set(o) <= set(q)  # every oracle has a query
@@ -781,6 +791,11 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
     monkeypatch.setattr(staging, "latest_recorded_round", lambda: 7)
     at7 = declared()
     assert set(ROUND6) <= at7 and set(ROUND8) <= at7
+    assert not (set(ROUND9) & at7)  # round-9 batch still gated
+
+    monkeypatch.setattr(staging, "latest_recorded_round", lambda: 8)
+    at8 = declared()
+    assert set(ROUND6) <= at8 and set(ROUND8) <= at8 and set(ROUND9) <= at8
 
 
 def test_t36_matches_duckdb_oracle(spark, sf_dir):

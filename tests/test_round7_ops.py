@@ -237,3 +237,64 @@ def test_s16_graph_is_undirected_m_regular(spark):
     assert deg.filter(F.col("d") < GRAPH_M).count() == 0
     rev = g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     assert g.exceptAll(rev).count() == 0
+
+
+def test_s17_matches_duckdb_oracle(spark, sf_dir):
+    """s17 one-step Lloyd refinement is STAGED for round-9 declaration;
+    assignment sizes, switch counts, and mean cosine must match the
+    identical seed/assign/mean/re-assign chain restated in DuckDB."""
+    from nlp_data_pipeline_spark.operators.similarity import S17_SQL, s17_kmeans_refine
+
+    got = [tuple(r) for r in s17_kmeans_refine(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(S17_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+    # Lloyd invariants: both assignments cover the whole corpus, and
+    # the refinement actually moved some vectors (non-degenerate seeds)
+    n = sum(r[1] for r in got)
+    assert n == sum(r[2] for r in got)
+    assert sum(r[3] for r in got) > 0
+
+
+def test_v15_matches_duckdb_oracle(spark, sf_dir):
+    """v15 SQL session variables is STAGED for round-9 declaration; the
+    DECLARE/SET VAR threshold query must equal the subquery-inlined
+    restatement."""
+    from nlp_data_pipeline_spark.operators.sql_api import V15_SQL, v15_sql_variables
+
+    got = [tuple(r) for r in v15_sql_variables(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(V15_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+
+
+def test_u06_matches_duckdb_oracle(spark, sf_dir):
+    """u06 cogrouped-pandas as-of attribution is STAGED for round-9
+    declaration; the per-user merge_asof must equal the correlated
+    max-prior-purchase restatement."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        U06_SQL,
+        u06_cogrouped_attribution,
+    )
+
+    got = [tuple(r) for r in u06_cogrouped_attribution(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("events",)).execute(U06_SQL).fetchall()
+    ]
+    assert len(got) > 0 and got == want
+    # the 24h tolerance actually bites: some clicks must be unattributed
+    assert any(r[1] > r[2] for r in got)
+    assert any(r[2] > 0 for r in got)
+
+
+def test_r15_matches_duckdb_oracle(spark, sf_dir):
+    """r15 Python streaming data source is STAGED for round-9
+    declaration; draining the docfeed stream and re-aggregating must
+    reproduce the batch aggregate of the documents table exactly."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        R15_SQL,
+        r15_python_stream_source,
+    )
+
+    got = [tuple(r) for r in r15_python_stream_source(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(R15_SQL).fetchall()]
+    assert len(got) > 0 and got == want
