@@ -1464,6 +1464,79 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# r16: custom STREAMING sink via the Python Data Source API — STAGED
+# FOR ROUND-9 DECLARATION (gated on staged_ops_live(8); oracle-parity-
+# tested in test_round7_ops.py::test_r16_matches_duckdb_oracle).
+#
+# The last cell of the Python-DataSource 2×2 matrix (batch read r08,
+# batch write r09, stream read r15, stream write THIS): the docfeed
+# stream drains through `docshards`, a DataSourceStreamWriter whose
+# per-micro-batch two-phase commit renames task temp files into
+# batch-id-stamped shard names (idempotent under micro-batch replay —
+# exactly-once landing). The landed TSV layout is the `docstats`
+# batch reader's, so the query round-trips stream-write → batch-read
+# and the oracle proves the full loop lossless against the source
+# table. Fresh per-call sink + checkpoint dirs keep reruns exact.
+# --------------------------------------------------------------------------
+def r16_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from nlp_data_pipeline_spark.sources.custom_datasource import (
+        DocFeedStreamSource,
+        DocShardsStreamSink,
+        DocStatsDataSource,
+    )
+
+    for src in (DocFeedStreamSource, DocShardsStreamSink, DocStatsDataSource):
+        spark.dataSource.register(src)
+    max_id = (
+        load_table(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    )
+    n_stripes = 4
+    call = next(_R15_CALLS)
+    sink = scratch_path(f"docshards_{os.getpid()}_{call}")
+    shutil.rmtree(sink, ignore_errors=True)
+    query = (
+        spark.readStream.format("docfeed")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("stripe_docs", max_id // n_stripes + 1)
+        .option("n_stripes", n_stripes)
+        .option("splits_per_stripe", 2)
+        .load()
+        .writeStream.format("docshards")
+        .option("path", sink)
+        .option(
+            "checkpointLocation",
+            scratch_path(f"docshards_ckpt_{os.getpid()}_{call}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    back = spark.read.format("docstats").load(sink)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+R16_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
@@ -1475,7 +1548,10 @@ STAGED_QUERIES = {
         "a03_hll_intersection": a03_hll_intersection,
     },
     7: {"p05_snapshot_diff": p05_snapshot_diff},
-    8: {"r15_python_stream_source": r15_python_stream_source},
+    8: {
+        "r15_python_stream_source": r15_python_stream_source,
+        "r16_python_stream_sink": r16_python_stream_sink,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -1485,5 +1561,8 @@ STAGED_ORACLES = {
         "a03_hll_intersection": A03_SQL,
     },
     7: {"p05_snapshot_diff": P05_SQL},
-    8: {"r15_python_stream_source": R15_SQL},
+    8: {
+        "r15_python_stream_source": R15_SQL,
+        "r16_python_stream_sink": R16_SQL,
+    },
 }

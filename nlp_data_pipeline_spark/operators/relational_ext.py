@@ -1526,13 +1526,75 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# u07: mapInArrow batch kernel — STAGED FOR ROUND-9 DECLARATION (gated
+# on staged_ops_live(8); oracle-parity-tested in
+# test_round7_ops.py::test_u07_matches_duckdb_oracle).
+#
+# The lowest-level Python batch surface: raw pyarrow RecordBatches in
+# and out, no pandas conversion layer — the shape for numeric kernels
+# where the pandas detour only costs (u03/u04 cover the pandas and
+# row-Arrow variants). Each embedding batch is flattened zero-ish-copy
+# into one (n, 64) float64 matrix and BLAS-reduced per row: L2 norm,
+# max |component|, positive-component count. No shuffle at all — a
+# pure map stage; at 100 TB this is one pass at parquet-scan speed.
+# max_abs and n_positive are arithmetic-exact across engines; the norm
+# is a 64-term sum (numpy pairwise vs DuckDB sequential fold differ by
+# ≤1 ulp) presented at 6 dp like every other float surface here.
+# --------------------------------------------------------------------------
+def u07_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def stats(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            emb = b.column(b.schema.get_field_index("embedding"))
+            m = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            m = m.reshape(len(emb), -1)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": b.column(b.schema.get_field_index("vec_id")),
+                    "l2_norm": pa.array(
+                        np.round(np.sqrt((m * m).sum(axis=1)), 6)
+                    ),
+                    "max_abs": pa.array(np.round(np.abs(m).max(axis=1), 6)),
+                    "n_positive": pa.array((m > 0).sum(axis=1).astype("int64")),
+                }
+            )
+
+    return e.mapInArrow(
+        stats, "vec_id long, l2_norm double, max_abs double, n_positive long"
+    ).orderBy("vec_id")
+
+
+U07_SQL = """
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+         AS l2_norm,
+       round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6)
+         AS max_abs,
+       CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS BIGINT)
+         AS n_positive
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
-    8: {"u06_cogrouped_attribution": u06_cogrouped_attribution},
+    8: {
+        "u06_cogrouped_attribution": u06_cogrouped_attribution,
+        "u07_map_in_arrow": u07_map_in_arrow,
+    },
 }
 STAGED_ORACLES = {
     6: {"q42_collated_group": Q42_SQL},
     7: {"q43_grouping_sets": Q43_SQL},
-    8: {"u06_cogrouped_attribution": U06_SQL},
+    8: {
+        "u06_cogrouped_attribution": U06_SQL,
+        "u07_map_in_arrow": U07_SQL,
+    },
 }

@@ -813,6 +813,70 @@ ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# v16: POLYMORPHIC Python UDTF (static analyze, SPARK-44503) — STAGED
+# FOR ROUND-9 DECLARATION (gated on staged_ops_live(8); oracle-parity-
+# tested in test_round7_ops.py::test_v16_matches_duckdb_oracle).
+#
+# u05 covers the fixed-schema Arrow UDTF; this covers the half the
+# API adds on top: `analyze()` computes the OUTPUT SCHEMA from the
+# call's constant arguments at plan time — lead_tokens(ctext, 3)
+# plans three string columns, lead_tokens(ctext, 5) five — the
+# mechanism behind parse-to-columns table functions whose width is a
+# query-site choice. eval yields one row per document (missing tokens
+# as '' to match split_part's convention). Scale note: the UDTF runs
+# row-parallel with no state; width-k is a plan-time constant so the
+# downstream aggregate is an ordinary k-column hash aggregate.
+# --------------------------------------------------------------------------
+def v16_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    from nlp_data_pipeline_spark.functions.text import clean_text
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    class LeadTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(k.value):
+                schema = schema.add(f"tok{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, k: int):
+            toks = (text or "").split()
+            yield tuple(toks[i] if i < len(toks) else "" for i in range(k))
+
+    spark.udtf.register("lead_tokens", udtf(LeadTokens))
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", clean_text("text").alias("ctext")
+    ).createOrReplaceTempView("v16_cleaned_docs")
+    return spark.sql(
+        """
+        SELECT t.tok1, t.tok2, COUNT(*) AS n_docs
+        FROM v16_cleaned_docs d, LATERAL lead_tokens(d.ctext, 2) t
+        GROUP BY t.tok1, t.tok2
+        ORDER BY n_docs DESC, tok1, tok2
+        LIMIT 20
+        """
+    )
+
+
+from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL  # noqa: E402
+
+V16_SQL = f"""
+WITH cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents)
+SELECT split_part(ctext, ' ', 1) AS tok1,
+       split_part(ctext, ' ', 2) AS tok2,
+       COUNT(*) AS n_docs
+FROM cleaned
+GROUP BY tok1, tok2
+ORDER BY n_docs DESC, tok1, tok2
+LIMIT 20
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
@@ -828,6 +892,7 @@ STAGED_QUERIES = {
         "v13_sql_scripting": v13_sql_scripting,
         "v14_pandas_api": v14_pandas_api,
         "v15_sql_variables": v15_sql_variables,
+        "v16_polymorphic_udtf": v16_polymorphic_udtf,
     },
 }
 STAGED_ORACLES = {
@@ -842,5 +907,6 @@ STAGED_ORACLES = {
         "v13_sql_scripting": V13_SQL,
         "v14_pandas_api": V14_SQL,
         "v15_sql_variables": V15_SQL,
+        "v16_polymorphic_udtf": V16_SQL,
     },
 }

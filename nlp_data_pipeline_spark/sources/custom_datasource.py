@@ -22,6 +22,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -194,3 +195,64 @@ class DocFeedStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class DocShardsStreamSink(DataSource):
+    """Streaming SINK half of the Python Data Source API (`docshards`
+    format): `df.writeStream.format("docshards").option("path", dir)`.
+
+    Completes the 2×2 API matrix this package ships — batch read
+    (docstats reader), batch write (DocStatsWriter), stream read
+    (DocFeedStreamSource), stream write (this). Each micro-batch uses
+    the same two-phase protocol as the batch writer, with the batch id
+    woven into the committed shard name: tasks write hidden temp
+    files, the driver-side `commit(messages, batchId)` renames them to
+    `part-b{batchId}-{i}.tsv`. A replayed micro-batch (restart between
+    sink-commit and offset-commit) re-renames over the SAME names —
+    idempotent, so the landed directory stays exactly-once. The shard
+    layout is the one the `docstats` batch reader parses, so a landed
+    stream round-trips through the batch half of the API.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "docshards"
+
+    def streamWriter(self, schema, overwrite: bool) -> "DocShardsStreamWriter":
+        return DocShardsStreamWriter(self.options["path"])
+
+
+class DocShardsStreamWriter(DataSourceStreamWriter):
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator) -> _ShardCommit:
+        import csv
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.tsv")
+        n = 0
+        with open(tmp, "w", newline="") as fh:
+            w = csv.writer(fh, delimiter="\t")
+            for row in iterator:
+                w.writerow((row.doc_id, row.source, row.n_chars))
+                n += 1
+        return _ShardCommit(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        for i, m in enumerate(messages):
+            os.replace(
+                m.tmp_path,
+                os.path.join(self.path, f"part-b{batchId:05d}-{i:05d}.tsv"),
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

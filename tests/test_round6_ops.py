@@ -771,7 +771,10 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "v15_sql_variables",
         "s17_kmeans_refine",
         "u06_cogrouped_attribution",
+        "u07_map_in_arrow",
         "r15_python_stream_source",
+        "r16_python_stream_sink",
+        "v16_polymorphic_udtf",
     ]
 
     def declared():

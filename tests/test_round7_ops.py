@@ -298,3 +298,54 @@ def test_r15_matches_duckdb_oracle(spark, sf_dir):
     got = [tuple(r) for r in r15_python_stream_source(spark, sf_dir).collect()]
     want = [tuple(r) for r in _duck(sf_dir).execute(R15_SQL).fetchall()]
     assert len(got) > 0 and got == want
+
+
+def test_r16_matches_duckdb_oracle(spark, sf_dir):
+    """r16 Python streaming SINK is STAGED for round-9 declaration;
+    the stream-write → batch-read round trip through the docshards/
+    docstats pair must reproduce the source-table aggregate exactly."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        R16_SQL,
+        r16_python_stream_sink,
+    )
+
+    got = [tuple(r) for r in r16_python_stream_sink(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(R16_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+
+
+def test_u07_matches_duckdb_oracle(spark, sf_dir):
+    """u07 mapInArrow batch kernel is STAGED for round-9 declaration;
+    per-vector norm/max-abs/positive-count must match the DuckDB list
+    expressions."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        U07_SQL,
+        u07_map_in_arrow,
+    )
+
+    got = [tuple(r) for r in u07_map_in_arrow(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(U07_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+
+
+def test_v16_matches_duckdb_oracle(spark, sf_dir):
+    """v16 polymorphic UDTF is STAGED for round-9 declaration; the
+    analyze()-derived two-column parse must equal split_part."""
+    from nlp_data_pipeline_spark.operators.sql_api import V16_SQL, v16_polymorphic_udtf
+
+    got = [tuple(r) for r in v16_polymorphic_udtf(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(V16_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+
+
+def test_v16_schema_tracks_constant_width(spark, sf_dir):
+    """The polymorphic property itself: calling lead_tokens with k=4
+    plans four columns — the output schema is decided by analyze()
+    from the call-site constant, not fixed at registration."""
+    from nlp_data_pipeline_spark.operators.sql_api import v16_polymorphic_udtf
+
+    v16_polymorphic_udtf(spark, sf_dir)  # registers lead_tokens + view
+    wide = spark.sql(
+        "SELECT t.* FROM v16_cleaned_docs d, LATERAL lead_tokens(d.ctext, 4) t"
+    )
+    assert wide.columns == ["tok1", "tok2", "tok3", "tok4"]
