@@ -58,6 +58,11 @@ HEAVY = [
     "d15_fuzzy_prefix_pairs",
     "s15_rrf_fusion",
     "s16_graph_ann_recall",
+    # round-8 staged additions (documents/embeddings-shaped only; u06/
+    # r15/r16 read events or stage fixed streaming scaffolding, so the
+    # replicated-table probe doesn't apply to them)
+    "d16_cdc_chunks",
+    "s17_kmeans_refine",
 ]
 
 
@@ -164,6 +169,8 @@ def main() -> int:
         (_dd, "d15_fuzzy_prefix_pairs"),
         (_sim, "s15_rrf_fusion"),
         (_sim, "s16_graph_ann_recall"),
+        (_dd, "d16_cdc_chunks"),
+        (_sim, "s17_kmeans_refine"),
     ):
         queries.setdefault(staged, getattr(mod, staged))
 
