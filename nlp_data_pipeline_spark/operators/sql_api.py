@@ -736,17 +736,20 @@ ORDER BY thr LIMIT 1
 def v14_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.pandas as ps
 
-    psdf = ps.read_parquet(f"{sf_dir}/documents.parquet")
-    agg = (
-        psdf.groupby("source")
-        .agg(
-            n_docs=("doc_id", "count"),
-            total_chars=("n_chars", "sum"),
-            avg_chars=("n_chars", "mean"),
-        )
-        .reset_index()
+    # index_col pins the frame's index to a real column: without it the
+    # pandas API attaches its "distributed-sequence" default index — an
+    # extra zipWithIndex-style computation attached to every downstream
+    # plan purely to emulate pandas row numbers, pure waste at scale.
+    psdf = ps.read_parquet(f"{sf_dir}/documents.parquet", index_col="doc_id")
+    agg = psdf.groupby("source").agg(
+        n_docs=("n_chars", "count"),
+        total_chars=("n_chars", "sum"),
+        avg_chars=("n_chars", "mean"),
     )
-    sdf = agg.to_spark()
+    # keep `source` as the frame's index and hand it back to Spark via
+    # index_col — reset_index() would re-attach the default index and
+    # reintroduce the sequence computation the read avoided.
+    sdf = agg.to_spark(index_col="source")
     from pyspark.sql import functions as F
 
     return sdf.select(
