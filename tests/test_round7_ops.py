@@ -172,6 +172,7 @@ def test_d16_boundaries_resync_after_edit(spark):
     import random
 
     from nlp_data_pipeline_spark.operators.dedup import _D16_DIV, _D16_W
+    from nlp_data_pipeline_spark.operators.text_analytics import _MOD
 
     rng = random.Random(42)
     text = "".join(rng.choice("abcdefgh ") for _ in range(4000))
@@ -182,7 +183,7 @@ def test_d16_boundaries_resync_after_edit(spark):
         for i in range(_D16_W, len(s) + 1):
             acc = 0
             for c in s[i - _D16_W : i]:
-                acc = (acc * 31 + ord(c)) % 1000000007
+                acc = (acc * 31 + ord(c)) % _MOD
             if acc % _D16_DIV == 0:
                 bounds.append(i)
         bounds.append(len(s))
@@ -349,3 +350,89 @@ def test_v16_schema_tracks_constant_width(spark, sf_dir):
         "SELECT t.* FROM v16_cleaned_docs d, LATERAL lead_tokens(d.ctext, 4) t"
     )
     assert wide.columns == ["tok1", "tok2", "tok3", "tok4"]
+
+
+def test_r16_commit_idempotent_under_replay(tmp_path):
+    """The exactly-once claim of the docshards streaming sink: a
+    replayed micro-batch (same batchId after a restart between
+    sink-commit and offset-commit) re-renames over the SAME shard
+    names, so the landed directory never double-counts."""
+    import csv
+    import os
+
+    from nlp_data_pipeline_spark.sources.custom_datasource import (
+        DocShardsStreamWriter,
+        _ShardCommit,
+    )
+
+    sink = str(tmp_path / "shards")
+    w = DocShardsStreamWriter(sink)
+
+    def run_batch():
+        os.makedirs(sink, exist_ok=True)
+        msgs = []
+        for rows in ([(1, "a", 10)], [(2, "b", 20), (3, "a", 30)]):
+            tmp = os.path.join(sink, f"_tmp-{len(msgs)}-{len(rows)}.tsv")
+            with open(tmp, "w", newline="") as fh:
+                csv.writer(fh, delimiter="\t").writerows(rows)
+            msgs.append(_ShardCommit(tmp_path=tmp, n_rows=len(rows)))
+        w.commit(msgs, batchId=0)
+
+    run_batch()
+    run_batch()  # the replay
+    parts = sorted(os.listdir(sink))
+    assert parts == ["part-b00000-00000.tsv", "part-b00000-00001.tsv"]
+    rows = []
+    for p in parts:
+        with open(os.path.join(sink, p), newline="") as fh:
+            rows += [tuple(r) for r in csv.reader(fh, delimiter="\t")]
+    assert sorted(rows) == [("1", "a", "10"), ("2", "b", "20"), ("3", "a", "30")]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.text(alphabet="abcdef .x9", min_size=0, max_size=300),
+    )
+    def test_d16_oracle_sql_matches_python_reference(text):
+        """Independent check of the D16_SQL restatement: on an alphabet
+        the cleaning pass only whitespace-normalizes, DuckDB's
+        list_reduce rolling-hash boundary rule must agree with a plain
+        Python reference for any input."""
+        import re
+
+        import duckdb
+
+        from nlp_data_pipeline_spark.operators.dedup import _D16_DIV, _D16_W
+        from nlp_data_pipeline_spark.operators.text_analytics import _MOD
+
+        clean = re.sub(r"\s+", " ", text).strip()
+        bounds = [0]
+        for i in range(_D16_W, len(clean) + 1):
+            acc = 0
+            for c in clean[i - _D16_W : i]:
+                acc = (acc * 31 + ord(c)) % _MOD
+            if acc % _D16_DIV == 0:
+                bounds.append(i)
+        bounds.append(len(clean))
+        lens = [b - a for a, b in zip(bounds, bounds[1:]) if b > a]
+        exp = (
+            len(lens),
+            round(len(clean) / len(lens), 6) if lens else 0.0,
+            max(lens) if lens else 0,
+        )
+
+        from nlp_data_pipeline_spark.operators.dedup import D16_SQL
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT 0 AS doc_id, ? AS text", [text]
+        )
+        got = con.execute(D16_SQL).fetchall()
+        assert len(got) == 1
+        assert (got[0][1], got[0][2], got[0][3]) == exp
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
