@@ -1469,10 +1469,23 @@ def u06_cogrouped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    # Pin the cogroup's partitioning explicitly: AQE sizes partitions by
+    # BYTES and happily coalesces this small shuffle to one task — but
+    # the cost here is ~50 ms of Python/Arrow overhead PER GROUP, which
+    # byte-based sizing can't see, so coalescing serializes every group
+    # onto one core (7.7 s → 1.1 s at sf0.1 when spread). A
+    # user-specified partition count is exempt from AQE coalescing;
+    # inheriting spark.sql.shuffle.partitions keeps it cluster-sized.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .repartition(n_part, "user_id")
+    )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select("user_id", F.col("ts").alias("purchase_ts"))
+        .repartition(n_part, "user_id")
     )
 
     def attribute(key, c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
