@@ -1595,12 +1595,79 @@ ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# q44: listagg / ordered string aggregation (SPARK-42746, Spark 4.1) —
+# STAGED FOR ROUND-9 DECLARATION (gated on staged_ops_live(8);
+# oracle-parity-tested in test_round7_ops.py::test_q44_matches_duckdb_oracle).
+#
+# The SQL:2023 `LISTAGG(expr, sep) WITHIN GROUP (ORDER BY ...)`
+# surface: per region, the ordered nation roster plus each region's
+# top-2 nations by customer count folded to a string. WITHIN GROUP
+# makes the concatenation order part of the query contract — without
+# it collect_list order is partitioning-dependent and any string
+# aggregate is nondeterministic at scale. Oracle: DuckDB's
+# string_agg(x, sep ORDER BY ...) spelling of the same operator.
+# --------------------------------------------------------------------------
+def q44_listagg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("region", "nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH per_nation AS (
+          SELECT r.r_name, n.n_name, COUNT(c.c_custkey) AS n_customers
+          FROM region r
+          JOIN nation n ON n.n_regionkey = r.r_regionkey
+          LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+          GROUP BY r.r_name, n.n_name
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY r_name
+                     ORDER BY n_customers DESC, n_name ASC) AS rk
+          FROM per_nation
+        )
+        SELECT r_name,
+               COUNT(*) AS n_nations,
+               LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               LISTAGG(CASE WHEN rk <= 2 THEN n_name END, ',')
+                 WITHIN GROUP (ORDER BY rk) AS top2_by_customers
+        FROM ranked
+        GROUP BY r_name
+        ORDER BY r_name
+        """
+    )
+
+
+Q44_SQL = """
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name, COUNT(c.c_custkey) AS n_customers
+  FROM region r
+  JOIN nation n ON n.n_regionkey = r.r_regionkey
+  LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+  GROUP BY r.r_name, n.n_name
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY r_name
+             ORDER BY n_customers DESC, n_name ASC) AS rk
+  FROM per_nation
+)
+SELECT r_name,
+       COUNT(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       string_agg(CASE WHEN rk <= 2 THEN n_name END, ',' ORDER BY rk)
+         AS top2_by_customers
+FROM ranked
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
     8: {
         "u06_cogrouped_attribution": u06_cogrouped_attribution,
         "u07_map_in_arrow": u07_map_in_arrow,
+        "q44_listagg_rollup": q44_listagg_rollup,
     },
 }
 STAGED_ORACLES = {
@@ -1609,5 +1676,6 @@ STAGED_ORACLES = {
     8: {
         "u06_cogrouped_attribution": U06_SQL,
         "u07_map_in_arrow": U07_SQL,
+        "q44_listagg_rollup": Q44_SQL,
     },
 }

@@ -1631,6 +1631,144 @@ ORDER BY centroid_id
 """
 
 
+# --------------------------------------------------------------------------
+# s18: MMR diversified retrieval — STAGED FOR ROUND-9 DECLARATION
+# (gated on staged_ops_live(8); oracle-parity-tested in
+# test_round7_ops.py::test_s18_matches_duckdb_oracle).
+#
+# Maximal Marginal Relevance re-ranking: after s01-style top-N
+# candidate generation, greedily pick K results maximizing
+# λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s) — relevance minus
+# redundancy, the standard recipe for diversity-aware retrieval and
+# for picking non-duplicative training exemplars. The greedy loop is
+# unrolled to K=3 explicit argmax steps over the candidate set in BOTH
+# engines, with every cosine computed by the same sequential-fold dot
+# product — so selection is bit-identical cross-engine, not
+# almost-always-identical (a per-query Python rerank kernel would pit
+# numpy's pairwise/BLAS summation against DuckDB's sequential fold at
+# the argmax boundary). Scale shape: candidate generation is the
+# broadcast-queries single corpus scan of s01; the rerank then touches
+# only Q×N candidate rows (tiny), all joins broadcast.
+# --------------------------------------------------------------------------
+MMR_N_CAND = 10
+MMR_LAMBDA = 0.7
+
+
+def s18_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    cos_qd = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    cand = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "emb", cos_qd.alias("cos"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= MMR_N_CAND)
+        .drop("r")
+        .localCheckpoint()  # 3 rerank steps + output branch reuse it
+    )
+    lam = F.lit(MMR_LAMBDA)
+
+    def cos_dd(a, b):
+        return dot(a, b) / (norm(a) * norm(b))
+
+    def argmax(df, score):
+        ws = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        return (
+            df.withColumn("score", score)
+            .withColumn("r", F.row_number().over(ws))
+            .filter(F.col("r") == 1)
+            .select("query_id", "vec_id", "emb", "score")
+        )
+
+    sel1 = argmax(cand, lam * F.col("cos"))
+    rem1 = cand.join(
+        sel1.select("query_id", F.col("vec_id").alias("s1"), F.col("emb").alias("e1")),
+        "query_id",
+    ).filter(F.col("vec_id") != F.col("s1"))
+    rem1 = rem1.withColumn("sim1", cos_dd("emb", "e1")).drop("e1")
+    sel2 = argmax(rem1, lam * F.col("cos") - (F.lit(1.0) - lam) * F.col("sim1"))
+    rem2 = rem1.join(
+        sel2.select("query_id", F.col("vec_id").alias("s2"), F.col("emb").alias("e2")),
+        "query_id",
+    ).filter(F.col("vec_id") != F.col("s2"))
+    rem2 = rem2.withColumn(
+        "pen", F.greatest("sim1", cos_dd("emb", "e2"))
+    ).drop("e2")
+    sel3 = argmax(rem2, lam * F.col("cos") - (F.lit(1.0) - lam) * F.col("pen"))
+    out = (
+        sel1.select("query_id", "vec_id", "score", F.lit(1).alias("pick"))
+        .unionByName(sel2.select("query_id", "vec_id", "score", F.lit(2).alias("pick")))
+        .unionByName(sel3.select("query_id", "vec_id", "score", F.lit(3).alias("pick")))
+    )
+    return out.select(
+        "query_id", "pick", "vec_id", F.round("score", 6).alias("mmr_score")
+    ).orderBy("query_id", "pick")
+
+
+_MMR_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+S18_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT query_id, vec_id, emb, cos FROM (
+    SELECT q.query_id, e.vec_id, e.emb,
+           {_MMR_COS.format(a='q.qemb', b='e.emb')} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             {_MMR_COS.format(a='q.qemb', b='e.emb')} DESC, e.vec_id ASC) AS r
+    FROM e CROSS JOIN q WHERE e.vec_id != q.query_id)
+  WHERE r <= {MMR_N_CAND}
+),
+sel1 AS (
+  SELECT query_id, vec_id, emb, score FROM (
+    SELECT query_id, vec_id, emb, {MMR_LAMBDA} * cos AS score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {MMR_LAMBDA} * cos DESC, vec_id ASC) AS r
+    FROM cand) WHERE r = 1
+),
+rem1 AS (
+  SELECT c.query_id, c.vec_id, c.emb, c.cos,
+         {_MMR_COS.format(a='c.emb', b='s.emb')} AS sim1
+  FROM cand c JOIN sel1 s USING (query_id) WHERE c.vec_id != s.vec_id
+),
+sel2 AS (
+  SELECT query_id, vec_id, emb, sim1, score FROM (
+    SELECT query_id, vec_id, emb, sim1,
+           {MMR_LAMBDA} * cos - (1.0 - {MMR_LAMBDA}) * sim1 AS score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             {MMR_LAMBDA} * cos - (1.0 - {MMR_LAMBDA}) * sim1 DESC, vec_id ASC) AS r
+    FROM rem1) WHERE r = 1
+),
+rem2 AS (
+  SELECT c.query_id, c.vec_id, c.cos,
+         greatest(c.sim1, {_MMR_COS.format(a='c.emb', b='s.emb')}) AS pen
+  FROM rem1 c JOIN sel2 s USING (query_id) WHERE c.vec_id != s.vec_id
+),
+sel3 AS (
+  SELECT query_id, vec_id, score FROM (
+    SELECT query_id, vec_id,
+           {MMR_LAMBDA} * cos - (1.0 - {MMR_LAMBDA}) * pen AS score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             {MMR_LAMBDA} * cos - (1.0 - {MMR_LAMBDA}) * pen DESC, vec_id ASC) AS r
+    FROM rem2) WHERE r = 1
+)
+SELECT query_id, pick, vec_id, round(score, 6) AS mmr_score FROM (
+  SELECT query_id, 1 AS pick, vec_id, score FROM sel1
+  UNION ALL SELECT query_id, 2, vec_id, score FROM sel2
+  UNION ALL SELECT query_id, 3, vec_id, score FROM sel3)
+ORDER BY query_id, pick
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
@@ -1674,7 +1812,10 @@ STAGED_QUERIES = {
         "s15_rrf_fusion": s15_rrf_fusion,
         "s16_graph_ann_recall": s16_graph_ann_recall,
     },
-    8: {"s17_kmeans_refine": s17_kmeans_refine},
+    8: {
+        "s17_kmeans_refine": s17_kmeans_refine,
+        "s18_mmr_rerank": s18_mmr_rerank,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -1685,5 +1826,8 @@ STAGED_ORACLES = {
         "s15_rrf_fusion": S15_SQL,
         "s16_graph_ann_recall": S16_SQL,
     },
-    8: {"s17_kmeans_refine": S17_SQL},
+    8: {
+        "s17_kmeans_refine": S17_SQL,
+        "s18_mmr_rerank": S18_SQL,
+    },
 }

@@ -775,6 +775,8 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "r15_python_stream_source",
         "r16_python_stream_sink",
         "v16_polymorphic_udtf",
+        "s18_mmr_rerank",
+        "q44_listagg_rollup",
     ]
 
     def declared():

@@ -436,3 +436,52 @@ try:
         assert (got[0][1], got[0][2], got[0][3]) == exp
 except ImportError:  # pragma: no cover - hypothesis is baked in here
     pass
+
+
+def test_s18_matches_duckdb_oracle(spark, sf_dir):
+    """s18 MMR diversified retrieval is STAGED for round-9 declaration;
+    the unrolled 3-step greedy must select the identical picks in both
+    engines (same fold dot product → bit-identical argmax)."""
+    from nlp_data_pipeline_spark.operators.similarity import S18_SQL, s18_mmr_rerank
+
+    got = [tuple(r) for r in s18_mmr_rerank(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(S18_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+
+
+def test_s18_diversifies_vs_plain_topk(spark, sf_dir):
+    """MMR must actually change the ranking: for at least one query the
+    picked set differs from plain top-3 cosine (else the redundancy
+    penalty is dead code on this corpus)."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        s01_cosine_topk,
+        s18_mmr_rerank,
+    )
+
+    mmr = {}
+    for r in s18_mmr_rerank(spark, sf_dir).collect():
+        mmr.setdefault(r.query_id, set()).add(r.vec_id)
+    top = {}
+    for r in s01_cosine_topk(spark, sf_dir).collect():
+        if r.nn_rank <= 3:
+            top.setdefault(r.query_id, set()).add(r.vec_id)
+    assert any(mmr[q] != top[q] for q in mmr)
+
+
+def test_q44_matches_duckdb_oracle(spark, sf_dir):
+    """q44 LISTAGG WITHIN GROUP is STAGED for round-9 declaration; the
+    ordered string aggregation must equal DuckDB's string_agg ORDER BY
+    spelling."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q44_SQL,
+        q44_listagg_rollup,
+    )
+
+    got = [tuple(r) for r in q44_listagg_rollup(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("region", "nation", "customer"))
+        .execute(Q44_SQL)
+        .fetchall()
+    ]
+    assert len(got) > 0 and got == want
