@@ -1325,12 +1325,66 @@ ORDER BY event_type
 # declared the round after (keyed by staging round) by
 # __spark_entry__._collect, which evaluates staging.staged_ops_live
 # lazily per queries()/oracle_sql() call (not at import).
+# --------------------------------------------------------------------------
+# a04: approx_top_k heavy-hitters sketch (SPARK-49662, Spark 4.1) —
+# STAGED FOR ROUND-9 DECLARATION (gated on staged_ops_live(8);
+# oracle-parity-tested in test_round7_ops.py::test_a04_matches_duckdb_oracle).
+#
+# The native heavy-hitters aggregate beside t17's hand-rolled
+# count-min sketch: one pass, mergeable state, no exact groupBy of the
+# full key space. Declared the a01/e20 way — the sketch result joined
+# against exact counts with an agreement flag: with maxItemsTracked
+# (10k) ≥ the distinct-key count the sketch is EXACT by construction,
+# so the driver gate hash-checks real equality, and at true scale
+# (keys ≫ tracked) the same query degrades gracefully to approximate
+# top-k while the exact twin becomes the thing you can no longer
+# afford. Tie-break caveat: the sketch picks ties arbitrarily, so the
+# declared key set must have distinct counts (event_type does).
+# --------------------------------------------------------------------------
+def a04_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = (
+        ev.agg(F.expr("approx_top_k(event_type, 3, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").alias("est_count"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") == F.col("exact_count")).alias("sketch_exact"),
+        )
+        .orderBy(F.desc("est_count"), F.asc("event_type"))
+    )
+
+
+A04_SQL = """
+WITH exact AS (
+  SELECT event_type, COUNT(*) AS exact_count FROM events GROUP BY event_type
+)
+SELECT event_type,
+       exact_count AS est_count,
+       exact_count,
+       TRUE AS sketch_exact
+FROM exact
+ORDER BY exact_count DESC, event_type ASC
+LIMIT 3
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "e18_dedup_within_watermark": e18_dedup_within_watermark,
         "e19_statestore_read": e19_statestore_read,
     },
     7: {"e20_streaming_quantiles": e20_streaming_quantiles},
+    8: {"a04_approx_top_k": a04_approx_top_k},
 }
 STAGED_ORACLES = {
     6: {
@@ -1338,4 +1392,5 @@ STAGED_ORACLES = {
         "e19_statestore_read": E19_SQL,
     },
     7: {"e20_streaming_quantiles": E20_SQL},
+    8: {"a04_approx_top_k": A04_SQL},
 }

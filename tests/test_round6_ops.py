@@ -777,6 +777,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "v16_polymorphic_udtf",
         "s18_mmr_rerank",
         "q44_listagg_rollup",
+        "a04_approx_top_k",
     ]
 
     def declared():

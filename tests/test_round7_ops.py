@@ -485,3 +485,16 @@ def test_q44_matches_duckdb_oracle(spark, sf_dir):
         .fetchall()
     ]
     assert len(got) > 0 and got == want
+
+
+def test_a04_matches_duckdb_oracle(spark, sf_dir):
+    """a04 approx_top_k is STAGED for round-9 declaration; below sketch
+    capacity the heavy-hitters result must equal the exact top-3."""
+    from nlp_data_pipeline_spark.operators.events import A04_SQL, a04_approx_top_k
+
+    got = [tuple(r) for r in a04_approx_top_k(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(A04_SQL).fetchall()
+    ]
+    assert len(got) == 3 and got == want
+    assert all(r[3] for r in got)  # sketch exact below capacity
