@@ -1769,6 +1769,110 @@ ORDER BY query_id, pick
 """
 
 
+# --------------------------------------------------------------------------
+# s19: PageRank centrality on the kNN similarity graph — STAGED FOR
+# ROUND-9 DECLARATION (gated on staged_ops_live(8); oracle-parity-
+# tested in test_round7_ops.py::test_s19_matches_duckdb_oracle).
+#
+# The iterative-graph-algorithm family (beside d06's label-propagation
+# components and s17's Lloyd steps): 3 power iterations of damped
+# PageRank over s16's undirected exact-kNN graph — similarity-graph
+# centrality is the standard "representative exemplar" signal for
+# curation (central docs anchor clusters; low-centrality docs are
+# outliers or near-singletons). Each iteration is one edges⋈pr
+# broadcast-or-shuffle join + a sum-by-dst partial aggregate: cost =
+# O(edges) per step, state = one rank per node — the canonical
+# scalable shape (Pregel-without-Pregel). Graph build reuses
+# _knn_graph's BLAS tile kernel (the 100 TB path); the oracle rebuilds
+# the same graph quadratically in SQL (affordable at oracle scale) and
+# runs the identical unrolled iterations. ALL nodes are emitted
+# (no top-k cutoff), so cross-engine ulp drift in raw ranks cannot
+# flip a selection boundary — only the 6-dp-rounded values must agree.
+# --------------------------------------------------------------------------
+PR_DAMP = 0.85
+PR_ITERS = 3
+
+
+def s19_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    edges = _knn_graph(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src").localCheckpoint()  # (src, dst, deg) reused 3×
+    pr = deg.select(F.col("src").alias("vec_id"), (F.lit(1.0) / n).alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            ed.join(pr, ed["src"] == pr["vec_id"])
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = contrib.select(
+            F.col("dst").alias("vec_id"),
+            (F.lit((1.0 - PR_DAMP) / n) + F.lit(PR_DAMP) * F.col("s")).alias("pr"),
+        )
+    return (
+        pr.join(deg.select(F.col("src").alias("vec_id"), "deg"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("deg").cast("long").alias("degree"),
+            F.round(F.col("pr") * n, 6).alias("centrality"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+S19_SQL = f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding::DOUBLE[] AS DOUBLE[{DIM}]) AS emb FROM embeddings
+),
+-- oracle-runtime optimizations, value-identical to the list spelling
+-- (verified bitwise): fixed-size DOUBLE[{DIM}] arrays use the native
+-- array_inner_product kernel (~15x faster than per-pair list folds at
+-- 4M pairs), and norms materialize once per VECTOR, not per pair
+e AS MATERIALIZED (
+  SELECT vec_id, emb, sqrt(array_inner_product(emb, emb)) AS nrm FROM e0
+),
+n AS (SELECT COUNT(*) AS n FROM e),
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+           array_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) DESC,
+           b.vec_id ASC) AS rn
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+knn AS (SELECT src, dst FROM cand WHERE rn <= {GRAPH_M}),
+-- edges/deg feed three iterations: MATERIALIZED stops CTE inlining
+-- from re-running the O(n^2) cand scoring once per consumer
+edges AS MATERIALIZED (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+pr0 AS (SELECT src AS vec_id, 1.0 / n.n AS pr FROM deg, n),
+pr1 AS (
+  SELECT e.dst AS vec_id,
+         (1.0 - {PR_DAMP}) / any_value(n.n) + {PR_DAMP} * SUM(p.pr / d.deg) AS pr
+  FROM edges e JOIN deg d ON e.src = d.src JOIN pr0 p ON e.src = p.vec_id, n
+  GROUP BY e.dst
+),
+pr2 AS (
+  SELECT e.dst AS vec_id,
+         (1.0 - {PR_DAMP}) / any_value(n.n) + {PR_DAMP} * SUM(p.pr / d.deg) AS pr
+  FROM edges e JOIN deg d ON e.src = d.src JOIN pr1 p ON e.src = p.vec_id, n
+  GROUP BY e.dst
+),
+pr3 AS (
+  SELECT e.dst AS vec_id,
+         (1.0 - {PR_DAMP}) / any_value(n.n) + {PR_DAMP} * SUM(p.pr / d.deg) AS pr
+  FROM edges e JOIN deg d ON e.src = d.src JOIN pr2 p ON e.src = p.vec_id, n
+  GROUP BY e.dst
+)
+SELECT p.vec_id,
+       CAST(d.deg AS BIGINT) AS degree,
+       round(p.pr * n.n, 6) AS centrality
+FROM pr3 p JOIN deg d ON p.vec_id = d.src, n
+ORDER BY p.vec_id
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
@@ -1815,6 +1919,7 @@ STAGED_QUERIES = {
     8: {
         "s17_kmeans_refine": s17_kmeans_refine,
         "s18_mmr_rerank": s18_mmr_rerank,
+        "s19_pagerank": s19_pagerank,
     },
 }
 STAGED_ORACLES = {
@@ -1829,5 +1934,6 @@ STAGED_ORACLES = {
     8: {
         "s17_kmeans_refine": S17_SQL,
         "s18_mmr_rerank": S18_SQL,
+        "s19_pagerank": S19_SQL,
     },
 }

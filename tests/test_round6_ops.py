@@ -778,6 +778,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "s18_mmr_rerank",
         "q44_listagg_rollup",
         "a04_approx_top_k",
+        "s19_pagerank",
     ]
 
     def declared():

@@ -498,3 +498,17 @@ def test_a04_matches_duckdb_oracle(spark, sf_dir):
     ]
     assert len(got) == 3 and got == want
     assert all(r[3] for r in got)  # sketch exact below capacity
+
+
+def test_s19_matches_duckdb_oracle(spark, sf_dir):
+    """s19 PageRank on the kNN similarity graph is STAGED for round-9
+    declaration; three unrolled power iterations over the BLAS-built
+    graph must equal the quadratic SQL restatement for EVERY node."""
+    from nlp_data_pipeline_spark.operators.similarity import S19_SQL, s19_pagerank
+
+    got = [tuple(r) for r in s19_pagerank(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(S19_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+    # rank mass is conserved up to damping leakage: mean centrality ~1
+    mean_c = sum(r[2] for r in got) / len(got)
+    assert 0.9 < mean_c <= 1.000001
