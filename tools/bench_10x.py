@@ -63,6 +63,8 @@ HEAVY = [
     # replicated-table probe doesn't apply to them)
     "d16_cdc_chunks",
     "s17_kmeans_refine",
+    "s18_mmr_rerank",
+    "s19_pagerank",
 ]
 
 
@@ -171,6 +173,8 @@ def main() -> int:
         (_sim, "s16_graph_ann_recall"),
         (_dd, "d16_cdc_chunks"),
         (_sim, "s17_kmeans_refine"),
+        (_sim, "s18_mmr_rerank"),
+        (_sim, "s19_pagerank"),
     ):
         queries.setdefault(staged, getattr(mod, staged))
 
