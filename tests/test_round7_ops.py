@@ -512,3 +512,28 @@ def test_s19_matches_duckdb_oracle(spark, sf_dir):
     # rank mass is conserved up to damping leakage: mean centrality ~1
     mean_c = sum(r[2] for r in got) / len(got)
     assert 0.9 < mean_c <= 1.000001
+
+
+def test_new_staged_plan_shapes(spark, sf_dir):
+    """Plan-shape pins for the round-9 staged batch: u07 is a pure
+    Arrow map (one MapInArrow, no row-at-a-time Python, the only
+    exchange is the output sort), and s18's candidate generation
+    broadcasts the query side (one corpus scan, no corpus shuffle for
+    scoring)."""
+    from nlp_data_pipeline_spark.operators.relational_ext import u07_map_in_arrow
+    from nlp_data_pipeline_spark.operators.similarity import s18_mmr_rerank
+    from nlp_data_pipeline_spark.plans.explain import formatted_plan
+
+    p = formatted_plan(u07_map_in_arrow(spark, sf_dir))
+    assert "MapInArrow" in p
+    assert "BatchEvalPython" not in p
+    # tree spelling "Exchange (n" counts each exchange once (the detail
+    # section spells them "(n) Exchange"): only the output sort shuffles
+    assert p.count("Exchange (") == 1
+
+    # s18's localCheckpoint truncates the visible lineage at the
+    # candidate relation, so the broadcast of its generation phase is
+    # not inspectable here (s01's plan test covers that shape); pin
+    # what IS visible — the rerank never leaves the JVM
+    p = formatted_plan(s18_mmr_rerank(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
