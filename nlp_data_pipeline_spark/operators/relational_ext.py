@@ -1661,6 +1661,126 @@ ORDER BY r_name
 """
 
 
+# --------------------------------------------------------------------------
+# q45: DataFrame.transpose (SPARK-49128, Spark 4.0) — STAGED FOR
+# ROUND-9 DECLARATION (gated on staged_ops_live(8); oracle-parity-
+# tested in test_round7_ops.py::test_q45_matches_duckdb_oracle).
+#
+# The frame-flip API: a (priority × metric) summary table transposed
+# to (metric × priority) — the report orientation, computed engine-side
+# instead of in a client. Metric values are uniformly DOUBLE before
+# the flip (transpose requires one least-common value type) and every
+# float is settled (rounded) BEFORE transposing, so the flip itself is
+# value-exact. Scale note: transpose collects the (small, aggregated)
+# frame's key column to name output columns — apply it to
+# vocabulary-sized summaries, never to fact tables.
+# --------------------------------------------------------------------------
+def q45_transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    metrics = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    flipped = metrics.transpose("o_orderpriority")
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified",
+        "5-LOW": "low",
+    }
+    cols = [F.col("key").alias("metric")] + [
+        F.col(f"`{src}`").alias(dst) for src, dst in renames.items()
+    ]
+    return flipped.select(*cols).orderBy("metric")
+
+
+Q45_SQL = """
+WITH m AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         round(AVG(o_totalprice), 4) AS avg_price,
+         MAX(o_totalprice) AS max_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT t.metric,
+       (SELECT CASE t.metric WHEN 'n_orders' THEN n_orders
+               WHEN 'avg_price' THEN avg_price ELSE max_price END
+        FROM m WHERE o_orderpriority = '1-URGENT') AS urgent,
+       (SELECT CASE t.metric WHEN 'n_orders' THEN n_orders
+               WHEN 'avg_price' THEN avg_price ELSE max_price END
+        FROM m WHERE o_orderpriority = '2-HIGH') AS high,
+       (SELECT CASE t.metric WHEN 'n_orders' THEN n_orders
+               WHEN 'avg_price' THEN avg_price ELSE max_price END
+        FROM m WHERE o_orderpriority = '3-MEDIUM') AS medium,
+       (SELECT CASE t.metric WHEN 'n_orders' THEN n_orders
+               WHEN 'avg_price' THEN avg_price ELSE max_price END
+        FROM m WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+       (SELECT CASE t.metric WHEN 'n_orders' THEN n_orders
+               WHEN 'avg_price' THEN avg_price ELSE max_price END
+        FROM m WHERE o_orderpriority = '5-LOW') AS low
+FROM (VALUES ('n_orders'), ('avg_price'), ('max_price')) t(metric)
+ORDER BY metric
+"""
+
+
+# --------------------------------------------------------------------------
+# q46: DataFrame.lateralJoin API (SPARK-46794, Spark 4.0) — STAGED FOR
+# ROUND-9 DECLARATION (gated on staged_ops_live(8); oracle-parity-
+# tested in test_round7_ops.py::test_q46_matches_duckdb_oracle).
+#
+# v06/v09 cover SQL LATERAL; this is the DataFrame-side spelling: the
+# right side references the CURRENT left row via Column.outer(), so
+# "top-2 nations per region by customer count" is an orderBy+limit on
+# the correlated subframe instead of a window-rank detour. Catalyst
+# decorrelates it to the same rank-filter plan — the API is sugar, the
+# physical strategy is shared, which is exactly what the oracle's
+# window restatement proves.
+# --------------------------------------------------------------------------
+def q46_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = (
+        n.join(c, n["n_nationkey"] == c["c_nationkey"], "left")
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+    top2 = (
+        per_nation.where(F.col("n_regionkey") == F.col("r_regionkey").outer())
+        .orderBy(F.desc("n_customers"), F.asc("n_name"))
+        .limit(2)
+    )
+    return (
+        r.lateralJoin(top2)
+        .select("r_name", "n_name", "n_customers")
+        .orderBy("r_name", F.desc("n_customers"), "n_name")
+    )
+
+
+Q46_SQL = """
+WITH per_nation AS (
+  SELECT n.n_regionkey, n.n_name, COUNT(c.c_custkey) AS n_customers
+  FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, n.n_name
+),
+ranked AS (
+  SELECT r.r_name, p.n_name, p.n_customers,
+         ROW_NUMBER() OVER (PARTITION BY r.r_name
+           ORDER BY p.n_customers DESC, p.n_name ASC) AS rk
+  FROM region r JOIN per_nation p ON p.n_regionkey = r.r_regionkey
+)
+SELECT r_name, n_name, CAST(n_customers AS BIGINT) AS n_customers
+FROM ranked WHERE rk <= 2
+ORDER BY r_name, n_customers DESC, n_name
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -1668,6 +1788,8 @@ STAGED_QUERIES = {
         "u06_cogrouped_attribution": u06_cogrouped_attribution,
         "u07_map_in_arrow": u07_map_in_arrow,
         "q44_listagg_rollup": q44_listagg_rollup,
+        "q45_transpose_metrics": q45_transpose_metrics,
+        "q46_lateral_join_api": q46_lateral_join_api,
     },
 }
 STAGED_ORACLES = {
@@ -1677,5 +1799,7 @@ STAGED_ORACLES = {
         "u06_cogrouped_attribution": U06_SQL,
         "u07_map_in_arrow": U07_SQL,
         "q44_listagg_rollup": Q44_SQL,
+        "q45_transpose_metrics": Q45_SQL,
+        "q46_lateral_join_api": Q46_SQL,
     },
 }

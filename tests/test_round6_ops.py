@@ -779,6 +779,8 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "q44_listagg_rollup",
         "a04_approx_top_k",
         "s19_pagerank",
+        "q45_transpose_metrics",
+        "q46_lateral_join_api",
     ]
 
     def declared():

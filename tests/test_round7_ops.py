@@ -537,3 +537,38 @@ def test_new_staged_plan_shapes(spark, sf_dir):
     # what IS visible — the rerank never leaves the JVM
     p = formatted_plan(s18_mmr_rerank(spark, sf_dir))
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_q45_matches_duckdb_oracle(spark, sf_dir):
+    """q45 DataFrame.transpose is STAGED for round-9 declaration; the
+    flipped metric table must equal the closed-form per-priority
+    restatement (floats settled before the flip)."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q45_SQL,
+        q45_transpose_metrics,
+    )
+
+    got = [tuple(r) for r in q45_transpose_metrics(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("orders",)).execute(Q45_SQL).fetchall()
+    ]
+    assert len(got) == 3 and got == want
+
+
+def test_q46_matches_duckdb_oracle(spark, sf_dir):
+    """q46 DataFrame.lateralJoin is STAGED for round-9 declaration; the
+    correlated orderBy+limit subframe must equal the window-rank
+    restatement (Catalyst decorrelates to the same plan)."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q46_SQL,
+        q46_lateral_join_api,
+    )
+
+    got = [tuple(r) for r in q46_lateral_join_api(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("region", "nation", "customer"))
+        .execute(Q46_SQL)
+        .fetchall()
+    ]
+    assert len(got) > 0 and got == want
