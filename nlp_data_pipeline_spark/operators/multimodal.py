@@ -574,5 +574,96 @@ ORACLES = {
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged during round 6; auto-declared from round 7 by
 # __spark_entry__._collect (lazy staged_ops_live gate).
-STAGED_QUERIES = {6: {"m08_image_dedup_phash": m08_image_dedup_phash}}
-STAGED_ORACLES = {6: {"m08_image_dedup_phash": M08_SQL}}
+# --------------------------------------------------------------------------
+# m09: binary container-header parse in PURE JVM expressions — STAGED
+# FOR ROUND-10 DECLARATION (gated on staged_ops_live(9);
+# oracle-parity-tested in test_round7_ops.py::test_m09_matches_duckdb_oracle).
+#
+# m07 decodes PNG in Python; this shows the cheaper tier: structured
+# FIELD EXTRACTION from a binary container without ever leaving
+# whole-stage codegen. A 44-byte RIFF/WAVE header is synthesized per
+# document (deterministic params from doc_id — the m02 fake-decoder
+# convention, since no audio ships in the testdata), then parsed back
+# by INDEPENDENT expressions: magic checks via byte-slice decode,
+# little-endian u16/u32 fields via hex → byte-swap → conv(16→10). At
+# 100 TB this is the header-sniff pass you run across a binary corpus
+# BEFORE deciding what to hand to the expensive Python decode kernel —
+# scan-speed, zero Python. The oracle recomputes every field closed-
+# form from doc_id, proving the construct→parse loop lossless.
+# --------------------------------------------------------------------------
+def _le_hex(col, nbytes: int):
+    """Little-endian hex encoding of an integer column (nbytes wide)."""
+    h = F.lpad(F.lower(F.hex(col)), nbytes * 2, "0")
+    return F.concat(*[F.substring(h, i * 2 + 1, 2) for i in range(nbytes - 1, -1, -1)])
+
+
+def _parse_le(bin_col, off: int, nbytes: int):
+    """Parse a little-endian unsigned int from a binary column slice."""
+    h = F.lower(F.hex(F.expr(f"substring({bin_col}, {off}, {nbytes})")))
+    swapped = F.concat(
+        *[F.substring(h, i * 2 + 1, 2) for i in range(nbytes - 1, -1, -1)]
+    )
+    return F.conv(swapped, 16, 10).cast("long")
+
+
+def m09_wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    channels = (F.lit(1) + F.col("doc_id") % 2).cast("long")
+    rate = (F.lit(8000) * (F.lit(1) + F.col("doc_id") % 3)).cast("long")
+    byte_rate = rate * channels * 2
+    data_size = (F.col("n_chars") * channels * 2).cast("long")
+    header_hex = F.concat(
+        F.lit("52494646"),                      # 'RIFF'
+        _le_hex(F.lit(36) + data_size, 4),
+        F.lit("57415645666d7420"),              # 'WAVE' 'fmt '
+        _le_hex(F.lit(16), 4),                  # fmt chunk size
+        _le_hex(F.lit(1), 2),                   # PCM
+        _le_hex(channels, 2),
+        _le_hex(rate, 4),
+        _le_hex(byte_rate, 4),
+        _le_hex(channels * 2, 2),               # block align
+        _le_hex(F.lit(16), 2),                  # bits per sample
+        F.lit("64617461"),                      # 'data'
+        _le_hex(data_size, 4),
+    )
+    wav = d.select("doc_id", F.unhex(header_hex).alias("wav"))
+    return wav.select(
+        "doc_id",
+        (
+            (F.expr("decode(substring(wav, 1, 4), 'UTF-8')") == "RIFF")
+            & (F.expr("decode(substring(wav, 9, 4), 'UTF-8')") == "WAVE")
+        ).alias("valid"),
+        _parse_le("wav", 23, 2).alias("channels"),
+        _parse_le("wav", 25, 4).alias("sample_rate"),
+        _parse_le("wav", 29, 4).alias("byte_rate"),
+        _parse_le("wav", 35, 2).alias("bits"),
+        _parse_le("wav", 41, 4).alias("data_size"),
+        F.round(
+            _parse_le("wav", 41, 4) * 1000.0 / _parse_le("wav", 29, 4), 3
+        ).alias("duration_ms"),
+    ).orderBy("doc_id")
+
+
+M09_SQL = """
+SELECT doc_id,
+       TRUE AS valid,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+       CAST(8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2 AS BIGINT) AS byte_rate,
+       CAST(16 AS BIGINT) AS bits,
+       CAST(n_chars * (1 + doc_id % 2) * 2 AS BIGINT) AS data_size,
+       round(CAST(n_chars * (1 + doc_id % 2) * 2 AS DOUBLE) * 1000.0
+             / (8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2), 3) AS duration_ms
+FROM documents
+ORDER BY doc_id
+"""
+
+
+STAGED_QUERIES = {
+    6: {"m08_image_dedup_phash": m08_image_dedup_phash},
+    9: {"m09_wav_header_parse": m09_wav_header_parse},
+}
+STAGED_ORACLES = {
+    6: {"m08_image_dedup_phash": M08_SQL},
+    9: {"m09_wav_header_parse": M09_SQL},
+}

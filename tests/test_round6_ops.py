@@ -802,9 +802,16 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
     assert set(ROUND6) <= at7 and set(ROUND8) <= at7
     assert not (set(ROUND9) & at7)  # round-9 batch still gated
 
+    ROUND10 = ["m09_wav_header_parse"]
+
     monkeypatch.setattr(staging, "latest_recorded_round", lambda: 8)
     at8 = declared()
     assert set(ROUND6) <= at8 and set(ROUND8) <= at8 and set(ROUND9) <= at8
+    assert not (set(ROUND10) & at8)  # round-10 batch still gated
+
+    monkeypatch.setattr(staging, "latest_recorded_round", lambda: 9)
+    at9 = declared()
+    assert set(ROUND9) <= at9 and set(ROUND10) <= at9
 
 
 def test_t36_matches_duckdb_oracle(spark, sf_dir):

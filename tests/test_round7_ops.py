@@ -572,3 +572,26 @@ def test_q46_matches_duckdb_oracle(spark, sf_dir):
         .fetchall()
     ]
     assert len(got) > 0 and got == want
+
+
+def test_m09_matches_duckdb_oracle(spark, sf_dir):
+    """m09 pure-JVM WAV header parse is STAGED for round-10
+    declaration; every little-endian field parsed back from the
+    synthesized 44-byte header must equal its closed-form value."""
+    from nlp_data_pipeline_spark.operators.multimodal import M09_SQL, m09_wav_header_parse
+
+    got = [tuple(r) for r in m09_wav_header_parse(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(M09_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+    assert all(r[1] for r in got)  # every header round-trips valid
+
+
+def test_m09_stays_in_codegen(spark, sf_dir):
+    """The header-sniff pass must never leave the JVM — that is its
+    entire reason to exist beside m07's Python decoder."""
+    from nlp_data_pipeline_spark.operators.multimodal import m09_wav_header_parse
+    from nlp_data_pipeline_spark.plans.explain import formatted_plan
+
+    p = formatted_plan(m09_wav_header_parse(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "MapInArrow" not in p
