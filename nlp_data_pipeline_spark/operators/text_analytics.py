@@ -2550,6 +2550,105 @@ ORDER BY n.doc_id
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
+# --------------------------------------------------------------------------
+# t39: PMI-ranked collocations — STAGED FOR ROUND-10 DECLARATION
+# (gated on staged_ops_live(9); oracle-parity-tested in
+# test_round7_ops.py::test_t39_matches_duckdb_oracle).
+#
+# The association measure BPE's raw pair frequency (t34) is blind to:
+# pointwise mutual information log2(p(ab) / (p(a)·p(b))) ranks bigrams
+# by how much MORE often they co-occur than chance, surfacing true
+# collocations ("machine learning") over merely-frequent pairs of
+# common words — the standard phrase-vocabulary signal for tokenizer
+# and n-gram-merge construction. Two vocabulary-sized aggregates (one
+# bigram, one unigram pass over the corpus) joined on the bigram's
+# parts; ordering/cutoff use the ROUNDED pmi + bigram text, a total
+# order identical cross-engine (raw log2 differs in ulp between
+# libms).
+# --------------------------------------------------------------------------
+_T39_MIN_COUNT = 3
+_T39_TOP = 20
+
+
+def t39_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    base = d.select("doc_id", toks.alias("t")).localCheckpoint()
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    n_uni = uni.agg(F.sum("cw").alias("n")).withColumn("k", F.lit(1))
+    bigr = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= _T39_MIN_COUNT)
+    )
+    n_bi = bigr.agg(F.sum("cab").alias("m")).withColumn("k", F.lit(1))
+    ua = uni.select(F.col("w").alias("a"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("cw").alias("cb"))
+    scored = (
+        bigr.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(n_uni), "k")
+        .join(F.broadcast(n_bi), "k")
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            F.col("cab").alias("pair_count"),
+            F.round(
+                F.log2(
+                    (F.col("cab") / F.col("m"))
+                    / ((F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "bigram").limit(_T39_TOP)
+
+
+T39_SQL = f"""
+WITH cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents),
+seq AS (
+  SELECT doc_id, list_filter(string_split(ctext, ' '), x -> x != '') AS t
+  FROM cleaned
+),
+uni AS (
+  SELECT w, COUNT(*) AS cw FROM (SELECT unnest(t) AS w FROM seq) GROUP BY w
+),
+n_uni AS (SELECT SUM(cw) AS n FROM uni),
+bigr AS (
+  SELECT a, b, COUNT(*) AS cab FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS a,
+           unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS b
+    FROM seq)
+  GROUP BY a, b HAVING COUNT(*) >= {_T39_MIN_COUNT}
+),
+n_bi AS (SELECT SUM(cab) AS m FROM bigr)
+SELECT g.a || ' ' || g.b AS bigram,
+       CAST(g.cab AS BIGINT) AS pair_count,
+       round(log2((CAST(g.cab AS DOUBLE) / m)
+             / ((CAST(ua.cw AS DOUBLE) / n) * (CAST(ub.cw AS DOUBLE) / n))), 6) AS pmi
+FROM bigr g
+JOIN uni ua ON ua.w = g.a
+JOIN uni ub ON ub.w = g.b, n_uni, n_bi
+ORDER BY pmi DESC, bigram
+LIMIT {_T39_TOP}
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -2558,6 +2657,7 @@ STAGED_QUERIES = {
         "t36_sentence_dedup": t36_sentence_dedup,
     },
     7: {"t37_oov_rate": t37_oov_rate},
+    9: {"t39_collocation_pmi": t39_collocation_pmi},
 }
 STAGED_ORACLES = {
     6: {
@@ -2567,4 +2667,5 @@ STAGED_ORACLES = {
         "t36_sentence_dedup": T36_SQL,
     },
     7: {"t37_oov_rate": T37_SQL},
+    9: {"t39_collocation_pmi": T39_SQL},
 }

@@ -595,3 +595,21 @@ def test_m09_stays_in_codegen(spark, sf_dir):
     p = formatted_plan(m09_wav_header_parse(spark, sf_dir))
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
     assert "MapInArrow" not in p
+
+
+def test_t39_matches_duckdb_oracle(spark, sf_dir):
+    """t39 PMI collocations is STAGED for round-10 declaration; the
+    association-ranked bigram list must match the two-aggregate SQL
+    restatement (ordering on the ROUNDED pmi, which is cross-engine
+    stable where raw log2 is not)."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T39_SQL,
+        t39_collocation_pmi,
+    )
+
+    got = [tuple(r) for r in t39_collocation_pmi(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T39_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+    # PMI must genuinely reorder vs raw frequency: the top-PMI bigram
+    # is not the most frequent one on this corpus
+    assert got[0][1] < max(r[1] for r in got)
