@@ -1537,6 +1537,70 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# r17: recursive file discovery + glob filtering — STAGED FOR ROUND-10
+# DECLARATION (gated on staged_ops_live(9); oracle-parity-tested in
+# test_round7_ops.py::test_r17_matches_duckdb_oracle).
+#
+# Real corpora arrive as messy directory TREES (crawl dumps nested by
+# date/domain, mixed with sidecar files). This covers the discovery
+# controls: `recursiveFileLookup` walks arbitrary nesting (ignoring
+# partition-style dir names) and `pathGlobFilter` admits only the
+# wanted extension — the decoy .txt beside the .jsonl shards must
+# contribute NOTHING. The stage writes documents as jsonl at three
+# nesting depths plus a poison decoy whose rows would shift every
+# aggregate if globbing leaked. Discovery cost at 100 TB is a
+# driver-side listing concern: deep trees with millions of files want
+# fewer, flatter directories or a manifest-based source (r08/r15) —
+# the options here are correctness controls, not a listing
+# accelerator.
+# --------------------------------------------------------------------------
+def r17_recursive_glob_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    stage = scratch_path(f"rectree_{os.getpid()}")
+    shutil.rmtree(stage, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    for sub, rem in (("", 0), ("year/", 1), ("year/domain/", 2)):
+        (
+            d.filter(F.col("doc_id") % 3 == rem)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(os.path.join(stage, sub + "shard"))
+        )
+    # poison decoy: same schema, wrong extension — must NOT be read
+    decoy_dir = os.path.join(stage, "year", "decoy")
+    os.makedirs(decoy_dir, exist_ok=True)
+    with open(os.path.join(decoy_dir, "poison.txt"), "w") as fh:
+        fh.write('{"doc_id": 999999, "source": "poison", "n_chars": 1}\n')
+    back = (
+        spark.read.schema("doc_id bigint, source string, n_chars bigint")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.json")
+        .json(stage)
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+R17_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
@@ -1552,6 +1616,7 @@ STAGED_QUERIES = {
         "r15_python_stream_source": r15_python_stream_source,
         "r16_python_stream_sink": r16_python_stream_sink,
     },
+    9: {"r17_recursive_glob_ingest": r17_recursive_glob_ingest},
 }
 STAGED_ORACLES = {
     6: {
@@ -1565,4 +1630,5 @@ STAGED_ORACLES = {
         "r15_python_stream_source": R15_SQL,
         "r16_python_stream_sink": R16_SQL,
     },
+    9: {"r17_recursive_glob_ingest": R17_SQL},
 }

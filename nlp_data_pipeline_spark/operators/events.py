@@ -1326,6 +1326,76 @@ ORDER BY event_type
 # __spark_entry__._collect, which evaluates staging.staged_ops_live
 # lazily per queries()/oracle_sql() call (not at import).
 # --------------------------------------------------------------------------
+# e21: streaming admission control (maxFilesPerTrigger × AvailableNow)
+# — STAGED FOR ROUND-10 DECLARATION (gated on staged_ops_live(9);
+# oracle-parity-tested in test_round7_ops.py::test_e21_matches_duckdb_oracle).
+#
+# The backpressure knob every production file/queue stream runs with:
+# maxFilesPerTrigger bounds each micro-batch's intake, and
+# Trigger.AvailableNow drains the backlog through that bound in
+# MULTIPLE rate-limited batches (unlike the deprecated Trigger.Once,
+# which ignores limits and swallows everything in one). The declared
+# surface is the observable contract: 4 staged files × limit 1 → 4
+# non-empty micro-batches whose union is exactly the source (row count
+# + id checksum). At 100 TB this is how a backfill avoids a single
+# monster batch that overwhelms state stores and sinks — bounded
+# batches, checkpointed progress between them.
+# --------------------------------------------------------------------------
+_E21_FILES = 4
+
+
+def e21_admission_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    stage = scratch_path(f"e21_admit_{_os.getpid()}")
+    shutil.rmtree(stage, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(_E21_FILES).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    batches: list[tuple[int, int, int]] = []
+
+    def record(df, batch_id: int) -> None:
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("ck")
+        ).first()
+        batches.append((batch_id, agg["n"] or 0, agg["ck"] or 0))
+
+    ckpt = scratch_path(f"e21_ckpt_{_os.getpid()}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(record)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # per-file row counts depend on RoundRobinPartitioning's per-input
+    # random start offsets, so only file COUNT and totals are declared
+    nonempty = [b for b in batches if b[1] > 0]
+    return spark.createDataFrame(
+        [
+            (
+                len(nonempty),
+                sum(b[1] for b in nonempty),
+                sum(b[2] for b in nonempty),
+            )
+        ],
+        "n_batches long, n_rows long, id_checksum long",
+    )
+
+
+E21_SQL = f"""
+SELECT CAST({_E21_FILES} AS BIGINT) AS n_batches,
+       COUNT(*) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
 # a04: approx_top_k heavy-hitters sketch (SPARK-49662, Spark 4.1) —
 # STAGED FOR ROUND-9 DECLARATION (gated on staged_ops_live(8);
 # oracle-parity-tested in test_round7_ops.py::test_a04_matches_duckdb_oracle).
@@ -1385,6 +1455,7 @@ STAGED_QUERIES = {
     },
     7: {"e20_streaming_quantiles": e20_streaming_quantiles},
     8: {"a04_approx_top_k": a04_approx_top_k},
+    9: {"e21_admission_control": e21_admission_control},
 }
 STAGED_ORACLES = {
     6: {
@@ -1393,4 +1464,5 @@ STAGED_ORACLES = {
     },
     7: {"e20_streaming_quantiles": E20_SQL},
     8: {"a04_approx_top_k": A04_SQL},
+    9: {"e21_admission_control": E21_SQL},
 }

@@ -802,7 +802,12 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
     assert set(ROUND6) <= at7 and set(ROUND8) <= at7
     assert not (set(ROUND9) & at7)  # round-9 batch still gated
 
-    ROUND10 = ["m09_wav_header_parse", "t39_collocation_pmi"]
+    ROUND10 = [
+        "m09_wav_header_parse",
+        "t39_collocation_pmi",
+        "r17_recursive_glob_ingest",
+        "e21_admission_control",
+    ]
 
     monkeypatch.setattr(staging, "latest_recorded_round", lambda: 8)
     at8 = declared()

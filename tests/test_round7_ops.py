@@ -613,3 +613,31 @@ def test_t39_matches_duckdb_oracle(spark, sf_dir):
     # PMI must genuinely reorder vs raw frequency: the top-PMI bigram
     # is not the most frequent one on this corpus
     assert got[0][1] < max(r[1] for r in got)
+
+
+def test_r17_matches_duckdb_oracle(spark, sf_dir):
+    """r17 recursive discovery + glob filter is STAGED for round-10
+    declaration; rows gathered across three nesting depths must equal
+    the full table, and the decoy .txt must contribute nothing."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        R17_SQL,
+        r17_recursive_glob_ingest,
+    )
+
+    got = [tuple(r) for r in r17_recursive_glob_ingest(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(R17_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+    assert not any(r[0] == "poison" for r in got)
+
+
+def test_e21_matches_duckdb_oracle(spark, sf_dir):
+    """e21 admission control is STAGED for round-10 declaration:
+    AvailableNow must drain 4 staged files through maxFilesPerTrigger=1
+    as exactly 4 non-empty micro-batches whose union is the source."""
+    from nlp_data_pipeline_spark.operators.events import E21_SQL, e21_admission_control
+
+    got = [tuple(r) for r in e21_admission_control(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(E21_SQL).fetchall()
+    ]
+    assert got == want and got[0][0] == 4
