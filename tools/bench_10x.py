@@ -65,6 +65,9 @@ HEAVY = [
     "s17_kmeans_refine",
     "s18_mmr_rerank",
     "s19_pagerank",
+    # round-10 staged (documents-shaped)
+    "t39_collocation_pmi",
+    "m09_wav_header_parse",
 ]
 
 
@@ -158,6 +161,7 @@ def main() -> int:
     # not yet in queries(); probe them at scale all the same
     from nlp_data_pipeline_spark.operators import dedup as _dd
     from nlp_data_pipeline_spark.operators import doc_pipeline as _dp
+    from nlp_data_pipeline_spark.operators import multimodal as _mm
     from nlp_data_pipeline_spark.operators import similarity as _sim
     from nlp_data_pipeline_spark.operators import text_analytics as _ta
 
@@ -175,6 +179,8 @@ def main() -> int:
         (_sim, "s17_kmeans_refine"),
         (_sim, "s18_mmr_rerank"),
         (_sim, "s19_pagerank"),
+        (_ta, "t39_collocation_pmi"),
+        (_mm, "m09_wav_header_parse"),
     ):
         queries.setdefault(staged, getattr(mod, staged))
 
