@@ -641,3 +641,49 @@ def test_e21_matches_duckdb_oracle(spark, sf_dir):
         tuple(r) for r in _duck(sf_dir, views=("events",)).execute(E21_SQL).fetchall()
     ]
     assert got == want and got[0][0] == 4
+
+
+def test_docfeed_stripes_cover_id_space_exactly():
+    """The docfeed stream's partitions must tile the doc_id space with
+    no gap and no overlap for any (stripe width, split count) — a
+    missed boundary row would silently drop data at scale."""
+    from nlp_data_pipeline_spark.sources.custom_datasource import DocFeedStreamReader
+
+    for stripe, n_stripes, splits in ((7, 4, 2), (10, 3, 3), (1, 5, 2), (9, 4, 4)):
+        r = DocFeedStreamReader(
+            {
+                "path": "unused",
+                "stripe_docs": str(stripe),
+                "n_stripes": str(n_stripes),
+                "splits_per_stripe": str(splits),
+            }
+        )
+        parts = r.partitions(r.initialOffset(), r.latestOffset())
+        ranges = sorted(p.value for p in parts)
+        assert ranges[0][0] == 0
+        assert ranges[-1][1] == stripe * n_stripes
+        for (a1, b1), (a2, b2) in zip(ranges, ranges[1:]):
+            assert b1 == a2  # contiguous: no gap, no overlap
+        assert all(a < b for a, b in ranges)
+
+
+def test_docshards_abort_removes_orphan_temps(tmp_path):
+    """A failed micro-batch's abort must clear task temp files so the
+    next attempt starts from a clean directory (no half-written shard
+    ever becomes visible to the part-* reader)."""
+    import csv
+    import os
+
+    from nlp_data_pipeline_spark.sources.custom_datasource import (
+        DocShardsStreamWriter,
+        _ShardCommit,
+    )
+
+    sink = str(tmp_path / "shards")
+    os.makedirs(sink)
+    w = DocShardsStreamWriter(sink)
+    tmp = os.path.join(sink, "_tmp-abort.tsv")
+    with open(tmp, "w", newline="") as fh:
+        csv.writer(fh, delimiter="\t").writerow((1, "a", 10))
+    w.abort([_ShardCommit(tmp_path=tmp, n_rows=1), None], batchId=0)
+    assert os.listdir(sink) == []
