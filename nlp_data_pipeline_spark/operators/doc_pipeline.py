@@ -1601,6 +1601,126 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# p06: declarative dataflow-graph pipeline — STAGED FOR ROUND-10
+# DECLARATION (gated on staged_ops_live(9); oracle-parity-tested in
+# test_round7_ops.py::test_p06_matches_duckdb_oracle).
+#
+# The Declarative-Pipelines PATTERN without the Spark-Connect
+# dependency (pyspark.pipelines executes only under connect/grpcio —
+# COVERAGE.md probe): a curation pipeline declared as named stages
+# with explicit dependencies and run by plans/dataflow.run_graph,
+# which validates the graph (cycles, unknown inputs) before any Spark
+# work and resolves shared upstream stages as ONE reused DataFrame.
+# The pipeline itself is the standard keep/drop sweep: clean+tokenize
+# once, a quality gate and an exact-dup keeper both consuming that
+# single cleaned stage, folded into a per-source verdict summary.
+# --------------------------------------------------------------------------
+_P06_MIN_TOKENS = 20  # p10 of the corpus: the gate drops ~10% of docs, so the
+# hash check is sensitive to the quality rule (10 would keep everything)
+
+
+def p06_dataflow_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from nlp_data_pipeline_spark.plans.dataflow import Stage, run_graph
+
+    def cleaned(inp):
+        return inp["documents"].select(
+            "doc_id",
+            "source",
+            clean_text("text").alias("ctext"),
+            F.size(tokenize_joined_arr("text")).cast("long").alias("n_tokens"),
+        )
+
+    def quality(inp):
+        return inp["cleaned"].select(
+            "doc_id", (F.col("n_tokens") >= _P06_MIN_TOKENS).alias("ok_quality")
+        )
+
+    def dedup(inp):
+        w = Window.partitionBy(F.md5("ctext"))
+        return inp["cleaned"].select(
+            "doc_id",
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("ok_unique"),
+        )
+
+    def verdict(inp):
+        return (
+            inp["cleaned"]
+            .select("doc_id", "source")
+            .join(inp["quality"], "doc_id")
+            .join(inp["dedup"], "doc_id")
+            .select(
+                "doc_id",
+                "source",
+                (F.col("ok_quality") & F.col("ok_unique")).alias("kept"),
+                "ok_quality",
+                "ok_unique",
+            )
+        )
+
+    def summary(inp):
+        v = inp["verdict"]
+        return (
+            v.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("kept").cast("long")).alias("n_kept"),
+                F.sum((~F.col("ok_quality")).cast("long")).alias("n_low_quality"),
+                F.sum((~F.col("ok_unique")).cast("long")).alias("n_exact_dups"),
+            )
+            .orderBy("source")
+        )
+
+    graph = run_graph(
+        [
+            Stage("cleaned", cleaned, ["documents"]),
+            Stage("quality", quality, ["cleaned"]),
+            Stage("dedup", dedup, ["cleaned"]),
+            Stage("verdict", verdict, ["cleaned", "quality", "dedup"]),
+            Stage("summary", summary, ["verdict"]),
+        ],
+        {"documents": load_table(spark, sf_dir, "documents")},
+    )
+    return graph["summary"]
+
+
+def tokenize_joined_arr(col):
+    from nlp_data_pipeline_spark.functions.text import tokenize
+
+    return tokenize(clean_text(col))
+
+
+P06_SQL = f"""
+WITH cleaned AS (
+  SELECT doc_id, source, {_CLEAN_SQL} AS ctext FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         (SELECT COUNT(*) FROM (
+            SELECT unnest(string_split(c.ctext, ' ')) AS w) t
+          WHERE length(w) > 2 AND lower(w) NOT IN ({_STOP_SQL}) AND w != ''
+         ) AS n_tokens
+  FROM cleaned c
+),
+verdict AS (
+  SELECT c.doc_id, c.source,
+         t.n_tokens >= {_P06_MIN_TOKENS} AS ok_quality,
+         c.doc_id = MIN(c.doc_id) OVER (PARTITION BY md5(c.ctext)) AS ok_unique
+  FROM cleaned c JOIN toks t USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ok_quality AND ok_unique THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN NOT ok_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       CAST(SUM(CASE WHEN NOT ok_unique THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
+FROM verdict
+GROUP BY source
+ORDER BY source
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
@@ -1616,7 +1736,10 @@ STAGED_QUERIES = {
         "r15_python_stream_source": r15_python_stream_source,
         "r16_python_stream_sink": r16_python_stream_sink,
     },
-    9: {"r17_recursive_glob_ingest": r17_recursive_glob_ingest},
+    9: {
+        "r17_recursive_glob_ingest": r17_recursive_glob_ingest,
+        "p06_dataflow_pipeline": p06_dataflow_pipeline,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -1630,5 +1753,8 @@ STAGED_ORACLES = {
         "r15_python_stream_source": R15_SQL,
         "r16_python_stream_sink": R16_SQL,
     },
-    9: {"r17_recursive_glob_ingest": R17_SQL},
+    9: {
+        "r17_recursive_glob_ingest": R17_SQL,
+        "p06_dataflow_pipeline": P06_SQL,
+    },
 }

@@ -807,6 +807,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "t39_collocation_pmi",
         "r17_recursive_glob_ingest",
         "e21_admission_control",
+        "p06_dataflow_pipeline",
     ]
 
     monkeypatch.setattr(staging, "latest_recorded_round", lambda: 8)

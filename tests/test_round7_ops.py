@@ -687,3 +687,58 @@ def test_docshards_abort_removes_orphan_temps(tmp_path):
         csv.writer(fh, delimiter="\t").writerow((1, "a", 10))
     w.abort([_ShardCommit(tmp_path=tmp, n_rows=1), None], batchId=0)
     assert os.listdir(sink) == []
+
+
+def test_p06_matches_duckdb_oracle(spark, sf_dir):
+    """p06 declarative dataflow pipeline is STAGED for round-10
+    declaration; the graph-run keep/drop sweep must equal the SQL
+    restatement, and the quality gate must actually drop documents."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        P06_SQL,
+        p06_dataflow_pipeline,
+    )
+
+    got = [tuple(r) for r in p06_dataflow_pipeline(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(P06_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+    assert sum(r[3] for r in got) > 0  # the gate bites on this corpus
+
+
+def test_dataflow_graph_validation(spark):
+    """The runner must reject broken graphs BEFORE any Spark work:
+    cycles, unknown dependencies, duplicate names, non-DataFrame
+    returns — and resolve shared upstream stages exactly once."""
+    import pytest as _pytest
+
+    from nlp_data_pipeline_spark.plans.dataflow import DataflowError, Stage, run_graph
+
+    src = spark.range(3)
+    calls = []
+
+    def mk(name):
+        def fn(inp):
+            calls.append(name)
+            return next(iter(inp.values()))
+        return fn
+
+    out = run_graph(
+        [
+            Stage("a", mk("a"), ["src"]),
+            Stage("b", mk("b"), ["a"]),
+            Stage("c", mk("c"), ["a", "b"]),
+        ],
+        {"src": src},
+    )
+    assert set(out) == {"src", "a", "b", "c"}
+    assert calls.count("a") == 1  # shared upstream resolved once
+
+    with _pytest.raises(DataflowError, match="cycle"):
+        run_graph(
+            [Stage("x", mk("x"), ["y"]), Stage("y", mk("y"), ["x"])], {}
+        )
+    with _pytest.raises(DataflowError, match="unknown"):
+        run_graph([Stage("x", mk("x"), ["nope"])], {"src": src})
+    with _pytest.raises(DataflowError, match="duplicate"):
+        run_graph([Stage("src", mk("s"), [])], {"src": src})
+    with _pytest.raises(DataflowError, match="returned"):
+        run_graph([Stage("bad", lambda i: 42, [])], {})
