@@ -1277,6 +1277,109 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# d17: asymmetric CONTAINMENT near-dup pairs — STAGED FOR ROUND-10
+# DECLARATION (gated on staged_ops_live(9); oracle-parity-tested in
+# test_round7_ops.py::test_d17_matches_duckdb_oracle).
+#
+# The dedup signal symmetric Jaccard (d05) is structurally blind to:
+# containment |A∩B| / min(|A|,|B|) detects a SMALL document embedded
+# inside a much larger one (quote farms, scraped aggregations,
+# doc-inside-crawl-page) where Jaccard stays tiny because the union is
+# dominated by the big doc. Same postings-join machinery and
+# hot-shingle cap as d05 — the candidate generation is shared-shape by
+# design — with the min-size denominator and both scores emitted so
+# the asymmetry is visible per pair. Determinism: containment and
+# jaccard are int/int divisions (bit-identical cross-engine) and the
+# ordering (containment desc, n_inter desc, doc ids) is total.
+# --------------------------------------------------------------------------
+_D17_MIN_INTER = 3
+
+
+def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ss = _shingle_set_df(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ss = ss.join(d, "doc_id").select("doc_id", "source", "shingle").localCheckpoint()
+    dfreq = ss.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    ss = (
+        ss.join(dfreq.filter(F.col("df") <= _D05_MAX_DF), ["source", "shingle"])
+        .select("doc_id", "source", "shingle")
+        .localCheckpoint()
+    )
+    sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = ss.alias("a"), ss.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= _D17_MIN_INTER)
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.least("sa.n_shingles", "sb.n_shingles").alias("n_smaller"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / F.least("sa.n_shingles", "sb.n_shingles"),
+                6,
+            ).alias("containment"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("containment"), F.desc("n_inter"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+D17_SQL = (
+    _TOKLIST_CTE
+    + f""",
+with_src AS (
+  SELECT s.doc_id, d.source, s.shingle
+  FROM shingle_set s JOIN documents d USING (doc_id)
+),
+dfreq AS (
+  SELECT source, shingle FROM with_src
+  GROUP BY source, shingle HAVING COUNT(*) <= {_D05_MAX_DF}
+),
+capped AS (
+  SELECT w.doc_id, w.source, w.shingle
+  FROM with_src w JOIN dfreq USING (source, shingle)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM capped a
+  JOIN capped b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_D17_MIN_INTER}
+)
+SELECT doc_a, doc_b, n_inter,
+       CAST(least(sa.n_shingles, sb.n_shingles) AS BIGINT) AS n_smaller,
+       round(CAST(n_inter AS DOUBLE) / least(sa.n_shingles, sb.n_shingles), 6) AS containment,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+ORDER BY containment DESC, n_inter DESC, doc_a, doc_b
+LIMIT 20
+"""
+)
+
+
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
 STAGED_QUERIES = {
@@ -1286,6 +1389,7 @@ STAGED_QUERIES = {
         "d15_fuzzy_prefix_pairs": d15_fuzzy_prefix_pairs,
     },
     8: {"d16_cdc_chunks": d16_cdc_chunks},
+    9: {"d17_containment_pairs": d17_containment_pairs},
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -1294,4 +1398,5 @@ STAGED_ORACLES = {
         "d15_fuzzy_prefix_pairs": D15_SQL,
     },
     8: {"d16_cdc_chunks": D16_SQL},
+    9: {"d17_containment_pairs": D17_SQL},
 }

@@ -808,6 +808,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "r17_recursive_glob_ingest",
         "e21_admission_control",
         "p06_dataflow_pipeline",
+        "d17_containment_pairs",
     ]
 
     monkeypatch.setattr(staging, "latest_recorded_round", lambda: 8)

@@ -742,3 +742,16 @@ def test_dataflow_graph_validation(spark):
         run_graph([Stage("src", mk("s"), [])], {"src": src})
     with _pytest.raises(DataflowError, match="returned"):
         run_graph([Stage("bad", lambda i: 42, [])], {})
+
+
+def test_d17_matches_duckdb_oracle(spark, sf_dir):
+    """d17 asymmetric containment is STAGED for round-10 declaration;
+    the min-size-denominator scores must match the postings-join
+    restatement, and at least one pair must show the asymmetry
+    (containment well above Jaccard) that motivates the operator."""
+    from nlp_data_pipeline_spark.operators.dedup import D17_SQL, d17_containment_pairs
+
+    got = [tuple(r) for r in d17_containment_pairs(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D17_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+    assert any(r[4] > 2 * r[5] for r in got)
