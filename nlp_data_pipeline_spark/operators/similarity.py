@@ -1873,6 +1873,168 @@ ORDER BY p.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# s20: IVF operating curve (recall@k vs nprobe) — STAGED FOR ROUND-10
+# DECLARATION (gated on staged_ops_live(9); oracle-parity-tested in
+# test_round7_ops.py::test_s20_matches_duckdb_oracle).
+#
+# The tuning surface behind every IVF deployment decision: s07 runs
+# ONE probe width; this sweeps nprobe ∈ {{1,2,4,8}} in a single plan
+# (shared assignment + shared exact ground truth, the levels joined by
+# a literal spine — no per-level rescans) and reports mean recall@k
+# plus the scanned-candidate fraction per level. At 100 TB this query
+# IS how nprobe gets chosen: find the knee where recall saturates
+# before cost does. All arithmetic is exact int ratios, so the curve
+# hash-checks precisely.
+# --------------------------------------------------------------------------
+S20_PROBES = (1, 2, 4, 8)
+
+
+def s20_ivf_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    n_corpus = e.count()
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    # corpus → nearest centroid (s04's assignment rule), computed once
+    ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cid"))
+    assign = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "cid", ccos.alias("c"))
+        .withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("vec_id", F.col("cid").alias("acid"))
+        .localCheckpoint()
+    )
+    # query → centroid preference order, computed once
+    qcos = dot("cemb", "qemb") / (norm("cemb") * norm("qemb"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cid"))
+    pref = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "cid", qcos.alias("qc"))
+        .withColumn("crank", F.row_number().over(wq))
+        .select("query_id", "cid", "crank")
+    )
+    # exact ground truth (s01's rule), computed once
+    cos = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cos"))
+        .localCheckpoint()
+    )
+    truth = (
+        scored.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    probes = spark.createDataFrame([(p,) for p in S20_PROBES], "nprobe int")
+    # candidates per (nprobe, query): vectors assigned to a preferred
+    # centroid of rank <= nprobe; ranked by the SHARED scored relation
+    cand = (
+        assign.join(F.broadcast(pref), assign["acid"] == pref["cid"])
+        .join(F.broadcast(probes), F.col("crank") <= F.col("nprobe"))
+        .select("nprobe", "query_id", "vec_id")
+        .join(scored, ["query_id", "vec_id"])
+    )
+    wp = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    found = (
+        cand.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= TOP_K)
+        .join(truth, ["query_id", "vec_id"], "left_semi")
+        .groupBy("nprobe", "query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    scanned = cand.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_scanned")
+    )
+    return (
+        found.groupBy("nprobe")
+        .agg(
+            F.round(F.sum("hits") / F.lit(N_QUERIES * TOP_K), 6).alias(
+                "mean_recall"
+            )
+        )
+        .join(scanned, "nprobe")
+        .select(
+            "nprobe",
+            "mean_recall",
+            F.round(
+                F.col("n_scanned") / F.lit(float(N_QUERIES * n_corpus)), 6
+            ).alias("scan_fraction"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+S20_SQL = f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding::DOUBLE[] AS DOUBLE[{DIM}]) AS emb FROM embeddings),
+e AS MATERIALIZED (
+  SELECT vec_id, emb, sqrt(array_inner_product(emb, emb)) AS nrm FROM e0
+),
+n AS (SELECT COUNT(*) AS n_corpus FROM e),
+cents AS (SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e WHERE vec_id < {N_CENTROIDS}),
+q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM e WHERE vec_id < {N_QUERIES}),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid AS acid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             array_inner_product(c.cemb, e.emb) / (c.cnrm * e.nrm) DESC, c.cid ASC) AS r
+    FROM e CROSS JOIN cents c) WHERE r = 1
+),
+pref AS (
+  SELECT q.query_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           array_inner_product(c.cemb, q.qemb) / (c.cnrm * q.qnrm) DESC, c.cid ASC) AS crank
+  FROM q CROSS JOIN cents c
+),
+scored AS MATERIALIZED (
+  SELECT q.query_id, e.vec_id,
+         array_inner_product(q.qemb, e.emb) / (q.qnrm * e.nrm) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+),
+truth AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS r
+    FROM scored) WHERE r <= {TOP_K}
+),
+cand AS MATERIALIZED (
+  SELECT p.nprobe, pr.query_id, a.vec_id, s.cos
+  FROM assign a
+  JOIN pref pr ON a.acid = pr.cid
+  JOIN (VALUES {", ".join(f"({p})" for p in S20_PROBES)}) p(nprobe) ON pr.crank <= p.nprobe
+  JOIN scored s ON s.query_id = pr.query_id AND s.vec_id = a.vec_id
+),
+found AS (
+  SELECT nprobe, query_id, COUNT(*) AS hits FROM (
+    SELECT c.nprobe, c.query_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY c.nprobe, c.query_id
+             ORDER BY c.cos DESC, c.vec_id ASC) AS r
+    FROM cand c) ranked
+  JOIN truth t USING (query_id, vec_id)
+  WHERE r <= {TOP_K}
+  GROUP BY nprobe, query_id
+),
+scanned AS (SELECT nprobe, COUNT(*) AS n_scanned FROM cand GROUP BY nprobe)
+SELECT f.nprobe,
+       round(CAST(SUM(f.hits) AS DOUBLE) / {N_QUERIES * TOP_K}, 6) AS mean_recall,
+       round(CAST(any_value(s.n_scanned) AS DOUBLE) / ({N_QUERIES} * any_value(n.n_corpus)), 6)
+         AS scan_fraction
+FROM found f JOIN scanned s USING (nprobe), n
+GROUP BY f.nprobe
+ORDER BY f.nprobe
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
@@ -1921,6 +2083,7 @@ STAGED_QUERIES = {
         "s18_mmr_rerank": s18_mmr_rerank,
         "s19_pagerank": s19_pagerank,
     },
+    9: {"s20_ivf_operating_curve": s20_ivf_operating_curve},
 }
 STAGED_ORACLES = {
     6: {
@@ -1936,4 +2099,5 @@ STAGED_ORACLES = {
         "s18_mmr_rerank": S18_SQL,
         "s19_pagerank": S19_SQL,
     },
+    9: {"s20_ivf_operating_curve": S20_SQL},
 }

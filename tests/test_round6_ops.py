@@ -809,6 +809,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "e21_admission_control",
         "p06_dataflow_pipeline",
         "d17_containment_pairs",
+        "s20_ivf_operating_curve",
     ]
 
     monkeypatch.setattr(staging, "latest_recorded_round", lambda: 8)

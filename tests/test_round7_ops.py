@@ -755,3 +755,21 @@ def test_d17_matches_duckdb_oracle(spark, sf_dir):
     want = [tuple(r) for r in _duck(sf_dir).execute(D17_SQL).fetchall()]
     assert len(got) > 0 and got == want
     assert any(r[4] > 2 * r[5] for r in got)
+
+
+def test_s20_matches_duckdb_oracle(spark, sf_dir):
+    """s20 IVF operating curve is STAGED for round-10 declaration; the
+    nprobe sweep must match the SQL restatement, recall must be
+    non-decreasing in nprobe, and the widest probe must scan strictly
+    more than the narrowest (the curve is a real trade-off, not flat)."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S20_SQL,
+        s20_ivf_operating_curve,
+    )
+
+    got = [tuple(r) for r in s20_ivf_operating_curve(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(S20_SQL).fetchall()]
+    assert len(got) == 4 and got == want
+    recalls = [r[1] for r in got]
+    assert recalls == sorted(recalls)
+    assert got[-1][2] > got[0][2]
