@@ -1781,6 +1781,120 @@ ORDER BY r_name, n_customers DESC, n_name
 """
 
 
+# --------------------------------------------------------------------------
+# u08: iterator-of-series pandas UDF (SCALAR_ITER) — STAGED FOR
+# ROUND-10 DECLARATION (gated on staged_ops_live(9); oracle-parity-
+# tested in test_round7_ops.py::test_u08_matches_duckdb_oracle).
+#
+# The evaluation mode built for batch model INFERENCE: the function
+# receives an ITERATOR of Arrow batches per worker, so expensive state
+# (a model, a tokenizer, a lookup table) loads ONCE per worker and
+# amortizes over every batch — u03's plain scalar UDF would rebuild it
+# per batch. The "model" here is a deterministic severity table built
+# in the init section (the structure is what's exercised; swap in a
+# real model load at deployment). The oracle restates the scoring
+# closed-form, proving init-once changes cost, not semantics.
+# --------------------------------------------------------------------------
+def u08_scalar_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR_ITER functionType: this module uses postponed
+    # annotations, which the signature-inferring form can't parse (u01)
+    @pandas_udf("double", PandasUDFType.SCALAR_ITER)
+    def severity(batches):
+        # -- init once per worker (the whole point of SCALAR_ITER) --
+        table = {"error": 5.0, "purchase": 3.0, "signup": 2.0,
+                 "click": 1.0, "view": 0.5}
+        for s in batches:
+            yield s.map(table).fillna(0.0)
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("sev", severity("event_type"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("sev"), 1).alias("total_severity"),
+        )
+        .orderBy("event_type")
+    )
+
+
+U08_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       round(SUM(CASE event_type WHEN 'error' THEN 5.0 WHEN 'purchase' THEN 3.0
+                 WHEN 'signup' THEN 2.0 WHEN 'click' THEN 1.0
+                 WHEN 'view' THEN 0.5 ELSE 0.0 END), 1) AS total_severity
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# u09: pandas UDAF as a WINDOW function — STAGED FOR ROUND-10
+# DECLARATION (gated on staged_ops_live(9); oracle-parity-tested in
+# test_round7_ops.py::test_u09_matches_duckdb_oracle).
+#
+# u01 runs the grouped-agg pandas UDF in groupBy; the same kernel also
+# evaluates OVER a bounded window frame — custom rolling statistics
+# (here a 3-row trailing weighted mean of order prices per customer)
+# without materializing per-row arrays. Scale shape: one shuffle on
+# the partition key, frames evaluated per row inside the sorted
+# partition; keep frames bounded (ROWS BETWEEN) — an unbounded custom
+# frame re-aggregates O(n) per row. Exactness: weights are small exact
+# ints, the 3-term weighted mean is the same float expression both
+# engines evaluate, 4-dp rounded.
+# --------------------------------------------------------------------------
+def u09_pandas_window_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # The declared surface is EXACT-INTEGER (weighted cents + weight
+    # total per frame): a rounded float mean hit a true .00005 half
+    # case where Spark's round (BigDecimal on the double's SHORTEST
+    # representation, so "…30875" rounds HALF_UP to …3088) and
+    # DuckDB's numeric multiply-round (the binary double sits a hair
+    # BELOW the half, …3087) legitimately disagree — per the repo
+    # float discipline, money through integers, never a rounded
+    # computed quotient.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def weighted_cents(price, w):
+        cents = (price * 100).round().astype("int64")
+        return int((cents * w.astype("int64")).sum())
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    weight = (F.col("o_orderkey") % 5 + 1).cast("long")
+    return (
+        o.withColumn("wt", weight)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            weighted_cents("o_totalprice", "wt").over(w).alias("rolling_wcents"),
+            F.sum("wt").over(w).alias("rolling_weight"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+U09_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT) * (o_orderkey % 5 + 1))
+            OVER f AS BIGINT) AS rolling_wcents,
+       CAST(SUM(o_orderkey % 5 + 1) OVER f AS BIGINT) AS rolling_weight
+FROM orders
+WHERE o_custkey < 50
+WINDOW f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -1790,6 +1904,10 @@ STAGED_QUERIES = {
         "q44_listagg_rollup": q44_listagg_rollup,
         "q45_transpose_metrics": q45_transpose_metrics,
         "q46_lateral_join_api": q46_lateral_join_api,
+    },
+    9: {
+        "u08_scalar_iter_udf": u08_scalar_iter_udf,
+        "u09_pandas_window_udaf": u09_pandas_window_udaf,
     },
 }
 STAGED_ORACLES = {
@@ -1801,5 +1919,9 @@ STAGED_ORACLES = {
         "q44_listagg_rollup": Q44_SQL,
         "q45_transpose_metrics": Q45_SQL,
         "q46_lateral_join_api": Q46_SQL,
+    },
+    9: {
+        "u08_scalar_iter_udf": U08_SQL,
+        "u09_pandas_window_udaf": U09_SQL,
     },
 }

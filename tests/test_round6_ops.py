@@ -810,6 +810,8 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "p06_dataflow_pipeline",
         "d17_containment_pairs",
         "s20_ivf_operating_curve",
+        "u08_scalar_iter_udf",
+        "u09_pandas_window_udaf",
     ]
 
     monkeypatch.setattr(staging, "latest_recorded_round", lambda: 8)

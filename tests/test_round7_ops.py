@@ -773,3 +773,37 @@ def test_s20_matches_duckdb_oracle(spark, sf_dir):
     recalls = [r[1] for r in got]
     assert recalls == sorted(recalls)
     assert got[-1][2] > got[0][2]
+
+
+def test_u08_matches_duckdb_oracle(spark, sf_dir):
+    """u08 SCALAR_ITER pandas UDF is STAGED for round-10 declaration;
+    the init-once-per-worker scoring must equal the closed-form CASE
+    restatement (init placement changes cost, never semantics)."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        U08_SQL,
+        u08_scalar_iter_udf,
+    )
+
+    got = [tuple(r) for r in u08_scalar_iter_udf(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(U08_SQL).fetchall()
+    ]
+    assert len(got) == 5 and got == want
+
+
+def test_u09_matches_duckdb_oracle(spark, sf_dir):
+    """u09 pandas UDAF over a bounded window frame is STAGED for
+    round-10 declaration; the exact-integer rolling weighted-cents must
+    match the SQL windowed sums row for row."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        U09_SQL,
+        u09_pandas_window_udaf,
+    )
+
+    got = [tuple(r) for r in u09_pandas_window_udaf(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("orders",)).execute(U09_SQL).fetchall()
+    ]
+    assert len(got) > 0 and got == want
+    # frames are genuinely trailing-3: weight totals vary per row
+    assert len({r[3] for r in got}) > 1
