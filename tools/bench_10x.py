@@ -68,6 +68,8 @@ HEAVY = [
     # round-10 staged (documents-shaped)
     "t39_collocation_pmi",
     "m09_wav_header_parse",
+    "d17_containment_pairs",
+    "s20_ivf_operating_curve",
 ]
 
 
@@ -181,6 +183,8 @@ def main() -> int:
         (_sim, "s19_pagerank"),
         (_ta, "t39_collocation_pmi"),
         (_mm, "m09_wav_header_parse"),
+        (_dd, "d17_containment_pairs"),
+        (_sim, "s20_ivf_operating_curve"),
     ):
         queries.setdefault(staged, getattr(mod, staged))
 
