@@ -1602,6 +1602,60 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# r18: corrupt-FILE-resilient ingestion — STAGED FOR ROUND-10
+# DECLARATION (gated on staged_ops_live(9); oracle-parity-tested in
+# test_round7_ops.py::test_r18_matches_duckdb_oracle).
+#
+# r02 handles corrupt RECORDS inside a parseable file; this covers the
+# coarser failure real landing zones produce — a whole unreadable
+# file (truncated upload, non-parquet bytes with a .parquet name)
+# sitting among good shards. `ignoreCorruptFiles` skips files whose
+# footer/magic can't be read instead of failing the job; the staged
+# directory plants exactly that poison file, and the oracle proves
+# the result is precisely the good shards' rows — nothing dropped
+# beyond the corrupt file, nothing fabricated. At 100 TB pair this
+# with a landed-file manifest (r13/r14) so skipped files are COUNTED,
+# not silently forgotten: resilience without reconciliation is
+# data loss with extra steps.
+# --------------------------------------------------------------------------
+def r18_corrupt_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    stage = scratch_path(f"corruptdir_{os.getpid()}")
+    shutil.rmtree(stage, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    d.repartition(4).write.mode("overwrite").parquet(stage)
+    # poison: a .parquet-named file that is not parquet at all
+    with open(os.path.join(stage, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"NOT A PARQUET FILE \x00\x01\x02" * 64)
+    back = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema("doc_id bigint, source string, n_chars bigint")
+        .parquet(stage)
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+R18_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # p06: declarative dataflow-graph pipeline — STAGED FOR ROUND-10
 # DECLARATION (gated on staged_ops_live(9); oracle-parity-tested in
 # test_round7_ops.py::test_p06_matches_duckdb_oracle).
@@ -1738,6 +1792,7 @@ STAGED_QUERIES = {
     },
     9: {
         "r17_recursive_glob_ingest": r17_recursive_glob_ingest,
+        "r18_corrupt_file_ingest": r18_corrupt_file_ingest,
         "p06_dataflow_pipeline": p06_dataflow_pipeline,
     },
 }
@@ -1755,6 +1810,7 @@ STAGED_ORACLES = {
     },
     9: {
         "r17_recursive_glob_ingest": R17_SQL,
+        "r18_corrupt_file_ingest": R18_SQL,
         "p06_dataflow_pipeline": P06_SQL,
     },
 }

@@ -812,6 +812,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "s20_ivf_operating_curve",
         "u08_scalar_iter_udf",
         "u09_pandas_window_udaf",
+        "r18_corrupt_file_ingest",
     ]
 
     monkeypatch.setattr(staging, "latest_recorded_round", lambda: 8)

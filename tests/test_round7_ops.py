@@ -807,3 +807,41 @@ def test_u09_matches_duckdb_oracle(spark, sf_dir):
     assert len(got) > 0 and got == want
     # frames are genuinely trailing-3: weight totals vary per row
     assert len({r[3] for r in got}) > 1
+
+
+def test_r18_matches_duckdb_oracle(spark, sf_dir):
+    """r18 corrupt-file-resilient ingest is STAGED for round-10
+    declaration; with a planted non-parquet poison file in the
+    directory, ignoreCorruptFiles must yield exactly the good shards'
+    rows (logged-and-skipped, not failed, not partially read)."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        R18_SQL,
+        r18_corrupt_file_ingest,
+    )
+
+    got = [tuple(r) for r in r18_corrupt_file_ingest(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(R18_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+
+
+def test_r18_fails_loudly_without_the_option(spark, sf_dir):
+    """The flip side that makes r18 meaningful: the SAME poisoned
+    directory read WITHOUT ignoreCorruptFiles must raise — resilience
+    is an explicit opt-in, never silent default behavior."""
+    import os
+
+    import pytest as _pytest
+
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        r18_corrupt_file_ingest,
+    )
+    from nlp_data_pipeline_spark.scratch import scratch_path
+
+    r18_corrupt_file_ingest(spark, sf_dir).collect()  # stages + poisons
+    stage = scratch_path(f"corruptdir_{os.getpid()}")
+    with _pytest.raises(Exception):
+        (
+            spark.read.schema("doc_id bigint, source string, n_chars bigint")
+            .parquet(stage)
+            .count()
+        )
