@@ -257,7 +257,12 @@ GROUP BY doc_id
 _D05_MAX_DF = 256
 
 
-def d05_shingle_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _capped_postings(spark: SparkSession, sf_dir: str):
+    """Shared candidate machinery for the shingle-overlap operators
+    (d05 Jaccard, d17 containment): the per-source hot-shingle-capped
+    postings relation, per-doc set sizes, and the same-source pairwise
+    intersection counts. One definition so the cap semantics and the
+    checkpoint placement cannot silently diverge between operators."""
     ss = _shingle_set_df(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     # materialize ONCE: the df-cap, sizes, and both self-join sides all
@@ -274,8 +279,7 @@ def d05_shingle_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = ss.alias("a")
-    b = ss.alias("b")
+    a, b = ss.alias("a"), ss.alias("b")
     inter = (
         a.join(
             b,
@@ -286,6 +290,11 @@ def d05_shingle_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    return sizes, inter
+
+
+def d05_shingle_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sizes, inter = _capped_postings(spark, sf_dir)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
@@ -306,9 +315,10 @@ def d05_shingle_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-D05_SQL = (
-    _TOKLIST_CTE
-    + f""",
+# shared SQL twin of _capped_postings: the capped postings, per-doc
+# sizes, and pairwise intersection CTEs used by d05 AND d17 — one
+# definition so the cap semantics cannot silently diverge
+_CAPPED_POSTINGS_SQL = f""",
 with_src AS (
   SELECT s.doc_id, d.source, s.shingle
   FROM shingle_set s JOIN documents d USING (doc_id)
@@ -330,6 +340,12 @@ inter AS (
   JOIN capped b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
+"""
+
+D05_SQL = (
+    _TOKLIST_CTE
+    + _CAPPED_POSTINGS_SQL
+    + """
 SELECT doc_a, doc_b, n_inter,
        round(CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
 FROM inter
@@ -1297,28 +1313,8 @@ _D17_MIN_INTER = 3
 
 
 def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ss = _shingle_set_df(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    ss = ss.join(d, "doc_id").select("doc_id", "source", "shingle").localCheckpoint()
-    dfreq = ss.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
-    ss = (
-        ss.join(dfreq.filter(F.col("df") <= _D05_MAX_DF), ["source", "shingle"])
-        .select("doc_id", "source", "shingle")
-        .localCheckpoint()
-    )
-    sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = ss.alias("a"), ss.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        .filter(F.col("n_inter") >= _D17_MIN_INTER)
-    )
+    sizes, inter = _capped_postings(spark, sf_dir)
+    inter = inter.filter(F.col("n_inter") >= _D17_MIN_INTER)
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
@@ -1346,27 +1342,8 @@ def d17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D17_SQL = (
     _TOKLIST_CTE
-    + f""",
-with_src AS (
-  SELECT s.doc_id, d.source, s.shingle
-  FROM shingle_set s JOIN documents d USING (doc_id)
-),
-dfreq AS (
-  SELECT source, shingle FROM with_src
-  GROUP BY source, shingle HAVING COUNT(*) <= {_D05_MAX_DF}
-),
-capped AS (
-  SELECT w.doc_id, w.source, w.shingle
-  FROM with_src w JOIN dfreq USING (source, shingle)
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM capped GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM capped a
-  JOIN capped b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-  HAVING COUNT(*) >= {_D17_MIN_INTER}
-)
+    + _CAPPED_POSTINGS_SQL
+    + f"""
 SELECT doc_a, doc_b, n_inter,
        CAST(least(sa.n_shingles, sb.n_shingles) AS BIGINT) AS n_smaller,
        round(CAST(n_inter AS DOUBLE) / least(sa.n_shingles, sb.n_shingles), 6) AS containment,
@@ -1374,6 +1351,7 @@ SELECT doc_a, doc_b, n_inter,
 FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_inter >= {_D17_MIN_INTER}
 ORDER BY containment DESC, n_inter DESC, doc_a, doc_b
 LIMIT 20
 """

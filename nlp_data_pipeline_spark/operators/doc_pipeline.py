@@ -28,7 +28,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nlp_data_pipeline_spark.functions.text import clean_text, tokenize_joined, truncate_at_word
+from nlp_data_pipeline_spark.functions.text import clean_text, tokenize, tokenize_joined, truncate_at_word
 from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL, _STOP_SQL
 from nlp_data_pipeline_spark.sources.catalog import load_table
 from nlp_data_pipeline_spark.sources.writers import write_csv
@@ -1406,10 +1406,9 @@ ORDER BY source
 # deterministic — reusing one would resume past the drained offset and
 # emit an empty batch by design.
 # --------------------------------------------------------------------------
-_R15_CALLS = iter(range(10**9))
-
-
 def r15_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
     from nlp_data_pipeline_spark.sources.custom_datasource import (
         DocFeedStreamSource,
     )
@@ -1420,8 +1419,14 @@ def r15_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_stripes = 4
     stripe_docs = max_id // n_stripes + 1
-    call = next(_R15_CALLS)
-    name = f"docfeed_sink_{os.getpid()}_{call}"
+    # constant per-pid names, wiped/dropped on entry: per-CALL suffixes
+    # accumulated a full-table memory sink and checkpoint per bench
+    # iteration (the staging-hygiene rule); rmtree keeps the fresh-
+    # checkpoint resume semantics without the buildup
+    name = f"docfeed_sink_{os.getpid()}"
+    spark.catalog.dropTempView(name)
+    ckpt = scratch_path(f"docfeed_ckpt_{os.getpid()}")
+    shutil.rmtree(ckpt, ignore_errors=True)
     query = (
         spark.readStream.format("docfeed")
         .option("path", f"{sf_dir}/documents.parquet")
@@ -1431,10 +1436,7 @@ def r15_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .writeStream.format("memory")
         .queryName(name)
-        .option(
-            "checkpointLocation",
-            scratch_path(f"docfeed_ckpt_{os.getpid()}_{call}"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -1494,9 +1496,10 @@ def r16_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
     )
     n_stripes = 4
-    call = next(_R15_CALLS)
-    sink = scratch_path(f"docshards_{os.getpid()}_{call}")
+    sink = scratch_path(f"docshards_{os.getpid()}")
     shutil.rmtree(sink, ignore_errors=True)
+    ckpt = scratch_path(f"docshards_ckpt_{os.getpid()}")
+    shutil.rmtree(ckpt, ignore_errors=True)
     query = (
         spark.readStream.format("docfeed")
         .option("path", f"{sf_dir}/documents.parquet")
@@ -1506,10 +1509,7 @@ def r16_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .writeStream.format("docshards")
         .option("path", sink)
-        .option(
-            "checkpointLocation",
-            scratch_path(f"docshards_ckpt_{os.getpid()}_{call}"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -1684,7 +1684,7 @@ def p06_dataflow_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             clean_text("text").alias("ctext"),
-            F.size(tokenize_joined_arr("text")).cast("long").alias("n_tokens"),
+            F.size(tokenize(clean_text("text"))).cast("long").alias("n_tokens"),
         )
 
     def quality(inp):
@@ -1738,12 +1738,6 @@ def p06_dataflow_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"documents": load_table(spark, sf_dir, "documents")},
     )
     return graph["summary"]
-
-
-def tokenize_joined_arr(col):
-    from nlp_data_pipeline_spark.functions.text import tokenize
-
-    return tokenize(clean_text(col))
 
 
 P06_SQL = f"""

@@ -1694,8 +1694,13 @@ def q45_transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "4-NOT SPECIFIED": "not_specified",
         "5-LOW": "low",
     }
+    # a priority absent from the data produces NO transposed column;
+    # emit NULL for it (matching the oracle's empty correlated
+    # subquery) instead of failing analysis on the missing name
+    present = set(flipped.columns)
     cols = [F.col("key").alias("metric")] + [
-        F.col(f"`{src}`").alias(dst) for src, dst in renames.items()
+        (F.col(f"`{src}`") if src in present else F.lit(None).cast("double")).alias(dst)
+        for src, dst in renames.items()
     ]
     return flipped.select(*cols).orderBy("metric")
 

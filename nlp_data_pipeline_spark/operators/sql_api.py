@@ -685,7 +685,10 @@ ORDER BY lang, source, n_docs, total_chars
 # 100 TB guidance stands: keep per-statement work declarative and use
 # scripts only to sequence it. Oracle: DuckDB has no scripting, so the
 # loop's fixpoint is restated closed-form over a pow(2, i) series —
-# the semantic-equivalence proof.
+# the semantic-equivalence proof. (v15 below declares its threshold
+# UNROUNDED: max*0.5 is the bit-identical double on both engines,
+# while rounding that computed quotient to 2dp is exact-half-reachable
+# — the u09 divergence class.)
 # --------------------------------------------------------------------------
 def v13_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
@@ -795,7 +798,7 @@ def v15_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-               round(price_thr, 2) AS thr_used
+               price_thr AS thr_used
         FROM orders
         WHERE o_totalprice > price_thr
         GROUP BY o_orderpriority
@@ -808,7 +811,7 @@ V15_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-       round((SELECT max(o_totalprice) * 0.5 FROM orders), 2) AS thr_used
+       (SELECT max(o_totalprice) * 0.5 FROM orders) AS thr_used
 FROM orders
 WHERE o_totalprice > (SELECT max(o_totalprice) * 0.5 FROM orders)
 GROUP BY o_orderpriority

@@ -2580,16 +2580,19 @@ def t39_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cw"))
     )
     n_uni = uni.agg(F.sum("cw").alias("n")).withColumn("k", F.lit(1))
+    # guard size<2: slice with a negative length THROWS (a doc whose
+    # text cleans to nothing would kill the query; the oracle's
+    # range(1, len) handles the same row silently)
+    pairs_expr = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 1),
+            F.slice("t", 2, F.size("t") - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<a:string,b:string>>"))
     bigr = (
-        base.select(
-            F.explode(
-                F.zip_with(
-                    F.slice("t", 1, F.size("t") - 1),
-                    F.slice("t", 2, F.size("t") - 1),
-                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                )
-            ).alias("p")
-        )
+        base.select(F.explode(pairs_expr).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("cab"))
