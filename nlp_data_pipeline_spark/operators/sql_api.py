@@ -883,6 +883,82 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# v17: UDTF with a TABLE argument (SPARK-44233) — STAGED FOR ROUND-10
+# DECLARATION (gated on staged_ops_live(9); oracle-parity-tested in
+# test_round7_ops.py::test_v17_matches_duckdb_oracle).
+#
+# The table-valued INPUT half of the UDTF surface (v03/u05/v16 cover
+# scalar-argument UDTFs): `my_udtf(TABLE(t) PARTITION BY k)` streams
+# each partition's rows through one stateful Python instance — eval()
+# per row, terminate() emits the partition's result. This is the
+# Pythonic per-group reduce for logic that wants ROW-BY-ROW state
+# (parsers, sessionizers, legacy per-group code) without collecting
+# the group into a single pandas frame first (u02's applyInPandas
+# materializes the whole group; a UDTF streams it). Scale: one
+# shuffle on the PARTITION BY key, state = one accumulator per open
+# partition. The oracle restates the fold as a plain aggregate —
+# provable because this accumulator is order-insensitive; anything
+# order-SENSITIVE would need WITH ORDER BY inside the TABLE arg.
+# --------------------------------------------------------------------------
+def v17_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    class SourceProfile:
+        def __init__(self):
+            self.source = None
+            self.n = 0
+            self.chars = 0
+            self.longest = -1
+            self.longest_doc = None
+
+        def eval(self, row):
+            self.source = row["source"]
+            self.n += 1
+            self.chars += row["n_chars"]
+            # tie-break: lowest doc_id among max-length docs
+            key = (row["n_chars"], -row["doc_id"])
+            if self.longest_doc is None or key > (self.longest, -self.longest_doc):
+                self.longest = row["n_chars"]
+                self.longest_doc = row["doc_id"]
+
+        def terminate(self):
+            yield self.source, self.n, self.chars, self.longest_doc
+
+    spark.udtf.register(
+        "source_profile",
+        udtf(
+            SourceProfile,
+            returnType="source string, n_docs long, total_chars long, longest_doc_id long",
+        ),
+    )
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.source, s.n_docs, s.total_chars, s.longest_doc_id
+        FROM source_profile(TABLE(documents) PARTITION BY source) s
+        ORDER BY s.source
+        """
+    )
+
+
+V17_SQL = """
+WITH mx AS (SELECT source, MAX(n_chars) AS mc FROM documents GROUP BY source),
+best AS (
+  SELECT d.source, MIN(d.doc_id) AS longest_doc_id
+  FROM documents d JOIN mx ON d.source = mx.source AND d.n_chars = mx.mc
+  GROUP BY d.source
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       any_value(b.longest_doc_id) AS longest_doc_id
+FROM documents d JOIN best b ON d.source = b.source
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
@@ -900,6 +976,7 @@ STAGED_QUERIES = {
         "v15_sql_variables": v15_sql_variables,
         "v16_polymorphic_udtf": v16_polymorphic_udtf,
     },
+    9: {"v17_udtf_table_argument": v17_udtf_table_argument},
 }
 STAGED_ORACLES = {
     6: {
@@ -915,4 +992,5 @@ STAGED_ORACLES = {
         "v15_sql_variables": V15_SQL,
         "v16_polymorphic_udtf": V16_SQL,
     },
+    9: {"v17_udtf_table_argument": V17_SQL},
 }

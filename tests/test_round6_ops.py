@@ -813,6 +813,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "u08_scalar_iter_udf",
         "u09_pandas_window_udaf",
         "r18_corrupt_file_ingest",
+        "v17_udtf_table_argument",
     ]
 
     monkeypatch.setattr(staging, "latest_recorded_round", lambda: 8)

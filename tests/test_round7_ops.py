@@ -845,3 +845,17 @@ def test_r18_fails_loudly_without_the_option(spark, sf_dir):
             .parquet(stage)
             .count()
         )
+
+
+def test_v17_matches_duckdb_oracle(spark, sf_dir):
+    """v17 TABLE-argument UDTF is STAGED for round-10 declaration; the
+    per-partition streamed fold must equal the plain aggregate
+    restatement (the accumulator is order-insensitive by design)."""
+    from nlp_data_pipeline_spark.operators.sql_api import (
+        V17_SQL,
+        v17_udtf_table_argument,
+    )
+
+    got = [tuple(r) for r in v17_udtf_table_argument(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(V17_SQL).fetchall()]
+    assert len(got) > 0 and got == want
