@@ -2652,6 +2652,87 @@ LIMIT {_T39_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# t41: Heaps-law vocabulary growth curve — STAGED FOR ROUND-10
+# DECLARATION (gated on staged_ops_live(9); oracle-parity-tested in
+# test_round7_ops.py::test_t41_matches_duckdb_oracle).
+#
+# The vocabulary-sizing diagnostic beside t23's Zipf slope: distinct
+# vocabulary measured at nested corpus prefixes (10/25/50/100% of
+# documents by doc_id) in ONE aggregation — each level is a
+# conditional COUNT(DISTINCT)/COUNT over the same exploded token
+# relation, then unpivoted to a (fraction, docs, tokens, vocab) curve.
+# Sub-linear vocab growth (Heaps' law V ∝ n^β, β<1) is what makes
+# fixed-size tokenizers viable; a near-LINEAR curve flags synthetic
+# or ID-riddled text that will blow up any vocabulary. Scale: the
+# token relation is scanned once; the 4-level conditional distinct
+# expands rows 4× inside one hash aggregate (no percentile/object
+# state present, so partial aggregation survives — the a01 pitfall
+# doesn't apply).
+# --------------------------------------------------------------------------
+_T41_FRACTIONS = (10, 25, 50, 100)
+
+
+def t41_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = (
+        d.select("doc_id", F.explode(tokenize(clean_text("text"))).alias("token"))
+    )
+    cuts = {p: -(-n_docs * p // 100) for p in _T41_FRACTIONS}  # ceil
+    aggs = []
+    for p, cut in cuts.items():
+        in_prefix = F.when(F.col("doc_id") < cut, F.col("token"))
+        aggs.append(F.count_distinct(in_prefix).alias(f"v{p}"))
+        aggs.append(F.count(in_prefix).alias(f"t{p}"))
+    wide = toks.agg(*aggs)
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) AS (pct, n_docs_prefix, n_tokens, vocab)".format(
+                n=len(cuts),
+                args=", ".join(
+                    f"{p}, CAST({cut} AS BIGINT), t{p}, v{p}"
+                    for p, cut in cuts.items()
+                ),
+            )
+        )
+    )
+    return stacked.select(
+        "pct",
+        "n_docs_prefix",
+        "n_tokens",
+        "vocab",
+        F.round(F.col("vocab") / F.col("n_tokens"), 6).alias("vocab_per_token"),
+    ).orderBy("pct")
+
+
+T41_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id, t AS token FROM (
+    SELECT doc_id, unnest(string_split({_CLEAN_SQL}, ' ')) AS t FROM documents)
+  WHERE length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != ''
+),
+levels AS (
+  SELECT unnest(ARRAY{list(_T41_FRACTIONS)}) AS pct
+),
+curve AS (
+  SELECT l.pct,
+         CAST(ceil(n.n_docs * l.pct / 100.0) AS BIGINT) AS n_docs_prefix,
+         COUNT(CASE WHEN t.doc_id < ceil(n.n_docs * l.pct / 100.0)
+               THEN 1 END) AS n_tokens,
+         COUNT(DISTINCT CASE WHEN t.doc_id < ceil(n.n_docs * l.pct / 100.0)
+               THEN t.token END) AS vocab
+  FROM levels l, n, toks t
+  GROUP BY l.pct, n.n_docs
+)
+SELECT pct, n_docs_prefix, n_tokens, vocab,
+       round(CAST(vocab AS DOUBLE) / n_tokens, 6) AS vocab_per_token
+FROM curve
+ORDER BY pct
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -2660,7 +2741,10 @@ STAGED_QUERIES = {
         "t36_sentence_dedup": t36_sentence_dedup,
     },
     7: {"t37_oov_rate": t37_oov_rate},
-    9: {"t39_collocation_pmi": t39_collocation_pmi},
+    9: {
+        "t39_collocation_pmi": t39_collocation_pmi,
+        "t41_vocab_growth": t41_vocab_growth,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -2670,5 +2754,8 @@ STAGED_ORACLES = {
         "t36_sentence_dedup": T36_SQL,
     },
     7: {"t37_oov_rate": T37_SQL},
-    9: {"t39_collocation_pmi": T39_SQL},
+    9: {
+        "t39_collocation_pmi": T39_SQL,
+        "t41_vocab_growth": T41_SQL,
+    },
 }

@@ -814,6 +814,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "u09_pandas_window_udaf",
         "r18_corrupt_file_ingest",
         "v17_udtf_table_argument",
+        "t41_vocab_growth",
     ]
 
     monkeypatch.setattr(staging, "latest_recorded_round", lambda: 8)

@@ -859,3 +859,22 @@ def test_v17_matches_duckdb_oracle(spark, sf_dir):
     got = [tuple(r) for r in v17_udtf_table_argument(spark, sf_dir).collect()]
     want = [tuple(r) for r in _duck(sf_dir).execute(V17_SQL).fetchall()]
     assert len(got) > 0 and got == want
+
+
+def test_t41_matches_duckdb_oracle(spark, sf_dir):
+    """t41 Heaps-law vocabulary curve is STAGED for round-10
+    declaration; the 4-level conditional-distinct sweep must match the
+    SQL restatement, with vocab non-decreasing and vocab-per-token
+    non-increasing along the prefix."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T41_SQL,
+        t41_vocab_growth,
+    )
+
+    got = [tuple(r) for r in t41_vocab_growth(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T41_SQL).fetchall()]
+    assert len(got) == 4 and got == want
+    vocabs = [r[3] for r in got]
+    assert vocabs == sorted(vocabs)
+    vpt = [r[4] for r in got]
+    assert vpt == sorted(vpt, reverse=True)
