@@ -1900,6 +1900,81 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+# --------------------------------------------------------------------------
+# q47: time-series gap fill with forward fill — STAGED FOR ROUND-10
+# DECLARATION (gated on staged_ops_live(9); oracle-parity-tested in
+# test_round7_ops.py::test_q47_matches_duckdb_oracle).
+#
+# The resampling primitive the window suite lacked: per-user HOURLY
+# buckets are materialized as a complete spine (sequence over the
+# user's observed range — a generated relation, not a scan), observed
+# hours left-join onto it, and empty hours inherit the most recent
+# observed aggregate via last_value IGNORE NULLS over an unbounded-
+# preceding frame. This is how telemetry/feature pipelines turn
+# irregular events into a dense regular series. Scale shape: the spine
+# is |users|·|hours| rows generated engine-side (never collected), the
+# join and the fill share ONE partitioning on user — and the fill
+# frame, though unbounded, carries running state of exactly one value.
+# Exactness: filled values are hourly event COUNTS (ints); hours with
+# no prior observation stay NULL rather than inventing a zero.
+# --------------------------------------------------------------------------
+_Q47_USERS = 5
+
+
+def q47_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < _Q47_USERS)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.col("n_events").isNotNull().alias("observed"),
+            F.last("n_events", ignorenulls=True).over(w).alias("filled_n_events"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+Q47_SQL = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+  FROM events WHERE user_id < {_Q47_USERS}
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM (SELECT user_id, MIN(hour) AS lo, MAX(hour) AS hi FROM hourly GROUP BY user_id)
+)
+SELECT s.user_id,
+       CAST(s.hour AS TIMESTAMP) AS hour,
+       h.n_events IS NOT NULL AS observed,
+       last_value(h.n_events IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_n_events
+FROM spine s LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hour = s.hour
+ORDER BY s.user_id, s.hour
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -1913,6 +1988,7 @@ STAGED_QUERIES = {
     9: {
         "u08_scalar_iter_udf": u08_scalar_iter_udf,
         "u09_pandas_window_udaf": u09_pandas_window_udaf,
+        "q47_gap_fill_forward": q47_gap_fill_forward,
     },
 }
 STAGED_ORACLES = {
@@ -1928,5 +2004,6 @@ STAGED_ORACLES = {
     9: {
         "u08_scalar_iter_udf": U08_SQL,
         "u09_pandas_window_udaf": U09_SQL,
+        "q47_gap_fill_forward": Q47_SQL,
     },
 }

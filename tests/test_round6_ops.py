@@ -815,6 +815,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "r18_corrupt_file_ingest",
         "v17_udtf_table_argument",
         "t41_vocab_growth",
+        "q47_gap_fill_forward",
     ]
 
     monkeypatch.setattr(staging, "latest_recorded_round", lambda: 8)

@@ -878,3 +878,19 @@ def test_t41_matches_duckdb_oracle(spark, sf_dir):
     assert vocabs == sorted(vocabs)
     vpt = [r[4] for r in got]
     assert vpt == sorted(vpt, reverse=True)
+
+
+def test_q47_matches_duckdb_oracle(spark, sf_dir):
+    """q47 forward-fill gap filling is STAGED for round-10 declaration;
+    the generated hourly spine + IGNORE NULLS fill must match the SQL
+    restatement, and real gaps must exist and be filled."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q47_SQL,
+        q47_gap_fill_forward,
+    )
+
+    got = [tuple(r) for r in q47_gap_fill_forward(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir, views=("events",)).execute(Q47_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+    gaps = [r for r in got if not r[2]]
+    assert gaps and all(r[3] is not None for r in gaps)  # spine fills every gap
