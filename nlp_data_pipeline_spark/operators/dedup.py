@@ -1358,6 +1358,135 @@ LIMIT 20
 )
 
 
+# --------------------------------------------------------------------------
+# d19: shingle-size sensitivity curve — STAGED FOR ROUND-10
+# DECLARATION (gated on staged_ops_live(9); oracle-parity-tested in
+# test_round7_ops.py::test_d19_matches_duckdb_oracle).
+#
+# The dedup counterpart of s20's IVF operating curve: the shingle
+# width k is THE precision knob of n-gram near-dup detection (small k
+# → common phrases collide, candidate volume explodes and dedup
+# over-fires; large k → only long verbatim runs match). The sweep
+# computes candidate-pair counts and Jaccard distribution for
+# k ∈ {{2, 3, 5}} in ONE plan: per-k shingle relations tagged and
+# UNIONed so the tokenize pass runs once (checkpointed), then the
+# d05-shape capped postings join keyed by (k, source, shingle). The
+# curve is how the production k (3, dedup.py module docstring) was
+# justified — now it's a declared, rerunnable diagnostic instead of a
+# one-off argument.
+# --------------------------------------------------------------------------
+_D19_KS = (2, 3, 5)
+
+
+def d19_shingle_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "source", tokenize(clean_text("text")).alias("t"))
+        .localCheckpoint()
+    )
+    per_k = [
+        toks.select(
+            F.lit(k).alias("k"),
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(ngrams(F.col("t"), k))).alias("shingle"),
+        )
+        for k in _D19_KS
+    ]
+    ss = per_k[0]
+    for nxt in per_k[1:]:
+        ss = ss.unionByName(nxt)
+    dfreq = ss.groupBy("k", "source", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    ss = (
+        ss.join(dfreq.filter(F.col("df") <= _D05_MAX_DF), ["k", "source", "shingle"])
+        .select("k", "doc_id", "source", "shingle")
+        .localCheckpoint()
+    )
+    sizes = ss.groupBy("k", "doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ss.alias("a"), ss.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.k").alias("k"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= _D17_MIN_INTER)
+    )
+    sa = sizes.select(F.col("k").alias("ka"), F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("k").alias("kb"), F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jacc = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, (F.col("k") == F.col("ka")) & (inter["doc_a"] == sa["doc_a"]))
+        .join(sb, (F.col("k") == F.col("kb")) & (inter["doc_b"] == sb["doc_b"]))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(jacc), 6).alias("mean_jaccard"),
+            F.round(F.max(jacc), 6).alias("max_jaccard"),
+        )
+        .orderBy("k")
+    )
+
+
+def _d19_shingle_sql(k: int) -> str:
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return (
+        f"SELECT {k} AS k, doc_id, source, shingle FROM ("
+        f"  SELECT DISTINCT doc_id, source,"
+        f"         unnest(list_transform(range(1, len(t) - {k - 2}), i -> {parts})) AS shingle"
+        f"  FROM toklists WHERE len(t) >= {k})"
+    )
+
+
+D19_SQL = (
+    _TOKLIST_CTE.replace(
+        "toklists AS (\n  SELECT doc_id,",
+        "toklists AS (\n  SELECT doc_id, source,",
+    ).replace(
+        "WITH cleaned AS (\n  SELECT doc_id, {c} AS ctext FROM documents".format(
+            c=_CLEAN_SQL
+        ),
+        "WITH cleaned AS (\n  SELECT doc_id, source, {c} AS ctext FROM documents".format(
+            c=_CLEAN_SQL
+        ),
+    )
+    + f""",
+ss AS ({' UNION ALL '.join(_d19_shingle_sql(k) for k in _D19_KS)}),
+dfreq AS (
+  SELECT k, source, shingle FROM ss
+  GROUP BY k, source, shingle HAVING COUNT(*) <= {_D05_MAX_DF}
+),
+capped AS (SELECT s.* FROM ss s JOIN dfreq USING (k, source, shingle)),
+sizes AS (SELECT k, doc_id, COUNT(*) AS n_sh FROM capped GROUP BY k, doc_id),
+inter AS (
+  SELECT a.k, a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM capped a
+  JOIN capped b ON a.k = b.k AND a.source = b.source
+    AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.k, a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_D17_MIN_INTER}
+)
+SELECT i.k,
+       COUNT(*) AS n_pairs,
+       round(AVG(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)), 6) AS mean_jaccard,
+       round(MAX(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)), 6) AS max_jaccard
+FROM inter i
+JOIN sizes sa ON i.k = sa.k AND i.doc_a = sa.doc_id
+JOIN sizes sb ON i.k = sb.k AND i.doc_b = sb.doc_id
+GROUP BY i.k
+ORDER BY i.k
+"""
+)
+
+
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
 STAGED_QUERIES = {
@@ -1367,7 +1496,10 @@ STAGED_QUERIES = {
         "d15_fuzzy_prefix_pairs": d15_fuzzy_prefix_pairs,
     },
     8: {"d16_cdc_chunks": d16_cdc_chunks},
-    9: {"d17_containment_pairs": d17_containment_pairs},
+    9: {
+        "d17_containment_pairs": d17_containment_pairs,
+        "d19_shingle_k_curve": d19_shingle_k_curve,
+    },
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -1376,5 +1508,8 @@ STAGED_ORACLES = {
         "d15_fuzzy_prefix_pairs": D15_SQL,
     },
     8: {"d16_cdc_chunks": D16_SQL},
-    9: {"d17_containment_pairs": D17_SQL},
+    9: {
+        "d17_containment_pairs": D17_SQL,
+        "d19_shingle_k_curve": D19_SQL,
+    },
 }

@@ -816,6 +816,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "v17_udtf_table_argument",
         "t41_vocab_growth",
         "q47_gap_fill_forward",
+        "d19_shingle_k_curve",
     ]
 
     monkeypatch.setattr(staging, "latest_recorded_round", lambda: 8)

@@ -894,3 +894,18 @@ def test_q47_matches_duckdb_oracle(spark, sf_dir):
     assert len(got) > 0 and got == want
     gaps = [r for r in got if not r[2]]
     assert gaps and all(r[3] is not None for r in gaps)  # spine fills every gap
+
+
+def test_d19_matches_duckdb_oracle(spark, sf_dir):
+    """d19 shingle-size sensitivity curve is STAGED for round-10
+    declaration; the per-k candidate counts and Jaccard stats must
+    match the SQL restatement, and the curve must show the precision
+    trade-off that justifies k=3 (k=2 floods with low-quality pairs)."""
+    from nlp_data_pipeline_spark.operators.dedup import D19_SQL, d19_shingle_k_curve
+
+    got = [tuple(r) for r in d19_shingle_k_curve(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D19_SQL).fetchall()]
+    assert len(got) == 3 and got == want
+    by_k = {r[0]: r for r in got}
+    assert by_k[2][1] > 10 * by_k[3][1]  # k=2 candidate flood
+    assert by_k[2][2] < by_k[3][2]  # ...of much lower mean quality
