@@ -1396,6 +1396,96 @@ FROM events
 
 
 # --------------------------------------------------------------------------
+# e22: row-level ForeachWriter sink — STAGED FOR ROUND-10 DECLARATION
+# (gated on staged_ops_live(9); oracle-parity-tested in
+# test_round7_ops.py::test_e22_matches_duckdb_oracle).
+#
+# The third and last streaming-sink API beside foreachBatch (e11) and
+# the custom DataSourceStreamWriter (r16): `writeStream.foreach(w)`
+# hands every ROW to a writer object — open(partition, epoch) /
+# process(row) / close(error) — the integration shape for row-oriented
+# external stores (KV puts, HTTP posts). Exactly-once falls on the
+# WRITER: this one lands each (partition, epoch) as a temp file
+# os.replace'd into a name keyed by exactly that pair, so a replayed
+# epoch overwrites its own output (same discipline as r16, one level
+# lower). Scale note: per-row Python is the SLOWEST sink path — use
+# it only when the target store is genuinely row-oriented; bulk
+# landings belong in foreachBatch/DataSource sinks.
+# --------------------------------------------------------------------------
+class _RowShardWriter:
+    """Idempotent per-(partition, epoch) TSV landing for e22."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def open(self, partition_id: int, epoch_id: int) -> bool:
+        import os
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.path = os.path.join(
+            self.out_dir, f"p{partition_id:05d}-e{epoch_id:05d}.tsv"
+        )
+        self.tmp = self.path + ".inprogress"
+        self.fh = open(self.tmp, "w")
+        return True
+
+    def process(self, row) -> None:
+        self.fh.write(f"{row['event_id']}\t{row['user_id']}\t{row['event_type']}\n")
+
+    def close(self, error) -> None:
+        import os
+
+        self.fh.close()
+        if error is None:
+            os.replace(self.tmp, self.path)  # commit: keyed by (partition, epoch)
+        elif os.path.exists(self.tmp):
+            os.remove(self.tmp)
+
+
+def e22_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    stage = _stage_events(sf_dir, "e22_stream_")
+    out = scratch_path(f"e22_rows_{_os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    ckpt = scratch_path(f"e22_ckpt_{_os.getpid()}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = load_table(spark, sf_dir, "events").schema
+    query = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .writeStream.foreach(_RowShardWriter(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    back = spark.read.schema("event_id long, user_id long, event_type string").csv(
+        out, sep="\t"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+E22_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # a04: approx_top_k heavy-hitters sketch (SPARK-49662, Spark 4.1) —
 # STAGED FOR ROUND-9 DECLARATION (gated on staged_ops_live(8);
 # oracle-parity-tested in test_round7_ops.py::test_a04_matches_duckdb_oracle).
@@ -1455,7 +1545,10 @@ STAGED_QUERIES = {
     },
     7: {"e20_streaming_quantiles": e20_streaming_quantiles},
     8: {"a04_approx_top_k": a04_approx_top_k},
-    9: {"e21_admission_control": e21_admission_control},
+    9: {
+        "e21_admission_control": e21_admission_control,
+        "e22_foreach_row_sink": e22_foreach_row_sink,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -1464,5 +1557,8 @@ STAGED_ORACLES = {
     },
     7: {"e20_streaming_quantiles": E20_SQL},
     8: {"a04_approx_top_k": A04_SQL},
-    9: {"e21_admission_control": E21_SQL},
+    9: {
+        "e21_admission_control": E21_SQL,
+        "e22_foreach_row_sink": E22_SQL,
+    },
 }

@@ -817,6 +817,7 @@ def test_staged_ops_auto_declare_next_round(monkeypatch):
         "t41_vocab_growth",
         "q47_gap_fill_forward",
         "d19_shingle_k_curve",
+        "e22_foreach_row_sink",
     ]
 
     monkeypatch.setattr(staging, "latest_recorded_round", lambda: 8)

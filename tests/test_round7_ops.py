@@ -909,3 +909,16 @@ def test_d19_matches_duckdb_oracle(spark, sf_dir):
     by_k = {r[0]: r for r in got}
     assert by_k[2][1] > 10 * by_k[3][1]  # k=2 candidate flood
     assert by_k[2][2] < by_k[3][2]  # ...of much lower mean quality
+
+
+def test_e22_matches_duckdb_oracle(spark, sf_dir):
+    """e22 row-level ForeachWriter sink is STAGED for round-10
+    declaration; the per-(partition, epoch) idempotent landing must
+    reproduce the source aggregate exactly, including on rerun."""
+    from nlp_data_pipeline_spark.operators.events import E22_SQL, e22_foreach_row_sink
+
+    got = [tuple(r) for r in e22_foreach_row_sink(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(E22_SQL).fetchall()
+    ]
+    assert len(got) == 5 and got == want
