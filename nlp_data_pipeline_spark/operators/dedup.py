@@ -257,40 +257,57 @@ GROUP BY doc_id
 _D05_MAX_DF = 256
 
 
-def _capped_postings(spark: SparkSession, sf_dir: str):
-    """Shared candidate machinery for the shingle-overlap operators
-    (d05 Jaccard, d17 containment): the per-source hot-shingle-capped
-    postings relation, per-doc set sizes, and the same-source pairwise
-    intersection counts. One definition so the cap semantics and the
-    checkpoint placement cannot silently diverge between operators."""
-    ss = _shingle_set_df(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+def _capped_pair_counts(ss: DataFrame, extra_keys: tuple = ()):
+    """The capped-postings candidate machinery over a (doc_id, source,
+    shingle[, *extra_keys]) relation: hot-shingle df-cap, per-doc set
+    sizes, pairwise same-source intersection counts. ONE definition
+    serves d05 (Jaccard), d17 (containment), and d19 (k-sweep, with
+    extra_keys=("k",)) so the cap semantics and checkpoint placement
+    cannot silently diverge between operators."""
+    keys = [*extra_keys, "source", "shingle"]
+    size_keys = [*extra_keys, "doc_id"]
     # materialize ONCE: the df-cap, sizes, and both self-join sides all
     # consume this relation; without the checkpoint each branch re-runs
     # the corpus shingle scan (measured: zero ReusedExchange in the
     # uncheckpointed plan — 4 full scans at 100 TB instead of one)
-    ss = ss.join(d, "doc_id").select("doc_id", "source", "shingle").localCheckpoint()
-    # stop-shingle cap: shingle_set rows are distinct (doc_id, shingle),
+    ss = ss.localCheckpoint()
+    # stop-shingle cap: postings rows are distinct (doc_id, shingle),
     # so the per-(source, shingle) row count IS the document frequency
-    dfreq = ss.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = ss.groupBy(*keys).agg(F.count(F.lit(1)).alias("df"))
     ss = (
-        ss.join(dfreq.filter(F.col("df") <= _D05_MAX_DF), ["source", "shingle"])
-        .select("doc_id", "source", "shingle")
+        ss.join(dfreq.filter(F.col("df") <= _D05_MAX_DF), keys)
+        .select(*size_keys, "source", "shingle")
         .localCheckpoint()
     )
-    sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = ss.groupBy(*size_keys).agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = ss.alias("a"), ss.alias("b")
+    cond = (
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    for k in extra_keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     inter = (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        a.join(b, cond)
+        .groupBy(
+            *[F.col(f"a.{k}").alias(k) for k in extra_keys],
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return sizes, inter
+
+
+def _capped_postings(spark: SparkSession, sf_dir: str):
+    """d05/d17 entry: the k=3 shingle relation through the shared
+    machinery."""
+    ss = _shingle_set_df(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return _capped_pair_counts(
+        ss.join(d, "doc_id").select("doc_id", "source", "shingle")
+    )
 
 
 def d05_shingle_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1368,7 +1385,7 @@ LIMIT 20
 # → common phrases collide, candidate volume explodes and dedup
 # over-fires; large k → only long verbatim runs match). The sweep
 # computes candidate-pair counts and Jaccard distribution for
-# k ∈ {{2, 3, 5}} in ONE plan: per-k shingle relations tagged and
+# k ∈ {2, 3, 5} in ONE plan: per-k shingle relations tagged and
 # UNIONed so the tokenize pass runs once (checkpointed), then the
 # d05-shape capped postings join keyed by (k, source, shingle). The
 # curve is how the production k (3, dedup.py module docstring) was
@@ -1396,32 +1413,10 @@ def d19_shingle_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = per_k[0]
     for nxt in per_k[1:]:
         ss = ss.unionByName(nxt)
-    dfreq = ss.groupBy("k", "source", "shingle").agg(F.count(F.lit(1)).alias("df"))
-    ss = (
-        ss.join(dfreq.filter(F.col("df") <= _D05_MAX_DF), ["k", "source", "shingle"])
-        .select("k", "doc_id", "source", "shingle")
-        .localCheckpoint()
-    )
-    sizes = ss.groupBy("k", "doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = ss.alias("a"), ss.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.k").alias("k"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        .filter(F.col("n_inter") >= _D17_MIN_INTER)
-    )
-    sa = sizes.select(F.col("k").alias("ka"), F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("k").alias("kb"), F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    sizes, inter = _capped_pair_counts(ss, extra_keys=("k",))
+    inter = inter.filter(F.col("n_inter") >= _D17_MIN_INTER)
+    sa = sizes.select(F.col("k").alias("ka"), F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("k").alias("kb"), F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     jacc = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
         inter.join(sa, (F.col("k") == F.col("ka")) & (inter["doc_a"] == sa["doc_a"]))
@@ -1439,27 +1434,23 @@ def d19_shingle_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _d19_shingle_sql(k: int) -> str:
     parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
     return (
-        f"SELECT {k} AS k, doc_id, source, shingle FROM ("
-        f"  SELECT DISTINCT doc_id, source,"
+        f"SELECT {k} AS k, doc_id, shingle FROM ("
+        f"  SELECT DISTINCT doc_id,"
         f"         unnest(list_transform(range(1, len(t) - {k - 2}), i -> {parts})) AS shingle"
         f"  FROM toklists WHERE len(t) >= {k})"
     )
 
 
 D19_SQL = (
-    _TOKLIST_CTE.replace(
-        "toklists AS (\n  SELECT doc_id,",
-        "toklists AS (\n  SELECT doc_id, source,",
-    ).replace(
-        "WITH cleaned AS (\n  SELECT doc_id, {c} AS ctext FROM documents".format(
-            c=_CLEAN_SQL
-        ),
-        "WITH cleaned AS (\n  SELECT doc_id, source, {c} AS ctext FROM documents".format(
-            c=_CLEAN_SQL
-        ),
-    )
+    _TOKLIST_CTE
     + f""",
-ss AS ({' UNION ALL '.join(_d19_shingle_sql(k) for k in _D19_KS)}),
+ssk AS ({' UNION ALL '.join(_d19_shingle_sql(k) for k in _D19_KS)}),
+-- source via join (the with_src idiom) — no string surgery on the
+-- shared token CTE
+ss AS (
+  SELECT x.k, x.doc_id, d.source, x.shingle
+  FROM ssk x JOIN documents d USING (doc_id)
+),
 dfreq AS (
   SELECT k, source, shingle FROM ss
   GROUP BY k, source, shingle HAVING COUNT(*) <= {_D05_MAX_DF}

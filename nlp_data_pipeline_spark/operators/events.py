@@ -1420,12 +1420,20 @@ class _RowShardWriter:
 
     def open(self, partition_id: int, epoch_id: int) -> bool:
         import os
+        import uuid
 
         os.makedirs(self.out_dir, exist_ok=True)
         self.path = os.path.join(
             self.out_dir, f"p{partition_id:05d}-e{epoch_id:05d}.tsv"
         )
-        self.tmp = self.path + ".inprogress"
+        # HIDDEN (leading dot: Spark's file listing skips it, so a
+        # crashed attempt's leftover is never ingested) and
+        # ATTEMPT-UNIQUE (uuid: a speculative/retried attempt of the
+        # same (partition, epoch) cannot clobber the live writer's
+        # temp) — the custom_datasource.py temp-shard convention
+        self.tmp = os.path.join(
+            self.out_dir, f".{uuid.uuid4().hex}-{partition_id}-{epoch_id}.tmp"
+        )
         self.fh = open(self.tmp, "w")
         return True
 
@@ -1435,7 +1443,10 @@ class _RowShardWriter:
     def close(self, error) -> None:
         import os
 
-        self.fh.close()
+        fh = getattr(self, "fh", None)  # open() may have failed pre-assignment
+        if fh is None:
+            return
+        fh.close()
         if error is None:
             os.replace(self.tmp, self.path)  # commit: keyed by (partition, epoch)
         elif os.path.exists(self.tmp):

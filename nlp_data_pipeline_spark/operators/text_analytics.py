@@ -2676,13 +2676,24 @@ _T41_FRACTIONS = (10, 25, 50, 100)
 def t41_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
+    # prefix membership by RANK in doc_id order, not by the id value:
+    # an id-range predicate silently assumes dense 0-based ids (and
+    # since the oracle would share the assumption, parity could never
+    # catch a sparse-id corpus). The global window runs over the
+    # doc-id relation only — corpus-row-count sized, far below the
+    # exploded token relation this query aggregates.
+    ranked = d.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("rk"),
+    )
     toks = (
         d.select("doc_id", F.explode(tokenize(clean_text("text"))).alias("token"))
+        .join(ranked, "doc_id")
     )
     cuts = {p: -(-n_docs * p // 100) for p in _T41_FRACTIONS}  # ceil
     aggs = []
     for p, cut in cuts.items():
-        in_prefix = F.when(F.col("doc_id") < cut, F.col("token"))
+        in_prefix = F.when(F.col("rk") <= cut, F.col("token"))
         aggs.append(F.count_distinct(in_prefix).alias(f"v{p}"))
         aggs.append(F.count(in_prefix).alias(f"t{p}"))
     wide = toks.agg(*aggs)
@@ -2713,17 +2724,20 @@ toks AS (
     SELECT doc_id, unnest(string_split({_CLEAN_SQL}, ' ')) AS t FROM documents)
   WHERE length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != ''
 ),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk FROM documents
+),
 levels AS (
   SELECT unnest(ARRAY{list(_T41_FRACTIONS)}) AS pct
 ),
 curve AS (
   SELECT l.pct,
          CAST(ceil(n.n_docs * l.pct / 100.0) AS BIGINT) AS n_docs_prefix,
-         COUNT(CASE WHEN t.doc_id < ceil(n.n_docs * l.pct / 100.0)
+         COUNT(CASE WHEN r.rk <= ceil(n.n_docs * l.pct / 100.0)
                THEN 1 END) AS n_tokens,
-         COUNT(DISTINCT CASE WHEN t.doc_id < ceil(n.n_docs * l.pct / 100.0)
+         COUNT(DISTINCT CASE WHEN r.rk <= ceil(n.n_docs * l.pct / 100.0)
                THEN t.token END) AS vocab
-  FROM levels l, n, toks t
+  FROM levels l, n, toks t JOIN ranked r ON t.doc_id = r.doc_id
   GROUP BY l.pct, n.n_docs
 )
 SELECT pct, n_docs_prefix, n_tokens, vocab,
