@@ -1351,6 +1351,26 @@ def e21_admission_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(stage, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
     ev.repartition(_E21_FILES).write.mode("overwrite").parquet(stage)
+    # The oracle declares n_batches = _E21_FILES, which holds only if
+    # the staging write actually produced that many NON-EMPTY part
+    # files (round-robin guarantees it for >= _E21_FILES rows, but a
+    # tiny/skewed environment could yield fewer, and an empty
+    # partition's committed part file would stream as an empty batch).
+    # Check the precondition HERE so a staging artifact fails loudly
+    # as a setup error instead of surfacing as a red admission-control
+    # row.
+    n_nonempty = (
+        spark.read.parquet(stage)
+        .groupBy(F.input_file_name())
+        .count()
+        .count()
+    )
+    if n_nonempty != _E21_FILES:
+        raise RuntimeError(
+            f"e21 staging produced {n_nonempty} non-empty part files, "
+            f"expected {_E21_FILES} — source too small for the declared "
+            "batch count"
+        )
     schema = spark.read.parquet(stage).schema
     batches: list[tuple[int, int, int]] = []
 

@@ -1368,6 +1368,15 @@ def _knn_graph(spark: SparkSession, sf_dir: str, m: int = GRAPH_M) -> DataFrame:
     def _unpack(ids_cell, flat_cell):
         ids = np.asarray(ids_cell, dtype="int64")
         M = np.asarray(flat_cell, dtype="float64").reshape(len(ids), DIM)
+        # Sort columns by id: the stable argsort in `emit` then breaks
+        # cosine ties on dst ASC — the same total order the global
+        # per-src window (cos DESC, dst ASC) and the S19 oracle's
+        # ROW_NUMBER use. An arbitrary tie survivor (the previous
+        # argpartition) could drop, at a tile's k-boundary, the tied
+        # candidate the global order would have kept — with duplicate
+        # embeddings that diverges the graph from the oracle's.
+        o = np.argsort(ids)
+        ids, M = ids[o], M[o]
         M /= np.linalg.norm(M, axis=1, keepdims=True)
         return ids, M
 
@@ -1384,7 +1393,11 @@ def _knn_graph(spark: SparkSession, sf_dir: str, m: int = GRAPH_M) -> DataFrame:
 
                 def emit(ids_src, ids_dst, Gm):
                     k = min(m, Gm.shape[1])
-                    idx = np.argpartition(-Gm, k - 1, axis=1)[:, :k]
+                    # stable sort on -cos + id-ascending columns ==
+                    # deterministic (cos DESC, dst ASC) tile-local
+                    # top-k, a valid prefilter for the identical
+                    # global window order
+                    idx = np.argsort(-Gm, axis=1, kind="stable")[:, :k]
                     rows = np.repeat(np.arange(Gm.shape[0]), k)
                     cols = idx.ravel()
                     keep = Gm[rows, cols] > -2.0

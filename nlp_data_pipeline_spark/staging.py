@@ -21,7 +21,9 @@ staging round, and ``__spark_entry__._collect`` consults
 so a long-lived process picks up a newly-landed round record without
 re-import, and declaration state never depends on import order. The
 round markers themselves (``CORRECTNESS_r*.json``) are committed to
-git, so a fresh clone reproduces the same declaration state.
+git at each round close, so a clone taken from a round boundary
+reproduces the same declaration state (mid-round, the working tree may
+carry a marker that HEAD does not yet).
 """
 
 from __future__ import annotations
