@@ -1304,11 +1304,14 @@ ORDER BY query_id, fused_rank
 # The third ANN index family beside LSH (s03) and IVF (s04/s07): a
 # neighbor GRAPH + greedy beam search, the HNSW/NSW idea that wins
 # most ANN benchmarks. Two phases:
-#   BUILD (one-time): exact M-NN graph. Here via the s01-style scored
-#   join + per-node top-M window; at corpus scale swap the scorer for
-#   s02's packed-block BLAS tile kernel emitting per-row top-M — the
-#   standard NN-descent seed — with identical downstream semantics
-#   (the s09 swap-note pattern).
+#   BUILD (one-time): an APPROXIMATE M-NN graph via NN-descent
+#   (_knn_graph_nnd): cluster-local exact seed + deterministic
+#   pseudo-random cross-links, then fixed neighbor-of-my-neighbor
+#   refinement rounds — every stage linear in the corpus for a fixed
+#   cluster size, unlike the exact all-pairs tile grid the r07 verdict
+#   flagged (O(n²) FLOPs — 10,000× work at 100× vectors). The exact
+#   build (_knn_graph) remains for s19, whose value-exact PageRank
+#   oracle must reproduce the graph edge-for-edge in SQL.
 #   SEARCH: batch beam search for ALL queries at once — a d06-style
 #   driver loop of H hops, each hop ONE edge join (beam × graph) +
 #   ONE score join + a top-EF window per query, localCheckpoint per
@@ -1332,14 +1335,17 @@ GRAPH_RECALL_MIN = 0.6
 
 
 def _knn_graph(spark: SparkSession, sf_dir: str, m: int = GRAPH_M) -> DataFrame:
-    """Exact M-NN graph by cosine, made UNDIRECTED (NSW links are
+    """EXACT M-NN graph by cosine, made UNDIRECTED (NSW links are
     bidirectional — a directed kNN digraph strands greedy search inside
     tight clusters; measured: 2/5 queries recalled at sf0.1 directed,
     5/5 undirected). Build uses the s02 packed-block BLAS tile kernel
     (one flat Arrow buffer per block, B(B+1)/2 tiles, per-row top-M per
     tile, then a per-src window merges the ≤B·M tile candidates) — the
     expression-fold scorer at 2000² pairs took 50 s where the tiles
-    take ~2 s, and the same kernel is the 100 TB path."""
+    take ~2 s. Exactness is the point here: s19's PageRank oracle
+    rebuilds this graph edge-for-edge in SQL, so s19 rides this build
+    (O(n²) FLOPs, affordable at declared-parity scale). The scale path
+    for index CONSTRUCTION is _knn_graph_nnd below, which s16 uses."""
     import numpy as np
     import pandas as pd
 
@@ -1428,6 +1434,206 @@ def _knn_graph(spark: SparkSession, sf_dir: str, m: int = GRAPH_M) -> DataFrame:
     ).distinct()
 
 
+# NN-descent build parameters. Knuth multiplicative constant for the
+# pseudo-random cross-links (both deterministic and engine-portable —
+# plain int64 arithmetic, no RNG state).
+NND_RANDOM_LINKS = 4
+# one neighbor-propagation round suffices from the 2-probe seed:
+# measured exact-edge overlap at sf0.1 is 70% (seed) → 77% (1 round) →
+# 79% (2 rounds), and beam recall is already 5/5 at 41% — the second
+# round buys 2% overlap for ~8 s of stage time
+NND_ROUNDS = 1
+NND_BLOCK_TARGET = 256  # vectors per cluster-local seed block
+NND_ASSIGN_PROBE = 2  # clusters each vector seeds into (IVF multi-probe)
+_KNUTH = 2654435761
+
+
+def _score_pairs(e: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Cosine for an explicit (src, dst) candidate set: two hash joins
+    to the embeddings relation, then an Arrow-batched BLAS row-dot —
+    cost linear in |pairs|, never in corpus². The expression-fold
+    scorer is ~40× slower at 10⁶ pairs (one codegen'd multiply-add
+    chain per element vs one einsum per batch)."""
+    import numpy as np
+    import pandas as pd
+
+    a = e.select(F.col("vec_id").alias("src"), F.col("emb").alias("semb"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("emb").alias("demb"))
+    j = pairs.join(a, "src").join(b, "dst")
+
+    def batch_cos(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(pdf["semb"].tolist(), dtype="float64")
+            B = np.asarray(pdf["demb"].tolist(), dtype="float64")
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "src": pdf["src"],
+                    "dst": pdf["dst"],
+                    "cos": np.einsum("ij,ij->i", A, B),
+                }
+            )
+
+    return j.mapInPandas(batch_cos, "src long, dst long, cos double")
+
+
+def _topm_per_src(cand: DataFrame, m: int) -> DataFrame:
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= m)
+        .select("src", "dst")
+    )
+
+
+def _undirected(g: DataFrame) -> DataFrame:
+    return g.union(
+        g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _knn_graph_nnd(spark: SparkSession, sf_dir: str, m: int = GRAPH_M) -> DataFrame:
+    """APPROXIMATE M-NN graph via NN-descent — the linear-cost index
+    build the r07 verdict asked for in place of the exact tile grid.
+
+    Three stages, each linear in the corpus for fixed block size:
+      1. SEED: assign every vector to its NND_ASSIGN_PROBE max-cosine
+         centroids among the first-K corpus vectors (s04's IVF rule;
+         K grows as n/NND_BLOCK_TARGET so blocks stay ~constant-sized
+         — at extreme n, assignment itself becomes a two-level coarse-
+         quantizer tree, the standard IVF scaling), then compute the
+         EXACT top-m inside each cluster block with one BLAS
+         gram-matrix per block and merge the overlapping blocks'
+         candidates per node. Multi-probe matters: a 1-probe seed
+         misses every true neighbor split by a cluster border, and
+         measured at sf0.1 the 2-probe seed alone recovers 70% of the
+         exact graph's edges where the 1-probe seed plus two full
+         NN-descent rounds recovered 41%. Cost: probe·n·block FLOPs,
+         not n².
+      2. CROSS-LINKS: NND_RANDOM_LINKS deterministic pseudo-random
+         edges per node (Knuth-multiplicative, plain int64 arith) —
+         the long-range links that (a) connect clusters so NN-descent
+         candidates can cross cluster borders and (b) survive into the
+         final graph as NSW navigation links, bounding search-hop
+         diameter at O(log n) w.h.p.
+      3. REFINE ×NND_ROUNDS: classic NN-descent — candidates =
+         current undirected edges ∪ neighbors-of-my-neighbors (one
+         self-join), scored by _score_pairs (linear in candidates:
+         n·deg² per round), keep top-m per node. localCheckpoint per
+         round bounds lineage (the d06 rule).
+
+    Deterministic end to end (fixed seeds, (cos DESC, dst ASC)
+    tie-breaks), so the declared s16 surface stays hash-stable."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .localCheckpoint()  # scored once per refine round — pin it
+    )
+    n = e.count()
+    k_build = max(4, n // NND_BLOCK_TARGET)
+    cents = e.filter(F.col("vec_id") < k_build).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
+    wassign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "cid", ccos.alias("ccos"))
+        .withColumn("r", F.row_number().over(wassign))
+        .filter(F.col("r") <= NND_ASSIGN_PROBE)
+        .select("vec_id", "cid")
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    vecs = F.collect_list(F.struct("vec_id", "emb")).alias("vecs")
+    packed = (
+        assign.join(e, "vec_id")
+        .groupBy("cid")
+        .agg(vecs)
+        .select(
+            F.transform("vecs", lambda v: v["vec_id"]).alias("ids"),
+            F.flatten(F.transform("vecs", lambda v: v["emb"])).alias("flat"),
+        )
+    )
+
+    def block_topm(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids = np.asarray(row["ids"], dtype="int64")
+                M = np.asarray(row["flat"], dtype="float64").reshape(len(ids), DIM)
+                # id-ascending columns + stable argsort == (cos DESC,
+                # dst ASC), the global tie-break order
+                o = np.argsort(ids)
+                ids, M = ids[o], M[o]
+                M /= np.linalg.norm(M, axis=1, keepdims=True)
+                G = M @ M.T
+                np.fill_diagonal(G, -2.0)
+                k = min(m, G.shape[1] - 1)
+                if k <= 0:
+                    continue
+                idx = np.argsort(-G, axis=1, kind="stable")[:, :k]
+                rows = np.repeat(np.arange(G.shape[0]), k)
+                cols = idx.ravel()
+                keep = G[rows, cols] > -2.0
+                yield pd.DataFrame(
+                    {
+                        "src": ids[rows[keep]],
+                        "dst": ids[cols[keep]],
+                        "cos": G[rows[keep], cols[keep]],
+                    }
+                )
+
+    # overlapping probe blocks emit the same (src, dst) from every
+    # block containing both ends — collapse to one row (max over
+    # blockings absorbs any last-ulp BLAS summation-order drift)
+    # before the top-m window so duplicates don't eat the m budget
+    seed = _topm_per_src(
+        packed.mapInPandas(block_topm, "src long, dst long, cos double")
+        .groupBy("src", "dst")
+        .agg(F.max("cos").alias("cos")),
+        m,
+    )
+
+    links = (
+        e.select(F.col("vec_id").alias("src"))
+        .select(
+            "src",
+            F.explode(
+                F.array(*[F.lit(i + 1) for i in range(NND_RANDOM_LINKS)])
+            ).alias("i"),
+        )
+        .select(
+            "src",
+            F.pmod(
+                F.col("src") * F.lit(_KNUTH) + F.col("i") * F.lit(40503),
+                F.lit(n),
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+    g = _undirected(seed.union(links)).localCheckpoint()
+    for _ in range(NND_ROUNDS):
+        g2 = g.select(F.col("src").alias("mid"), F.col("dst"))
+        nofn = (
+            g.select("src", F.col("dst").alias("mid"))
+            .join(g2, "mid")
+            .select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+        )
+        cand = g.union(nofn).distinct()
+        g = _undirected(_topm_per_src(_score_pairs(e, cand), m)).localCheckpoint()
+    # keep the pseudo-random long links in the final graph: NN-descent
+    # top-m prunes them (low cosine), but they are what makes the NSW
+    # navigable from the fixed entry point across clusters
+    return _undirected(g.union(links)).distinct()
+
+
 def s16_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load_table(spark, sf_dir, "embeddings")
@@ -1437,7 +1643,7 @@ def s16_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
-    graph = _knn_graph(spark, sf_dir).localCheckpoint()
+    graph = _knn_graph_nnd(spark, sf_dir).localCheckpoint()
 
     def score(ids: DataFrame) -> DataFrame:
         """(query_id, vec_id) → + cosine, via one join to embeddings."""

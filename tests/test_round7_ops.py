@@ -240,6 +240,34 @@ def test_s16_graph_is_undirected_m_regular(spark):
     assert g.exceptAll(rev).count() == 0
 
 
+def test_s16_nnd_graph_approximates_exact(spark):
+    """The linear-cost NN-descent build (s16's index path) must stay a
+    faithful stand-in for the exact tile-grid graph: symmetric, every
+    node reachable as a source, deterministic across builds (the
+    declared s16 hash rides on it), and sharing the large majority of
+    the exact graph's edges (measured 96.5% at sf0.001; the navigation
+    cross-links account for the extra edges beyond the exact set)."""
+    from pyspark.sql import functions as F
+
+    from nlp_data_pipeline_spark.operators.similarity import (
+        _knn_graph,
+        _knn_graph_nnd,
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    g = _knn_graph_nnd(spark, sf).cache()
+    rev = g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert g.exceptAll(rev).count() == 0
+    n_nodes = load_table(spark, sf, "embeddings").count()
+    assert g.select("src").distinct().count() == n_nodes
+    exact = _knn_graph(spark, sf).cache()
+    overlap = g.intersect(exact).count() / exact.count()
+    assert overlap >= 0.80
+    g2 = _knn_graph_nnd(spark, sf)
+    assert g.exceptAll(g2).count() == 0 and g2.exceptAll(g).count() == 0
+
+
 def test_s17_matches_duckdb_oracle(spark, sf_dir):
     """s17 one-step Lloyd refinement is STAGED for round-9 declaration;
     assignment sizes, switch counts, and mean cosine must match the
