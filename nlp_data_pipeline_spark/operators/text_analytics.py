@@ -2088,12 +2088,50 @@ LIMIT 20
 # first aggregation, so each merge costs seconds regardless of corpus
 # size — exactly why production BPE trainers pre-aggregate to word
 # counts.
+#
+# BATCHED MERGES (batch > 1): one-driver-round-trip-PER-MERGE is pure
+# scheduling overhead at production vocabulary sizes (a 30k-merge run
+# = 30k Spark jobs even though each touches only the word table). The
+# standard distributed-BPE batching selects, from ONE pair count, the
+# top-`batch` pairs that are pairwise SYMBOL-DISJOINT (no selected
+# pair shares a symbol with another, nor with another's fused output)
+# and applies them all in ONE chained-fold pass. Disjointness is what
+# makes the recorded counts exact: merging (a,b) can only create or
+# destroy adjacencies that involve a, b, or "ab", so every other
+# selected pair's count is invariant under it. The approximation —
+# identical to the one production batched trainers accept — is the
+# SELECTION: a merge can create a brand-new pair (x, ab) whose count
+# outranks a lower-ranked selected pair, which strict sequential BPE
+# would have picked next. batch=1 is exactly sequential reference BPE.
 # --------------------------------------------------------------------------
+def _fuse_expr(inner: str, a: str, b: str) -> str:
+    """SQL fold rewriting symbol array `inner`, fusing LEFTMOST-FIRST
+    NON-OVERLAPPING (a, b) adjacencies into a+b (the `fused` flag stops
+    the just-created symbol from chain-merging — reference BPE's
+    greedy-left convention)."""
+    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    return (
+        f"aggregate({inner},"
+        " struct(cast(array() as array<string>) as out, false as fused),"
+        " (st, x) -> if("
+        f"   size(st.out) > 0 and not st.fused"
+        f"   and element_at(st.out, -1) = '{qa}' and x = '{qb}',"
+        f"   struct(concat(slice(st.out, 1, size(st.out) - 1),"
+        f"                 array('{qa}{qb}')), true),"
+        "   struct(concat(st.out, array(x)), false)),"
+        " st -> st.out)"
+    )
+
+
 def bpe_train(
-    spark: SparkSession, sf_dir: str, n_merges: int = 10
+    spark: SparkSession, sf_dir: str, n_merges: int = 10, batch: int = 1
 ) -> list[tuple[str, str, int]]:
     """Train `n_merges` BPE merges over the corpus; returns
-    [(sym_a, sym_b, pair_count), ...] in merge order."""
+    [(sym_a, sym_b, pair_count), ...] in merge order. `batch` > 1
+    applies up to that many symbol-disjoint merges per Spark round
+    (see the batching note above): counts stay exact, selection may
+    diverge from strict sequential order when a merge creates a
+    higher-count pair mid-batch."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(clean_text("text"), " ")).alias("word"))
@@ -2106,8 +2144,9 @@ def bpe_train(
         .localCheckpoint()
     )
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        top = (
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        ranked = (
             words.select(
                 F.explode(
                     F.expr(
@@ -2120,26 +2159,29 @@ def bpe_train(
             .groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("pair_count"))
             .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            # enough rows to fill the batch after disjointness skips;
+            # an exhausted rank list just ends the round early (the
+            # next round recounts from scratch)
+            .limit(8 * want + 64)
             .collect()
         )
-        if not top:
+        if not ranked:
             break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
-        merges.append((a, b, cnt))
-        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
-        fuse = (
-            "aggregate(syms,"
-            " struct(cast(array() as array<string>) as out, false as fused),"
-            " (st, x) -> if("
-            f"   size(st.out) > 0 and not st.fused"
-            f"   and element_at(st.out, -1) = '{qa}' and x = '{qb}',"
-            f"   struct(concat(slice(st.out, 1, size(st.out) - 1),"
-            f"                 array('{qa}{qb}')), true),"
-            "   struct(concat(st.out, array(x)), false)),"
-            " st -> st.out)"
-        )
-        words = words.select(F.expr(fuse).alias("syms"), "freq").filter(
+        used: set[str] = set()
+        sel: list[tuple[str, str, int]] = []
+        for r in ranked:
+            a, b, cnt = r["a"], r["b"], int(r["pair_count"])
+            if a in used or b in used or (a + b) in used:
+                continue
+            sel.append((a, b, cnt))
+            used.update((a, b, a + b))
+            if len(sel) == want:
+                break
+        merges.extend(sel)
+        expr = "syms"
+        for a, b, _ in sel:
+            expr = _fuse_expr(expr, a, b)
+        words = words.select(F.expr(expr).alias("syms"), "freq").filter(
             F.size("syms") >= 2
         ).localCheckpoint()
     return merges
