@@ -2789,6 +2789,290 @@ ORDER BY pct
 """
 
 
+# --------------------------------------------------------------------------
+# t40: distributed OLS via sufficient statistics — STAGED FOR ROUND-11
+# DECLARATION (gated on staged_ops_live(10); oracle-parity-tested in
+# test_round8_ops.py::test_t40_matches_duckdb_oracle).
+#
+# The trainable-quality-model primitive (fasttext-style filters,
+# perplexity regressors): fit y = b0 + b1*x1 + b2*x2 by least squares
+# WITHOUT ever materializing a design matrix — ONE aggregation collects
+# the 9 sufficient statistics (n, Σx1, Σx2, Σx1², Σx1x2, Σx2², Σy,
+# Σx1y, Σx2y, Σy²) and the 3×3 normal equations solve by Cramer's rule
+# in a fixed expression tree. That is the textbook 100 TB shape: model
+# fitting cost = one map-side-combinable scan, independent of feature
+# row count thereafter.
+#
+# Cross-engine exactness: features are exact INTEGERS (chars, tokens,
+# sentences), so every sufficient statistic is an exact BIGINT (at
+# extreme corpus scale promote the accumulators to DECIMAL(38,0) — the
+# plan is unchanged); the determinant arithmetic is the SAME fixed
+# +-*/ tree over DOUBLE casts on both engines (IEEE +-*/ are
+# correctly rounded, so identical trees give identical bits — only
+# reassociated sums and libm transcendentals diverge), and the
+# coefficient surface is rounded to 6 dp.
+# --------------------------------------------------------------------------
+_T40_STATS_SQL = """
+  CAST(COUNT(*) AS BIGINT)            AS n,
+  CAST(SUM(x1) AS BIGINT)             AS sx1,
+  CAST(SUM(x2) AS BIGINT)             AS sx2,
+  CAST(SUM(x1 * x1) AS BIGINT)        AS sx11,
+  CAST(SUM(x1 * x2) AS BIGINT)        AS sx12,
+  CAST(SUM(x2 * x2) AS BIGINT)        AS sx22,
+  CAST(SUM(y) AS BIGINT)              AS sy,
+  CAST(SUM(x1 * y) AS BIGINT)         AS sx1y,
+  CAST(SUM(x2 * y) AS BIGINT)         AS sx2y,
+  CAST(SUM(y * y) AS BIGINT)          AS syy
+"""
+
+# One shared arithmetic text for BOTH engines: identical fixed
+# expression trees over the exact-integer stats.
+_T40_SOLVE_SQL = """
+SELECT n,
+       round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+       round(1.0 - sse / nullif(sst, 0.0), 6) AS r2
+FROM (
+  SELECT n, b0, b1, b2,
+         (dyy - (b0 * dy + b1 * dx1y + b2 * dx2y)) AS sse,
+         (dyy - (dy * dy) / dn) AS sst
+  FROM (
+    SELECT n, dy, dx1y, dx2y, dyy, dn,
+           (dy   * (dx11 * dx22 - dx12 * dx12)
+          - dx1  * (dx1y * dx22 - dx12 * dx2y)
+          + dx2  * (dx1y * dx12 - dx11 * dx2y)) / nullif(det, 0.0) AS b0,
+           (dn   * (dx1y * dx22 - dx12 * dx2y)
+          - dy   * (dx1  * dx22 - dx12 * dx2)
+          + dx2  * (dx1  * dx2y - dx1y * dx2)) / nullif(det, 0.0) AS b1,
+           (dn   * (dx11 * dx2y - dx1y * dx12)
+          - dx1  * (dx1  * dx2y - dx1y * dx2)
+          + dy   * (dx1  * dx12 - dx11 * dx2)) / nullif(det, 0.0) AS b2
+    FROM (
+      SELECT n,
+             CAST(n AS DOUBLE) AS dn,
+             CAST(sx1 AS DOUBLE) AS dx1,  CAST(sx2 AS DOUBLE) AS dx2,
+             CAST(sx11 AS DOUBLE) AS dx11, CAST(sx12 AS DOUBLE) AS dx12,
+             CAST(sx22 AS DOUBLE) AS dx22,
+             CAST(sy AS DOUBLE) AS dy,   CAST(sx1y AS DOUBLE) AS dx1y,
+             CAST(sx2y AS DOUBLE) AS dx2y, CAST(syy AS DOUBLE) AS dyy,
+             (CAST(n AS DOUBLE) * (CAST(sx11 AS DOUBLE) * CAST(sx22 AS DOUBLE)
+                                 - CAST(sx12 AS DOUBLE) * CAST(sx12 AS DOUBLE))
+            - CAST(sx1 AS DOUBLE) * (CAST(sx1 AS DOUBLE) * CAST(sx22 AS DOUBLE)
+                                   - CAST(sx12 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+            + CAST(sx2 AS DOUBLE) * (CAST(sx1 AS DOUBLE) * CAST(sx12 AS DOUBLE)
+                                   - CAST(sx11 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+             ) AS det
+      FROM {stats}
+    ) d
+  ) coef
+) fit
+"""
+
+
+def t40_ols_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    # x2 = long-token count (len >= 6). NOT sentence count: the synthetic
+    # corpus has no sentence punctuation, so sentence count is the constant
+    # 1 — exactly collinear with the intercept, det = 0.
+    long_toks = F.filter(toks, lambda x: F.length(x) >= 6)
+    feats = d.select(
+        F.col("n_chars").alias("x1"),
+        F.size(long_toks).cast("long").alias("x2"),
+        F.size(toks).cast("long").alias("y"),
+    )
+    feats.createOrReplaceTempView("t40_feats")
+    spark.sql(f"SELECT {_T40_STATS_SQL} FROM t40_feats").createOrReplaceTempView(
+        "t40_stats"
+    )
+    return spark.sql(_T40_SOLVE_SQL.format(stats="t40_stats"))
+
+
+T40_SQL = f"""
+WITH feats AS (
+  SELECT n_chars AS x1,
+         CAST(len(list_filter(string_split({_CLEAN_SQL}, ' '),
+                              x -> x != '' AND length(x) >= 6))
+              AS BIGINT) AS x2,
+         CAST(len(list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != ''))
+              AS BIGINT) AS y
+  FROM documents
+),
+stats AS (SELECT {_T40_STATS_SQL} FROM feats)
+{_T40_SOLVE_SQL.format(stats="stats").strip()}
+"""
+
+
+# --------------------------------------------------------------------------
+# t42: bigram-LM surprisal flags — STAGED FOR ROUND-11 DECLARATION
+# (gated on staged_ops_live(10); oracle-parity-tested in
+# test_round8_ops.py::test_t42_matches_duckdb_oracle).
+#
+# Language-model-based quality filtering (the CCNet/Gopher "perplexity
+# gate") WITHOUT the cross-engine libm hazard of summed log-probs: a
+# bigram is SURPRISING when its add-1-smoothed conditional probability
+# p(b|a) = (c(a,b)+1)/(c(a)+V) falls below 1/_T42_SURPRISE — tested as
+# the exact INTEGER inequality _T42_SURPRISE*(c(a,b)+1) < c(a)+V, so
+# the flag (and everything downstream) is engine-exact. Declared
+# surface: the top docs by surprising-bigram ratio — the candidates a
+# perplexity gate would reject.
+#
+# Scale shape: bigram counts are ONE map-combinable shuffle; rescoring
+# joins the corpus bigram stream to the (vocab²-bounded) count table on
+# (a, b) — a plain shuffle join that needs no broadcast assumption —
+# and the per-doc rollup rides the same pass.
+# --------------------------------------------------------------------------
+_T42_SURPRISE = 64
+_T42_MIN_BIGRAMS = 20
+_T42_TOP = 30
+
+
+def t42_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    base = d.select("doc_id", toks.alias("t")).localCheckpoint()
+    pairs_expr = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 1),
+            F.slice("t", 2, F.size("t") - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<a:string,b:string>>"))
+    bigr = base.select(
+        "doc_id", F.explode(pairs_expr).alias("p")
+    ).select("doc_id", "p.a", "p.b")
+    cab = bigr.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    ca = bigr.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    vocab = (
+        base.select(F.explode("t").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+        .withColumn("k", F.lit(1))
+    )
+    flagged = (
+        bigr.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(vocab), "k")
+        .select(
+            "doc_id",
+            (
+                F.lit(_T42_SURPRISE) * (F.col("cab") + 1) < F.col("ca") + F.col("v")
+            ).cast("long").alias("surp"),
+        )
+    )
+    per_doc = (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("surp").alias("n_surprising"),
+        )
+        .filter(F.col("n_bigrams") >= _T42_MIN_BIGRAMS)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_surprising",
+            (F.col("n_surprising") / F.col("n_bigrams")).alias("surprise_ratio"),
+        )
+    )
+    return per_doc.orderBy(F.desc("surprise_ratio"), "doc_id").limit(_T42_TOP)
+
+
+T42_SQL = f"""
+WITH cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents),
+seq AS (
+  SELECT doc_id, list_filter(string_split(ctext, ' '), x -> x != '') AS t
+  FROM cleaned
+),
+bigr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS a,
+         unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS b
+  FROM seq
+),
+cab AS (SELECT a, b, COUNT(*) AS cab FROM bigr GROUP BY a, b),
+ca AS (SELECT a, COUNT(*) AS ca FROM bigr GROUP BY a),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM seq)),
+per_doc AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN {_T42_SURPRISE} * (cab.cab + 1) < ca.ca + vocab.v
+             THEN 1 ELSE 0 END) AS n_surprising
+  FROM bigr g JOIN cab USING (a, b) JOIN ca USING (a), vocab
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_bigrams, CAST(n_surprising AS BIGINT) AS n_surprising,
+       CAST(n_surprising AS DOUBLE) / n_bigrams AS surprise_ratio
+FROM per_doc
+WHERE n_bigrams >= {_T42_MIN_BIGRAMS}
+ORDER BY surprise_ratio DESC, doc_id
+LIMIT {_T42_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# t44: source temperature-sampling weights — STAGED FOR ROUND-11
+# DECLARATION (gated on staged_ops_live(10); oracle-parity-tested in
+# test_round8_ops.py::test_t44_matches_duckdb_oracle).
+#
+# The multilingual/multi-source mixing rule (mT5/XLM-R style): sample
+# source s proportional to p_s^α so small sources are upweighted
+# without letting them dominate. α is FIXED at 0.5 deliberately —
+# p^0.5 is sqrt, which IEEE 754 requires to be CORRECTLY ROUNDED, so
+# the weights are bit-identical across engines (pow(p, 0.7) would ride
+# each engine's libm). Every emitted double is a chain of individually
+# correctly-rounded ops (÷, sqrt) over exact integer token counts —
+# no rounding fudge needed on the declared surface.
+#
+# Normalization is deliberately RELATIVE-TO-LARGEST (share_vs_max,
+# oversample_rate = sqrt(n_max/n_s)) rather than sum-normalized: a
+# Σ√n̄ normalizer is a float SUM whose association order is
+# engine/partitioning-dependent — the exact hazard this surface
+# avoids. At 100 TB the per-source token counts are one
+# map-combinable aggregate over the corpus scan.
+# --------------------------------------------------------------------------
+def t44_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    per_src = (
+        d.select("source", F.size(toks).cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    nmax = per_src.agg(F.max("n_tokens").alias("n_max")).withColumn("k", F.lit(1))
+    return (
+        per_src.withColumn("k", F.lit(1))
+        .join(F.broadcast(nmax), "k")
+        .select(
+            "source",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("n_max").cast("double")).alias(
+                "share_vs_max"
+            ),
+            F.sqrt(
+                F.col("n_max").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("oversample_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+T44_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != '')))
+              AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+nmax AS (SELECT MAX(n_tokens) AS n_max FROM per_src)
+SELECT source, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(n_max AS DOUBLE) AS share_vs_max,
+       sqrt(CAST(n_max AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS oversample_rate
+FROM per_src, nmax
+ORDER BY source
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -2800,6 +3084,11 @@ STAGED_QUERIES = {
     9: {
         "t39_collocation_pmi": t39_collocation_pmi,
         "t41_vocab_growth": t41_vocab_growth,
+    },
+    10: {
+        "t40_ols_sufficient_stats": t40_ols_sufficient_stats,
+        "t42_bigram_surprisal": t42_bigram_surprisal,
+        "t44_source_temperature_mix": t44_source_temperature_mix,
     },
 }
 STAGED_ORACLES = {
@@ -2813,5 +3102,10 @@ STAGED_ORACLES = {
     9: {
         "t39_collocation_pmi": T39_SQL,
         "t41_vocab_growth": T41_SQL,
+    },
+    10: {
+        "t40_ols_sufficient_stats": T40_SQL,
+        "t42_bigram_surprisal": T42_SQL,
+        "t44_source_temperature_mix": T44_SQL,
     },
 }

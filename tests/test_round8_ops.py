@@ -95,3 +95,152 @@ def test_bpe_train_batch1_equals_sequential(spark, sf_dir):
     assert bpe_train(spark, sf_dir, n_merges=4) == bpe_train(
         spark, sf_dir, n_merges=4, batch=1
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 staged trio (gate 10): t40 OLS, t42 bigram surprisal, t44
+# temperature mix — driver-style DuckDB parity + semantic invariants.
+# ---------------------------------------------------------------------------
+def _duck(sf_dir, views=("documents",)):
+    import duckdb
+
+    con = duckdb.connect()
+    for v in views:
+        con.execute(
+            f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{sf_dir}/{v}.parquet')"
+        )
+    return con
+
+
+def test_t40_matches_duckdb_oracle(spark, sf_dir):
+    """t40 distributed OLS via exact-integer sufficient statistics is
+    STAGED for round-11 declaration; the Cramer solve over the shared
+    fixed expression tree must match DuckDB bit-for-bit at 6 dp."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T40_SQL,
+        t40_ols_sufficient_stats,
+    )
+
+    got = [tuple(r) for r in t40_ols_sufficient_stats(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T40_SQL).fetchall()]
+    assert len(got) == 1 and got == want
+
+
+def test_t40_fit_is_sane(spark, sf_dir):
+    """Token count grows with chars: the char coefficient is positive
+    and the fit explains most of the variance on the synthetic corpus
+    (tokens ~ chars/avg_word_len is near-linear)."""
+    from nlp_data_pipeline_spark.operators.text_analytics import t40_ols_sufficient_stats
+
+    row = t40_ols_sufficient_stats(spark, sf_dir).collect()[0]
+    assert row["b1"] > 0
+    assert row["r2"] is not None and 0.5 < row["r2"] <= 1.0
+
+
+def test_t40_exact_recompute(spark, sf_dir):
+    """The sufficient statistics solve equals a direct numpy lstsq fit
+    on the materialized feature matrix (library-free semantics pin)."""
+    import numpy as np
+
+    from nlp_data_pipeline_spark.operators.text_analytics import t40_ols_sufficient_stats
+
+    row = t40_ols_sufficient_stats(spark, sf_dir).collect()[0]
+    feats = _duck(sf_dir).execute(
+        """SELECT n_chars,
+                  len(list_filter(string_split(lower(regexp_replace(regexp_replace(text,
+                        '[^a-zA-Z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '),
+                      x -> x != '' AND length(x) >= 6)),
+                  len(list_filter(string_split(lower(regexp_replace(regexp_replace(text,
+                        '[^a-zA-Z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '),
+                      x -> x != ''))
+           FROM documents"""
+    ).fetchall()
+    X = np.array([[1.0, r[0], r[1]] for r in feats])
+    y = np.array([float(r[2]) for r in feats])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(row["b0"] - beta[0]) < 1e-4
+    assert abs(row["b1"] - beta[1]) < 1e-4
+    assert abs(row["b2"] - beta[2]) < 1e-4
+
+
+def test_t42_matches_duckdb_oracle(spark, sf_dir):
+    """t42 bigram surprisal is STAGED for round-11 declaration; the
+    integer-inequality surprise flags and per-doc rollup must match."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T42_SQL,
+        t42_bigram_surprisal,
+    )
+
+    got = [tuple(r) for r in t42_bigram_surprisal(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T42_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+
+
+def test_t42_flags_match_python_lm(spark, sf_dir):
+    """Recompute the add-1-smoothed bigram LM in pure Python and verify
+    the per-doc surprising-bigram counts for the returned docs."""
+    from collections import Counter
+
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _T42_SURPRISE,
+        t42_bigram_surprisal,
+    )
+
+    rows = t42_bigram_surprisal(spark, sf_dir).collect()
+    docs = _duck(sf_dir).execute(
+        """SELECT doc_id, list_filter(string_split(lower(regexp_replace(regexp_replace(
+                 text, '[^a-zA-Z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '), x -> x != '')
+           FROM documents"""
+    ).fetchall()
+    cab, ca, vocab = Counter(), Counter(), set()
+    seqs = {}
+    for doc_id, toks in docs:
+        vocab.update(toks)
+        bigrams = list(zip(toks, toks[1:]))
+        seqs[doc_id] = bigrams
+        for a, b in bigrams:
+            cab[(a, b)] += 1
+            ca[a] += 1
+    v = len(vocab)
+    for r in rows:
+        bigrams = seqs[r["doc_id"]]
+        n_surp = sum(
+            1 for a, b in bigrams if _T42_SURPRISE * (cab[(a, b)] + 1) < ca[a] + v
+        )
+        assert r["n_bigrams"] == len(bigrams)
+        assert r["n_surprising"] == n_surp
+
+
+def test_t44_matches_duckdb_oracle(spark, sf_dir):
+    """t44 temperature-sampling mix is STAGED for round-11 declaration;
+    ÷ and sqrt are IEEE correctly rounded, so equality is exact."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T44_SQL,
+        t44_source_temperature_mix,
+    )
+
+    got = [tuple(r) for r in t44_source_temperature_mix(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T44_SQL).fetchall()]
+    assert len(got) > 0 and got == want
+
+
+def test_t44_upweights_small_sources(spark, sf_dir):
+    """α=0.5 contract: oversample_rate = 1/sqrt(share), so the smallest
+    source gets the largest rate, the largest source gets exactly 1.0,
+    and rate ordering is the reverse of token-count ordering."""
+    import math
+
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        t44_source_temperature_mix,
+    )
+
+    rows = t44_source_temperature_mix(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    by_n = sorted(rows, key=lambda r: r["n_tokens"])
+    rates = [r["oversample_rate"] for r in by_n]
+    assert rates == sorted(rates, reverse=True)
+    assert by_n[-1]["oversample_rate"] == 1.0
+    for r in rows:
+        assert r["oversample_rate"] == math.sqrt(
+            by_n[-1]["n_tokens"] / r["n_tokens"]
+        )
