@@ -1975,6 +1975,82 @@ ORDER BY s.user_id, s.hour
 """
 
 
+# --------------------------------------------------------------------------
+# q50: AQE runtime skew-join splitting — STAGED FOR ROUND-11 DECLARATION
+# (gated on staged_ops_live(10)). The THIRD skew-remedy tier alongside
+# q25 (salted aggregation) and q29 (manual salted join): no rewrite at
+# all — declare the plain join and let AQE's OptimizeSkewedJoin split
+# the hot reducer partition into per-map-range pieces at runtime.
+#
+# The join key is deliberately skewed (~80% of lineitem rows collapse
+# onto key 1); the dim side is a PLAIN PROJECTION of supplier, which is
+# load-bearing for the runtime rewrite: OptimizeSkewedJoin only pattern-
+# matches SortMergeJoin(Sort(ShuffleRead), Sort(ShuffleRead)) — a post-
+# shuffle aggregate on either side hides the stage and the rule skips
+# the join silently. The repartition(16) stands in for the thousands of
+# upstream map tasks a real 100 TB scan has: skew splitting works at
+# MAP-OUTPUT granularity, so the hot reducer can only be divided when
+# multiple non-empty mappers fed it (a single-row-group toy parquet file
+# yields one mapper and an unsplittable partition; any mapper reporting
+# zero bytes for the hot reducer also vetoes the split).
+#
+# At production scale the default thresholds (256 MB partition, 5x
+# median) make the split fire with NO configuration; at test scale
+# tests/test_plans.py::test_q50_aqe_skew_join_splits_hot_partition pins
+# the `SortMergeJoin(skew=true)` / `AQEShuffleRead skewed` nodes with
+# the thresholds scaled down to the toy bytes. Correctness never
+# depends on whether the split fires — this query is oracle-checked
+# under default confs where it stays cold.
+#
+# Money/quantity sums ride DECIMAL(18,2) on both engines (float-sum
+# association is partitioning-dependent; decimal addition is exact).
+# --------------------------------------------------------------------------
+def q50_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    jk = (
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(1))
+        .otherwise(F.col("l_orderkey") % 64)
+        .cast("long")
+    )
+    fact = li.repartition(16).select(jk.alias("jk"), "l_quantity")
+    dim = su.select(
+        (F.col("s_suppkey") % 64).cast("long").alias("jk"), "s_acctbal"
+    )
+    return (
+        fact.hint("merge")
+        .join(dim.hint("merge"), "jk")
+        .groupBy((F.col("jk") % 8).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("acct"),
+        )
+        .orderBy("g")
+    )
+
+
+Q50_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE l_orderkey % 64 END AS jk,
+         l_quantity
+  FROM lineitem
+),
+dim AS (SELECT s_suppkey % 64 AS jk, s_acctbal FROM supplier)
+SELECT fact.jk % 8 AS g,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct
+FROM fact JOIN dim USING (jk)
+GROUP BY fact.jk % 8
+ORDER BY g
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -1990,6 +2066,7 @@ STAGED_QUERIES = {
         "u09_pandas_window_udaf": u09_pandas_window_udaf,
         "q47_gap_fill_forward": q47_gap_fill_forward,
     },
+    10: {"q50_aqe_skew_join": q50_aqe_skew_join},
 }
 STAGED_ORACLES = {
     6: {"q42_collated_group": Q42_SQL},
@@ -2006,4 +2083,5 @@ STAGED_ORACLES = {
         "u09_pandas_window_udaf": U09_SQL,
         "q47_gap_fill_forward": Q47_SQL,
     },
+    10: {"q50_aqe_skew_join": Q50_SQL},
 }

@@ -194,3 +194,72 @@ def test_d10_benchmark_set_is_broadcast(spark, sf_dir):
     from nlp_data_pipeline_spark.operators.dedup import d10_benchmark_decontamination
 
     assert uses_broadcast_join(d10_benchmark_decontamination(spark, sf_dir))
+
+
+def test_q50_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """q50's contract: with the skew thresholds scaled down to the toy
+    data's bytes (at production scale the 256 MB/5x defaults fire with
+    no configuration), AQE must detect the hot join partition at
+    runtime and split it — the final adaptive plan shows
+    SortMergeJoin(skew=true) over an `AQEShuffleRead skewed`. The
+    confs are restored afterward so sibling tests see the defaults."""
+    from nlp_data_pipeline_spark.operators.relational_ext import q50_aqe_skew_join
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = q50_aqe_skew_join(spark, "/root/testdata/sf0.01")
+        rows = df.collect()
+        assert len(rows) > 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan, plan
+    assert "AQEShuffleRead skewed" in plan or "skewed" in plan, plan
+
+
+def test_q50_result_is_conf_invariant(spark, sf_dir):
+    """The skew split is a physical rewrite only: results under the
+    split-firing confs equal results under the defaults (where the
+    join stays cold — which is how the driver's oracle gate runs it)."""
+    from nlp_data_pipeline_spark.operators.relational_ext import q50_aqe_skew_join
+
+    base = sorted(tuple(r) for r in q50_aqe_skew_join(spark, sf_dir).collect())
+    assert len(base) > 0
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        split = sorted(tuple(r) for r in q50_aqe_skew_join(spark, sf_dir).collect())
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert split == base
