@@ -2051,6 +2051,377 @@ ORDER BY g
 """
 
 
+# --------------------------------------------------------------------------
+# q48: Z-order layout audit — STAGED FOR ROUND-11 DECLARATION (gated on
+# staged_ops_live(10)). The multi-dimensional data-layout lever at
+# 100 TB: writing files clustered by a Z-order (Morton) curve over two
+# filter dimensions gives BOTH dimensions tight per-file min/max ranges,
+# so parquet row-group / file skipping prunes on either predicate —
+# where a linear sort is tight on its leading key only.
+#
+# This query measures exactly that: bucket orders 64 ways (= "files")
+# under both layouts and compare per-bucket (max-min) spans of each
+# dimension. Expected shape: z-order ≈ balanced modest spans on x AND
+# y; linear ≈ near-zero x-span but full-range y-span.
+#
+# Dimensions are exact integers (custkey mod 256, floor price-band mod
+# 256 — deliberately NOT a timestamp→date cast, which is session-tz
+# dependent under the driver's vanilla session), and the Morton code is
+# a fixed 16-term bit-interleave expression tree, so every value is
+# engine-exact. The ntile(64) bucketing runs as a single-partition
+# window HERE; at scale the same bucket ids come free from the sorted
+# write path (repartitionByRange(z) + sortWithinPartitions), which is
+# how a real table layout job materializes the curve — the audit
+# numbers are identical because ntile over the same total order is
+# deterministic.
+# --------------------------------------------------------------------------
+_Q48_BUCKETS = 64
+
+
+def _q48_morton(x, y):
+    """Interleave the low 8 bits of x (odd positions) and y (even)."""
+    z = F.lit(0).cast("long")
+    for i in range(8):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def q48_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    feats = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("x"),
+        (F.floor(F.col("o_totalprice") / 2048).cast("long") % 256).alias("y"),
+    ).withColumn("z", _q48_morton(F.col("x"), F.col("y")))
+    zorder = feats.select(
+        F.lit("zorder").alias("strategy"),
+        F.ntile(_Q48_BUCKETS)
+        .over(Window.orderBy("z", "o_orderkey"))
+        .alias("bucket"),
+        "x",
+        "y",
+    )
+    linear = feats.select(
+        F.lit("linear").alias("strategy"),
+        F.ntile(_Q48_BUCKETS)
+        .over(Window.orderBy("x", "y", "o_orderkey"))
+        .alias("bucket"),
+        "x",
+        "y",
+    )
+    spans = (
+        zorder.unionByName(linear)
+        .groupBy("strategy", "bucket")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+    )
+    return (
+        spans.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            (F.sum("xs").cast("double") / F.count(F.lit(1))).alias("avg_x_span"),
+            (F.sum("ys").cast("double") / F.count(F.lit(1))).alias("avg_y_span"),
+            F.max("xs").alias("max_x_span"),
+            F.max("ys").alias("max_y_span"),
+        )
+        .orderBy("strategy")
+    )
+
+
+_Q48_MORTON_SQL = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i + 1}) + (((y >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+
+Q48_SQL = f"""
+WITH feats AS (
+  SELECT o_orderkey,
+         o_custkey % 256 AS x,
+         CAST(floor(o_totalprice / 2048) AS BIGINT) % 256 AS y
+  FROM orders
+),
+coded AS (SELECT o_orderkey, x, y, {_Q48_MORTON_SQL} AS z FROM feats),
+layout AS (
+  SELECT 'zorder' AS strategy,
+         ntile({_Q48_BUCKETS}) OVER (ORDER BY z, o_orderkey) AS bucket, x, y
+  FROM coded
+  UNION ALL
+  SELECT 'linear' AS strategy,
+         ntile({_Q48_BUCKETS}) OVER (ORDER BY x, y, o_orderkey) AS bucket, x, y
+  FROM coded
+),
+spans AS (
+  SELECT strategy, bucket, MAX(x) - MIN(x) AS xs, MAX(y) - MIN(y) AS ys
+  FROM layout GROUP BY strategy, bucket
+)
+SELECT strategy,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(xs) AS DOUBLE) / COUNT(*) AS avg_x_span,
+       CAST(SUM(ys) AS DOUBLE) / COUNT(*) AS avg_y_span,
+       MAX(xs) AS max_x_span,
+       MAX(ys) AS max_y_span
+FROM spans
+GROUP BY strategy
+ORDER BY strategy
+"""
+
+
+# --------------------------------------------------------------------------
+# q49: binned interval-overlap join — STAGED FOR ROUND-11 DECLARATION
+# (gated on staged_ops_live(10)). Interval overlap is a theta-join
+# (a.start <= b.end AND b.start <= a.end) — naively a nested-loop
+# cartesian, the classic scale-killer. The distributed form: explode
+# each interval into the fixed-width time bins it covers, EQUI-join on
+# bin (candidates only where intervals share a bin), dedup the pair,
+# then apply the exact overlap predicate. Cost is O(n·k) rows (k =
+# bins per interval, here 1-2) with an ordinary hash shuffle — no
+# cartesian anywhere (pinned by plan test).
+#
+# Semantics: purchase sessions [ts, ts+30min] vs global error
+# incidents [ts-15min, ts+15min] (value > 150); output = top users by
+# overlapping (session, incident) pair count. Bin ids are computed in
+# exact integer MICROSECONDS (unix_micros / epoch_us) — not seconds —
+# so bin assignment is engine-exact with no sub-second truncation
+# hazard. The DuckDB oracle runs the plain theta join: same answer,
+# different algorithm, which is exactly what it is for.
+# --------------------------------------------------------------------------
+_Q49_BIN_US = 3_600_000_000  # 1 hour
+_Q49_SESSION_MIN = 30
+_Q49_INCIDENT_MIN = 15
+_Q49_VALUE_MIN = 150.0
+_Q49_TOP = 20
+
+
+def q49_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("s_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("s_lo"),
+        (F.unix_micros("ts") + _Q49_SESSION_MIN * 60_000_000).alias("s_hi"),
+    )
+    inc = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > _Q49_VALUE_MIN)
+    ).select(
+        F.col("event_id").alias("i_id"),
+        (F.unix_micros("ts") - _Q49_INCIDENT_MIN * 60_000_000).alias("i_lo"),
+        (F.unix_micros("ts") + _Q49_INCIDENT_MIN * 60_000_000).alias("i_hi"),
+    )
+
+    def binned(df, lo, hi):
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / _Q49_BIN_US),
+                    F.floor(F.col(hi) / _Q49_BIN_US),
+                )
+            ),
+        )
+
+    pairs = (
+        binned(sess, "s_lo", "s_hi")
+        .join(binned(inc, "i_lo", "i_hi"), "bin")
+        .filter((F.col("s_lo") <= F.col("i_hi")) & (F.col("i_lo") <= F.col("s_hi")))
+        .select("user_id", "s_id", "i_id")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy(F.desc("n_overlaps"), "user_id")
+        .limit(_Q49_TOP)
+    )
+
+
+Q49_SQL = f"""
+WITH sess AS (
+  SELECT event_id AS s_id, user_id,
+         epoch_us(ts) AS s_lo,
+         epoch_us(ts) + {_Q49_SESSION_MIN} * 60000000 AS s_hi
+  FROM events WHERE event_type = 'purchase'
+),
+inc AS (
+  SELECT event_id AS i_id,
+         epoch_us(ts) - {_Q49_INCIDENT_MIN} * 60000000 AS i_lo,
+         epoch_us(ts) + {_Q49_INCIDENT_MIN} * 60000000 AS i_hi
+  FROM events WHERE event_type = 'error' AND value > {_Q49_VALUE_MIN}
+)
+SELECT user_id, COUNT(*) AS n_overlaps
+FROM (
+  SELECT DISTINCT user_id, s_id, i_id
+  FROM sess JOIN inc ON s_lo <= i_hi AND i_lo <= s_hi
+)
+GROUP BY user_id
+ORDER BY n_overlaps DESC, user_id
+LIMIT {_Q49_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# a05: Bloom-filter semi-join with exact false-positive accounting —
+# STAGED FOR ROUND-11 DECLARATION (gated on staged_ops_live(10)). The
+# shuffle-reduction primitive behind runtime row-level filtering: build
+# a Bloom filter over the (small, filtered) build side's keys, pre-
+# filter the 100 TB probe side with it BEFORE the shuffle join, and pay
+# only the filter's false-positive rate in extra shuffled rows.
+#
+# Hand-rolled with the repo's md5 portable-hash family (k={{K}} seeded
+# positions mod m={{M}}) instead of Spark's bloom_filter_agg, whose bit
+# layout is JVM-internal and has no DuckDB twin — here the filter's
+# EXACT bit positions, candidate set, and false positives reproduce on
+# both engines, so the declared surface audits the filter itself:
+# build/probe key counts, candidate count, true/false positives, fp
+# rate, and how many probe ROWS the semi-join admits. Sizing story in
+# one number: m/n ≈ 27 bits/key at k=3 → fp ≈ 0.1%; the 100 TB knob is
+# m (the bit array broadcast stays m bits regardless of corpus size).
+# All joins against the bit set and the build keys are broadcasts
+# (pinned by plan test) — the corpus-side probe never shuffles to
+# evaluate the filter.
+# --------------------------------------------------------------------------
+_A05_M = 65536
+_A05_K = 3
+_A05_PRICE_MIN = 420000.0
+
+
+def _a05_pos(key_col, i: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"a05{i}|"), key_col.cast("string"))), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        % _A05_M
+    )
+
+
+def a05_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = o.filter(F.col("o_totalprice") > _A05_PRICE_MIN).select(
+        F.col("o_orderkey").alias("key")
+    )
+    # the Bloom bit set: distinct set positions over k seeded hashes
+    bits = (
+        build.select(
+            F.explode(
+                F.array(*[_a05_pos(F.col("key"), i) for i in range(_A05_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    probe_pos = probe.select(
+        "key",
+        "n_rows",
+        F.explode(
+            F.array(*[_a05_pos(F.col("key"), i) for i in range(_A05_K)])
+        ).alias("pos"),
+    )
+    # candidate iff ALL k positions are set: semi-join on pos, count = k
+    candidates = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("key", "n_rows")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == _A05_K)
+        .select("key", "n_rows")
+    )
+    classified = candidates.join(
+        F.broadcast(build.withColumn("in_build", F.lit(1))), "key", "left"
+    )
+    stats = classified.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("in_build").isNotNull(), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(F.col("in_build").isNull(), 1).otherwise(0)).alias(
+            "n_false_pos"
+        ),
+        F.sum("n_rows").alias("n_probe_rows_admitted"),
+    )
+    totals = (
+        build.agg(F.count(F.lit(1)).alias("n_build_keys"))
+        .withColumn("k", F.lit(1))
+        .join(
+            probe.agg(F.count(F.lit(1)).alias("n_probe_keys")).withColumn(
+                "k", F.lit(1)
+            ),
+            "k",
+        )
+    )
+    return (
+        stats.withColumn("k", F.lit(1))
+        .join(F.broadcast(totals), "k")
+        .select(
+            "n_build_keys",
+            "n_probe_keys",
+            "n_candidates",
+            "n_true",
+            "n_false_pos",
+            (
+                F.col("n_false_pos").cast("double")
+                / (F.col("n_probe_keys") - F.col("n_build_keys"))
+            ).alias("fp_rate"),
+            "n_probe_rows_admitted",
+        )
+    )
+
+
+_A05_POS_SQL = ", ".join(
+    f"CAST(('0x' || substring(md5('a05{i}|' || key), 1, 7)) AS BIGINT) % {_A05_M}"
+    for i in range(_A05_K)
+)
+
+A05_SQL = f"""
+WITH build AS (
+  SELECT o_orderkey AS key FROM orders WHERE o_totalprice > {_A05_PRICE_MIN}
+),
+bits AS (
+  SELECT DISTINCT unnest([{_A05_POS_SQL}]) AS pos FROM build
+),
+probe AS (
+  SELECT l_orderkey AS key, COUNT(*) AS n_rows FROM lineitem GROUP BY l_orderkey
+),
+probe_pos AS (
+  SELECT key, n_rows, unnest([{_A05_POS_SQL}]) AS pos FROM probe
+),
+candidates AS (
+  SELECT key, n_rows
+  FROM probe_pos JOIN bits USING (pos)
+  GROUP BY key, n_rows
+  HAVING COUNT(*) = {_A05_K}
+),
+classified AS (
+  SELECT c.key, c.n_rows, b.key IS NOT NULL AS is_true
+  FROM candidates c LEFT JOIN build b ON c.key = b.key
+),
+stats AS (
+  SELECT COUNT(*) AS n_candidates,
+         SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS n_true,
+         SUM(CASE WHEN is_true THEN 0 ELSE 1 END) AS n_false_pos,
+         SUM(n_rows) AS n_probe_rows_admitted
+  FROM classified
+),
+totals AS (
+  SELECT (SELECT COUNT(*) FROM build) AS n_build_keys,
+         (SELECT COUNT(*) FROM probe) AS n_probe_keys
+)
+SELECT n_build_keys, n_probe_keys,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_false_pos AS BIGINT) AS n_false_pos,
+       CAST(n_false_pos AS DOUBLE) / (n_probe_keys - n_build_keys) AS fp_rate,
+       CAST(n_probe_rows_admitted AS BIGINT) AS n_probe_rows_admitted
+FROM stats, totals
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -2066,7 +2437,12 @@ STAGED_QUERIES = {
         "u09_pandas_window_udaf": u09_pandas_window_udaf,
         "q47_gap_fill_forward": q47_gap_fill_forward,
     },
-    10: {"q50_aqe_skew_join": q50_aqe_skew_join},
+    10: {
+        "q48_zorder_layout": q48_zorder_layout,
+        "q49_interval_overlap_join": q49_interval_overlap_join,
+        "q50_aqe_skew_join": q50_aqe_skew_join,
+        "a05_bloom_semijoin": a05_bloom_semijoin,
+    },
 }
 STAGED_ORACLES = {
     6: {"q42_collated_group": Q42_SQL},
@@ -2083,5 +2459,10 @@ STAGED_ORACLES = {
         "u09_pandas_window_udaf": U09_SQL,
         "q47_gap_fill_forward": Q47_SQL,
     },
-    10: {"q50_aqe_skew_join": Q50_SQL},
+    10: {
+        "q48_zorder_layout": Q48_SQL,
+        "q49_interval_overlap_join": Q49_SQL,
+        "q50_aqe_skew_join": Q50_SQL,
+        "a05_bloom_semijoin": A05_SQL,
+    },
 }

@@ -244,3 +244,152 @@ def test_t44_upweights_small_sources(spark, sf_dir):
         assert r["oversample_rate"] == math.sqrt(
             by_n[-1]["n_tokens"] / r["n_tokens"]
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 staged join/layout ops (gate 10): q48 Z-order audit, q49
+# binned interval-overlap join, a05 Bloom semi-join.
+# ---------------------------------------------------------------------------
+def test_q48_matches_duckdb_oracle(spark, sf_dir):
+    """q48 Z-order layout audit is STAGED for round-11 declaration; the
+    Morton-bucketed span summary must match DuckDB exactly (all values
+    are exact-integer arithmetic + one exact division)."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q48_SQL,
+        q48_zorder_layout,
+    )
+
+    got = [tuple(r) for r in q48_zorder_layout(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir, views=("orders",)).execute(Q48_SQL).fetchall()]
+    assert len(got) == 2 and got == want
+
+
+def test_q48_zorder_bounds_both_dims(spark, sf_dir):
+    """The layout claim itself: under the linear layout the leading key
+    x is near-perfectly clustered but y spans nearly the full 0..255
+    range per bucket; z-order trades a modest x-span for a y-span far
+    below linear's — both dimensions become prunable."""
+    from nlp_data_pipeline_spark.operators.relational_ext import q48_zorder_layout
+
+    rows = {r["strategy"]: r for r in q48_zorder_layout(spark, sf_dir).collect()}
+    lin, zo = rows["linear"], rows["zorder"]
+    assert lin.avg_x_span < zo.avg_x_span
+    assert zo.avg_y_span < lin.avg_y_span
+    assert zo.avg_y_span < 0.66 * lin.avg_y_span
+
+
+def test_q49_matches_duckdb_oracle(spark, sf_dir):
+    """q49 binned interval-overlap join is STAGED for round-11
+    declaration; the bin-equi-join + exact predicate must equal the
+    oracle's plain theta join."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q49_SQL,
+        q49_interval_overlap_join,
+    )
+
+    got = [tuple(r) for r in q49_interval_overlap_join(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("events",)).execute(Q49_SQL).fetchall()
+    ]
+    assert got == want
+
+
+def test_q49_is_not_cartesian(spark, sf_dir):
+    """The whole point of binning: the candidate join is an equi hash/
+    merge join on the bin id, never a nested-loop theta join."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        q49_interval_overlap_join,
+    )
+    from nlp_data_pipeline_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q49_interval_overlap_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q49_pairs_match_bruteforce(spark, sf_dir):
+    """Every (session, incident) bin-join pair matches the brute-force
+    O(n*m) Python recount of true interval overlaps."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        _Q49_INCIDENT_MIN,
+        _Q49_SESSION_MIN,
+        _Q49_VALUE_MIN,
+        q49_interval_overlap_join,
+    )
+
+    rows = q49_interval_overlap_join(spark, sf_dir).collect()
+    ev = _duck(sf_dir, views=("events",)).execute(
+        "SELECT event_id, user_id, event_type, value, epoch_us(ts) FROM events"
+    ).fetchall()
+    sess = [
+        (uid, us, us + _Q49_SESSION_MIN * 60_000_000)
+        for _, uid, et, _, us in ev
+        if et == "purchase"
+    ]
+    inc = [
+        (us - _Q49_INCIDENT_MIN * 60_000_000, us + _Q49_INCIDENT_MIN * 60_000_000)
+        for _, _, et, v, us in ev
+        if et == "error" and v > _Q49_VALUE_MIN
+    ]
+    from collections import Counter
+
+    per_user = Counter()
+    for uid, lo, hi in sess:
+        for ilo, ihi in inc:
+            if lo <= ihi and ilo <= hi:
+                per_user[uid] += 1
+    for r in rows:
+        assert per_user[r["user_id"]] == r["n_overlaps"]
+
+
+def test_a05_matches_duckdb_oracle(spark, sf_dir):
+    """a05 Bloom semi-join is STAGED for round-11 declaration; the md5
+    bit positions, candidate set, and fp accounting are engine-exact."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        A05_SQL,
+        a05_bloom_semijoin,
+    )
+
+    got = [tuple(r) for r in a05_bloom_semijoin(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("orders", "lineitem")).execute(A05_SQL).fetchall()
+    ]
+    assert len(got) == 1 and got == want
+
+
+def test_a05_bloom_has_no_false_negatives(spark, sf_dir):
+    """The Bloom contract: every true build key is admitted
+    (n_true == n_build_keys that appear on the probe side) and the fp
+    rate is within an order of magnitude of the (1-e^{-kn/m})^k sizing
+    estimate."""
+    import math
+
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        _A05_K,
+        _A05_M,
+        _A05_PRICE_MIN,
+        a05_bloom_semijoin,
+    )
+
+    row = a05_bloom_semijoin(spark, sf_dir).collect()[0]
+    joint = _duck(sf_dir, views=("orders", "lineitem")).execute(
+        f"""SELECT COUNT(DISTINCT o_orderkey) FROM orders
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_totalprice > {_A05_PRICE_MIN}"""
+    ).fetchone()[0]
+    assert row["n_true"] == joint  # no false negatives, ever
+    expected_fp = (1 - math.exp(-_A05_K * row["n_build_keys"] / _A05_M)) ** _A05_K
+    assert row["fp_rate"] <= max(10 * expected_fp, 0.02)
+
+
+def test_a05_probe_side_filter_is_broadcast(spark, sf_dir):
+    """The bit set and the build-key classification join must broadcast
+    — the probe (corpus) side never shuffles to evaluate the filter."""
+    from nlp_data_pipeline_spark.operators.relational_ext import a05_bloom_semijoin
+    from nlp_data_pipeline_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(a05_bloom_semijoin(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
