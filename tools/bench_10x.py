@@ -70,6 +70,12 @@ HEAVY = [
     "m09_wav_header_parse",
     "d17_containment_pairs",
     "s20_ivf_operating_curve",
+    # round-11 staged (documents-shaped; q48/q49/a05/q50 read the
+    # unreplicated orders/lineitem/events tables, so the probe doesn't
+    # apply to them)
+    "t40_ols_sufficient_stats",
+    "t42_bigram_surprisal",
+    "t44_source_temperature_mix",
 ]
 
 
