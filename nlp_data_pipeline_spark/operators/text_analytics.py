@@ -2826,16 +2826,10 @@ _T40_STATS_SQL = """
 """
 
 # One shared arithmetic text for BOTH engines: identical fixed
-# expression trees over the exact-integer stats.
-_T40_SOLVE_SQL = """
-SELECT n,
-       round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
-       round(1.0 - sse / nullif(sst, 0.0), 6) AS r2
-FROM (
-  SELECT n, b0, b1, b2,
-         (dyy - (b0 * dy + b1 * dx1y + b2 * dx2y)) AS sse,
-         (dyy - (dy * dy) / dn) AS sst
-  FROM (
+# expression trees over the exact-integer stats. _T40_COEF_SQL exposes
+# the UNROUNDED coefficient relation so t43's inference path scores
+# with the same bit-identical doubles on both engines.
+_T40_COEF_SQL = """
     SELECT n, dy, dx1y, dx2y, dyy, dn,
            (dy   * (dx11 * dx22 - dx12 * dx12)
           - dx1  * (dx1y * dx22 - dx12 * dx2y)
@@ -2863,9 +2857,23 @@ FROM (
              ) AS det
       FROM {stats}
     ) d
-  ) coef
+"""
+
+_T40_SOLVE_SQL = (
+    """
+SELECT n,
+       round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+       round(1.0 - sse / nullif(sst, 0.0), 6) AS r2
+FROM (
+  SELECT n, b0, b1, b2,
+         (dyy - (b0 * dy + b1 * dx1y + b2 * dx2y)) AS sse,
+         (dyy - (dy * dy) / dn) AS sst
+  FROM ("""
+    + _T40_COEF_SQL
+    + """  ) coef
 ) fit
 """
+)
 
 
 def t40_ols_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3073,6 +3081,84 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# t43: quality-score batch inference — STAGED FOR ROUND-11 DECLARATION
+# (gated on staged_ops_live(10); oracle-parity-tested in
+# test_round8_ops.py::test_t43_matches_duckdb_oracle). The deploy half
+# of t40's train half: re-derive the OLS model from the same one-pass
+# sufficient statistics, broadcast the 1-row UNROUNDED coefficient
+# relation, and score every document in-scan — the fasttext-style
+# quality-filter deployment shape where inference is a pure projection
+# riding the corpus scan (model "table" = 3 doubles, never a shuffle).
+#
+# Cross-engine exactness: coefficients come from _T40_COEF_SQL (the
+# same fixed tree, unrounded), features are exact integers, and each
+# residual y - (b0 + b1*x1 + b2*x2) is one fixed +-*/ tree over those
+# — bit-identical on both engines, so the declared per-source band
+# COUNTS are engine-exact with no rounding fudge. Band edges are
+# constants; a residual landing exactly on one lands there on both
+# engines for the same reason.
+# --------------------------------------------------------------------------
+_T43_WELL = 2.0
+_T43_OUTLIER = 8.0
+
+_T43_SCORE_SQL = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN abs(res) <= {_T43_WELL} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_well,
+       CAST(SUM(CASE WHEN abs(res) > {_T43_WELL} AND abs(res) <= {_T43_OUTLIER}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+       CAST(SUM(CASE WHEN abs(res) > {_T43_OUTLIER} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outlier
+FROM (
+  SELECT f.source,
+         CAST(f.y AS DOUBLE)
+           - (c.b0 + c.b1 * CAST(f.x1 AS DOUBLE) + c.b2 * CAST(f.x2 AS DOUBLE))
+           AS res
+  FROM {{feats}} f CROSS JOIN {{coef}} c
+) scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+def t43_quality_score_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    long_toks = F.filter(toks, lambda x: F.length(x) >= 6)
+    feats = d.select(
+        "source",
+        F.col("n_chars").alias("x1"),
+        F.size(long_toks).cast("long").alias("x2"),
+        F.size(toks).cast("long").alias("y"),
+    )
+    feats.createOrReplaceTempView("t43_feats")
+    spark.sql(f"SELECT {_T40_STATS_SQL} FROM t43_feats").createOrReplaceTempView(
+        "t43_stats"
+    )
+    spark.sql(
+        "SELECT b0, b1, b2 FROM (" + _T40_COEF_SQL.format(stats="t43_stats") + ") coef"
+    ).createOrReplaceTempView("t43_coef")
+    return spark.sql(_T43_SCORE_SQL.format(feats="t43_feats", coef="t43_coef"))
+
+
+T43_SQL = f"""
+WITH feats AS (
+  SELECT source, n_chars AS x1,
+         CAST(len(list_filter(string_split({_CLEAN_SQL}, ' '),
+                              x -> x != '' AND length(x) >= 6))
+              AS BIGINT) AS x2,
+         CAST(len(list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != ''))
+              AS BIGINT) AS y
+  FROM documents
+),
+stats AS (SELECT {_T40_STATS_SQL} FROM feats),
+coef AS (SELECT b0, b1, b2 FROM ({_T40_COEF_SQL.format(stats="stats").strip()}) coef)
+{_T43_SCORE_SQL.format(feats="feats", coef="coef").strip()}
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -3088,6 +3174,7 @@ STAGED_QUERIES = {
     10: {
         "t40_ols_sufficient_stats": t40_ols_sufficient_stats,
         "t42_bigram_surprisal": t42_bigram_surprisal,
+        "t43_quality_score_inference": t43_quality_score_inference,
         "t44_source_temperature_mix": t44_source_temperature_mix,
     },
 }
@@ -3106,6 +3193,7 @@ STAGED_ORACLES = {
     10: {
         "t40_ols_sufficient_stats": T40_SQL,
         "t42_bigram_surprisal": T42_SQL,
+        "t43_quality_score_inference": T43_SQL,
         "t44_source_temperature_mix": T44_SQL,
     },
 }

@@ -246,6 +246,52 @@ def test_t44_upweights_small_sources(spark, sf_dir):
         )
 
 
+def test_t43_matches_duckdb_oracle(spark, sf_dir):
+    """t43 quality-score batch inference is STAGED for round-11
+    declaration; coefficients come from the same unrounded fixed
+    expression tree as t40 and every residual is one fixed ±*/ tree
+    over exact-integer features, so the band counts are engine-exact."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T43_SQL,
+        t43_quality_score_inference,
+    )
+
+    got = [tuple(r) for r in t43_quality_score_inference(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T43_SQL).fetchall()]
+    assert len(got) >= 2 and got == want
+
+
+def test_t43_bands_partition_corpus(spark, sf_dir):
+    """The three residual bands partition each source's documents: band
+    counts sum to n_docs, and on the synthetic near-linear corpus the
+    trained model scores most documents inside the ±2-token band."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        t43_quality_score_inference,
+    )
+
+    rows = t43_quality_score_inference(spark, sf_dir).collect()
+    tot = {"docs": 0, "well": 0}
+    for r in rows:
+        assert r["n_well"] + r["n_mid"] + r["n_outlier"] == r["n_docs"]
+        tot["docs"] += r["n_docs"]
+        tot["well"] += r["n_well"]
+    assert tot["well"] > 0.5 * tot["docs"]
+
+
+def test_t43_model_is_broadcast_not_shuffled(spark, sf_dir):
+    """Deployment-shape pin: scoring rides the corpus scan — the 1-row
+    coefficient relation joins in as a broadcast nested-loop over a
+    single row, never a shuffle of the corpus keyed by model id."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        t43_quality_score_inference,
+    )
+    from nlp_data_pipeline_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(t43_quality_score_inference(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 # ---------------------------------------------------------------------------
 # Round-11 staged join/layout ops (gate 10): q48 Z-order audit, q49
 # binned interval-overlap join, a05 Bloom semi-join.

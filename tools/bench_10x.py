@@ -75,6 +75,7 @@ HEAVY = [
     # apply to them)
     "t40_ols_sufficient_stats",
     "t42_bigram_surprisal",
+    "t43_quality_score_inference",
     "t44_source_temperature_mix",
 ]
 
