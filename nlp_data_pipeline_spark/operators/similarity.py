@@ -2254,6 +2254,175 @@ ORDER BY f.nprobe
 """
 
 
+# --------------------------------------------------------------------------
+# s21: hard-negative mining — STAGED FOR ROUND-11 DECLARATION (gated on
+# staged_ops_live(10)). The contrastive-training data op: for each
+# query vector, the top-k most-similar vectors whose LABEL differs —
+# the "hard negatives" that make embedding/reranker training work
+# (easy random negatives teach nothing; same-label hits are
+# positives). Reference parity: the reference's dead
+# cosine_similarity import (nlp_data_tagging.py:10) never shipped any
+# retrieval feature; this is the s01 exactness baseline with the
+# label-exclusion predicate of a contrastive miner.
+#
+# Scale shape = s01's: queries broadcast, ONE corpus scan, label
+# filter applied in-scan (before any scoring) so same-label rows never
+# leave the scan. The per-query top-k window shuffles only scored
+# rows; when n_queries × corpus outgrows that, the s02/s16 tile
+# kernel with per-tile top-k is the drop-in (same declared surface).
+# Self-match needs no special case: the query's own row shares its
+# label and is excluded by the mismatch predicate.
+# --------------------------------------------------------------------------
+N_NEG_QUERIES = 8
+NEG_TOP_K = 5
+
+
+def s21_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_NEG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("emb").alias("qemb"),
+    )
+    joined = e.join(F.broadcast(q), F.col("label") != F.col("query_label"))
+    cos = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
+    scored = joined.select(
+        "query_id",
+        "query_label",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= NEG_TOP_K)
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "neg_label",
+            F.round("cosine", 6).alias("cosine"),
+            "neg_rank",
+        )
+    )
+
+
+S21_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS query_label, emb AS qemb
+      FROM e WHERE vec_id < {N_NEG_QUERIES}),
+scored AS (
+  SELECT q.query_id, q.query_label, e.vec_id, e.label AS neg_label,
+         list_dot_product(q.qemb, e.emb)
+           / (sqrt(list_dot_product(q.qemb, q.qemb))
+              * sqrt(list_dot_product(e.emb, e.emb))) AS cosine
+  FROM e CROSS JOIN q
+  WHERE e.label != q.query_label
+),
+ranked AS (
+  SELECT query_id, query_label, vec_id, neg_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS neg_rank
+  FROM scored
+)
+SELECT query_id, query_label, vec_id, neg_label,
+       round(cosine, 6) AS cosine, neg_rank
+FROM ranked WHERE neg_rank <= {NEG_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# s22: label-centroid similarity matrix — STAGED FOR ROUND-11
+# DECLARATION (gated on staged_ops_live(10)). The domain-similarity
+# map behind data-selection methods (DoReMi/DSIR pick mixture weights
+# from how close domains sit in embedding space): one centroid per
+# label group, then the full pairwise cosine matrix of centroids.
+#
+# Cross-engine exactness is the whole design: a float centroid is a
+# distributed SUM of doubles, whose value depends on partitioning
+# (association). Instead each coordinate is quantized ONCE per row
+# with floor(x * 1e6) — floor of an identical IEEE product, exact on
+# both engines, no round()-at-half hazard (u09 lesson) — and summed
+# as BIGINT (exact, order-free, partitioning-independent). Cosine is
+# scale-invariant, so the cosine of the integer SUM vectors equals
+# the cosine of the mean vectors; the final dot/norm folds run over
+# the same 64 doubles in the same order on both engines.
+#
+# Scale shape: posexplode multiplies the scan 64-fold but partial
+# hash aggregation combines map-side to (n_labels × 64) rows per
+# partition, so the shuffle carries ~640 rows regardless of corpus
+# size; the pairwise matrix is labels², computed broadcast.
+# --------------------------------------------------------------------------
+_S22_Q = 1_000_000.0
+
+
+def s22_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", as_double("embedding").alias("emb")
+    )
+    quant = e.select(
+        "label",
+        F.posexplode(
+            F.transform("emb", lambda x: F.floor(x * F.lit(_S22_Q)).cast("long"))
+        ).alias("i", "q"),
+    )
+    sums = quant.groupBy("label", "i").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    vecs = sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))), lambda st: st["s"]
+        ).alias("v"),
+        F.max("n").alias("n_vecs"),
+    )
+    a = vecs.select(
+        F.col("label").alias("label_a"),
+        F.col("n_vecs").alias("n_a"),
+        as_double("v").alias("va"),
+    )
+    b = vecs.select(
+        F.col("label").alias("label_b"),
+        F.col("n_vecs").alias("n_b"),
+        as_double("v").alias("vb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    cos = dot("va", "vb") / (norm("va") * norm("vb"))
+    return pairs.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        F.round(cos, 6).alias("centroid_cosine"),
+    ).orderBy("label_a", "label_b")
+
+
+S22_SQL = f"""
+WITH ex AS (
+  SELECT label, g.i AS i,
+         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {_S22_Q}) AS BIGINT) AS q
+  FROM embeddings, generate_series(1, {DIM}) AS g(i)
+),
+sums AS (
+  SELECT label, i, SUM(q) AS s, COUNT(*) AS n
+  FROM ex GROUP BY label, i
+),
+vecs AS (
+  SELECT label, list(s ORDER BY i)::DOUBLE[] AS v, MAX(n) AS n_vecs
+  FROM sums GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       a.n_vecs AS n_a, b.n_vecs AS n_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS centroid_cosine
+FROM vecs a JOIN vecs b ON a.label < b.label
+ORDER BY label_a, label_b
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
@@ -2303,6 +2472,10 @@ STAGED_QUERIES = {
         "s19_pagerank": s19_pagerank,
     },
     9: {"s20_ivf_operating_curve": s20_ivf_operating_curve},
+    10: {
+        "s21_hard_negative_mining": s21_hard_negative_mining,
+        "s22_label_centroid_similarity": s22_label_centroid_similarity,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -2319,4 +2492,8 @@ STAGED_ORACLES = {
         "s19_pagerank": S19_SQL,
     },
     9: {"s20_ivf_operating_curve": S20_SQL},
+    10: {
+        "s21_hard_negative_mining": S21_SQL,
+        "s22_label_centroid_similarity": S22_SQL,
+    },
 }

@@ -3159,6 +3159,95 @@ coef AS (SELECT b0, b1, b2 FROM ({_T40_COEF_SQL.format(stats="stats").strip()}) 
 """
 
 
+# --------------------------------------------------------------------------
+# t45: token-budget water-filling — STAGED FOR ROUND-11 DECLARATION
+# (gated on staged_ops_live(10)). The data-constrained-scaling plan
+# (Muennighoff et al. 2023: repeating data up to ~4 epochs is nearly
+# as good as fresh): allocate a global training-token budget across
+# sources, each source capped at 4 epochs of its own tokens, the
+# remainder spread EQUALLY (water-filling) over the uncapped sources.
+# Level-finding — normally an iterative solve — is one window pass:
+# sort sources by cap; for each boundary r the candidate level
+# "first r-1 sources capped" is (B - cum_{{r-1}}) ÷ (n-r+1); the true
+# boundary is the first r whose cap exceeds its candidate level while
+# the previous cap does not.
+#
+# Cross-engine exactness: every quantity is BIGINT (token counts,
+# caps, cumulative sums) and the level is INTEGER division — Spark
+# `DIV` and DuckDB `//` both truncate, identical for these positive
+# operands — so the declared allocation is engine-exact with no float
+# anywhere. Σ allocated ≤ B by the floor; at most n-1 tokens remain
+# unallocated.
+#
+# Scale shape: the corpus scan reduces map-side to one row per source
+# (partial sum of per-doc token counts); the allocation itself runs
+# on the n_sources-row relation — window over a constant-size table,
+# never over the corpus.
+# --------------------------------------------------------------------------
+_T45_MAX_EPOCHS = 4
+_T45_BUDGET_X = 2
+
+# Shared allocation text; {div} is the engine's integer-division token
+# (Spark `DIV`, DuckDB `//`), {toks} the engine's per-doc token count.
+_T45_ALLOC_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM({{toks}}) AS BIGINT) AS n_tokens
+  FROM {{tbl}} GROUP BY source
+),
+caps AS (
+  SELECT source, n_tokens, {_T45_MAX_EPOCHS} * n_tokens AS cap FROM per_src
+),
+tot AS (
+  SELECT CAST({_T45_BUDGET_X} AS BIGINT) * SUM(n_tokens) AS budget,
+         COUNT(*) AS n
+  FROM caps
+),
+ordered AS (
+  SELECT source, n_tokens, cap,
+         ROW_NUMBER() OVER (ORDER BY cap, source) AS r,
+         SUM(cap) OVER (ORDER BY cap, source
+                        ROWS UNBOUNDED PRECEDING) - cap AS cum_prev,
+         LAG(cap) OVER (ORDER BY cap, source) AS prev_cap
+  FROM caps
+),
+cand AS (
+  SELECT o.r, o.cap, o.prev_cap,
+         (t.budget - o.cum_prev) {{div}} (t.n - o.r + 1) AS level
+  FROM ordered o CROSS JOIN tot t
+),
+boundary AS (
+  SELECT MIN(r) AS r_star FROM cand
+  WHERE cap > level AND (r = 1 OR prev_cap <= level)
+),
+lvl AS (
+  SELECT c.level AS level, b.r_star
+  FROM boundary b LEFT JOIN cand c ON c.r = b.r_star
+)
+SELECT o.source, o.n_tokens, o.cap,
+       CAST(CASE WHEN l.r_star IS NULL OR o.r < l.r_star THEN o.cap
+            ELSE l.level END AS BIGINT) AS allocated,
+       (l.r_star IS NULL OR o.r < l.r_star) AS capped
+FROM ordered o CROSS JOIN lvl l
+ORDER BY source
+"""
+
+def t45_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    d.select("source", F.size(toks).cast("long").alias("doc_toks")
+             ).createOrReplaceTempView("t45_docs")
+    return spark.sql(
+        _T45_ALLOC_SQL.format(div="DIV", toks="doc_toks", tbl="t45_docs")
+    )
+
+
+T45_SQL = _T45_ALLOC_SQL.format(
+    div="//",
+    toks=f"len(list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != ''))",
+    tbl="documents",
+)
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -3176,6 +3265,7 @@ STAGED_QUERIES = {
         "t42_bigram_surprisal": t42_bigram_surprisal,
         "t43_quality_score_inference": t43_quality_score_inference,
         "t44_source_temperature_mix": t44_source_temperature_mix,
+        "t45_token_budget_waterfill": t45_token_budget_waterfill,
     },
 }
 STAGED_ORACLES = {
@@ -3195,5 +3285,6 @@ STAGED_ORACLES = {
         "t42_bigram_surprisal": T42_SQL,
         "t43_quality_score_inference": T43_SQL,
         "t44_source_temperature_mix": T44_SQL,
+        "t45_token_budget_waterfill": T45_SQL,
     },
 }

@@ -439,3 +439,162 @@ def test_a05_probe_side_filter_is_broadcast(spark, sf_dir):
     plan = formatted_plan(a05_bloom_semijoin(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-11 staged LLM-data ops (gate 10): s21 hard negatives, s22
+# label-centroid similarity, t45 token-budget water-filling.
+# ---------------------------------------------------------------------------
+def test_s21_matches_duckdb_oracle(spark, sf_dir):
+    """s21 hard-negative mining is STAGED for round-11 declaration; the
+    label-mismatch top-k must match the brute-force oracle exactly."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S21_SQL,
+        s21_hard_negative_mining,
+    )
+
+    got = [tuple(r) for r in s21_hard_negative_mining(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("embeddings",)).execute(S21_SQL).fetchall()
+    ]
+    assert len(got) > 0 and sorted(got) == sorted(want)
+
+
+def test_s21_negatives_never_share_query_label(spark, sf_dir):
+    """The contrastive contract: every mined negative carries a label
+    different from its query's (which also excludes self-matches), and
+    each query gets exactly NEG_TOP_K negatives ranked by cosine."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        N_NEG_QUERIES,
+        NEG_TOP_K,
+        s21_hard_negative_mining,
+    )
+
+    rows = s21_hard_negative_mining(spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        assert r["neg_label"] != r["query_label"]
+        assert r["vec_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert len(per_q) == N_NEG_QUERIES
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["neg_rank"])
+        assert [r["neg_rank"] for r in rs] == list(range(1, NEG_TOP_K + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_s22_matches_duckdb_oracle(spark, sf_dir):
+    """s22 label-centroid similarity is STAGED for round-11
+    declaration; integer-quantized sums make the centroid matrix
+    engine-exact."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S22_SQL,
+        s22_label_centroid_similarity,
+    )
+
+    got = [tuple(r) for r in s22_label_centroid_similarity(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("embeddings",)).execute(S22_SQL).fetchall()
+    ]
+    assert len(got) > 0 and got == want
+
+
+def test_s22_matches_numpy_centroids(spark, sf_dir):
+    """The quantized integer-sum cosine approximates the true float
+    centroid cosine to ~1e-4 (quantization at 1e-6 of unit-norm
+    coords), and the matrix covers every unordered label pair once."""
+    import numpy as np
+
+    from nlp_data_pipeline_spark.operators.similarity import (
+        s22_label_centroid_similarity,
+    )
+
+    rows = s22_label_centroid_similarity(spark, sf_dir).collect()
+    raw = _duck(sf_dir, views=("embeddings",)).execute(
+        "SELECT label, embedding::DOUBLE[] FROM embeddings"
+    ).fetchall()
+    by_label = {}
+    for label, emb in raw:
+        by_label.setdefault(label, []).append(emb)
+    cents = {l: np.mean(np.array(v), axis=0) for l, v in by_label.items()}
+    labels = sorted(cents)
+    assert len(rows) == len(labels) * (len(labels) - 1) // 2
+    for r in rows:
+        a, b = cents[r["label_a"]], cents[r["label_b"]]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["centroid_cosine"] - true_cos) < 1e-4
+
+
+def test_t45_matches_duckdb_oracle(spark, sf_dir):
+    """t45 token-budget water-filling is STAGED for round-11
+    declaration; all-integer arithmetic makes the allocation
+    engine-exact."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T45_SQL,
+        t45_token_budget_waterfill,
+    )
+
+    got = [tuple(r) for r in t45_token_budget_waterfill(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T45_SQL).fetchall()]
+    assert len(got) > 1 and got == want
+
+
+def test_t45_waterfill_invariants(spark, sf_dir):
+    """The allocation IS a water-filling: capped sources get exactly
+    cap (= 4 epochs), uncapped sources all get the same level, every
+    capped source's cap is <= that level, the total spends the budget
+    to within n_sources tokens, and nothing exceeds its cap."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _T45_BUDGET_X,
+        _T45_MAX_EPOCHS,
+        t45_token_budget_waterfill,
+    )
+
+    rows = t45_token_budget_waterfill(spark, sf_dir).collect()
+    budget = _T45_BUDGET_X * sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert r["cap"] == _T45_MAX_EPOCHS * r["n_tokens"]
+        assert r["allocated"] <= r["cap"]
+        assert r["capped"] == (r["allocated"] == r["cap"])
+    levels = {r["allocated"] for r in rows if not r["capped"]}
+    assert len(levels) <= 1
+    if levels:
+        level = levels.pop()
+        assert all(r["allocated"] <= level for r in rows if r["capped"])
+    total = sum(r["allocated"] for r in rows)
+    assert total <= budget
+    assert budget - total < len(rows)
+
+
+def test_t45_waterfill_matches_python_solve(spark, sf_dir):
+    """The window-pass level equals a direct iterative water-filling
+    solve over the same integer caps."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _T45_BUDGET_X,
+        t45_token_budget_waterfill,
+    )
+
+    rows = sorted(
+        t45_token_budget_waterfill(spark, sf_dir).collect(),
+        key=lambda r: (r["cap"], r["source"]),
+    )
+    budget = _T45_BUDGET_X * sum(r["n_tokens"] for r in rows)
+    caps = [r["cap"] for r in rows]
+    alloc, remaining = {}, budget
+    pending = list(range(len(caps)))
+    while pending:
+        level = remaining // len(pending)
+        newly = [i for i in pending if caps[i] <= level]
+        if not newly:
+            for i in pending:
+                alloc[i] = level
+            break
+        for i in newly:
+            alloc[i] = caps[i]
+            remaining -= caps[i]
+        pending = [i for i in pending if i not in newly]
+    for idx, r in enumerate(rows):
+        assert r["allocated"] == alloc[idx], (r["source"], r["allocated"], alloc[idx])

@@ -77,6 +77,9 @@ HEAVY = [
     "t42_bigram_surprisal",
     "t43_quality_score_inference",
     "t44_source_temperature_mix",
+    "t45_token_budget_waterfill",
+    "s21_hard_negative_mining",
+    "s22_label_centroid_similarity",
 ]
 
 
@@ -102,7 +105,17 @@ def _fingerprint(df) -> tuple[str, int]:
     # localCheckpoint / Python-created scans embed the session-global
     # RDD id (MapPartitionsRDD[159]) — pure run noise
     p = re.sub(r"RDD\[\d+\]", "RDD[]", p)
-    return hashlib.md5(p.encode()).hexdigest()[:12], p.count("Exchange")
+    # structural hash: data-DEPENDENT constants legitimately differ
+    # between scales (s19 folds 1/n into its PageRank init, s20 its
+    # corpus size into scan_fraction) — stability means same TREE, so
+    # the verdict hash blanks numeric literals; the full md5 is still
+    # reported for exact-plan comparisons at one scale.
+    p_struct = re.sub(r"-?\d+(\.\d+)?([Ee][+-]?\d+)?", "N", p)
+    return (
+        hashlib.md5(p.encode()).hexdigest()[:12],
+        hashlib.md5(p_struct.encode()).hexdigest()[:12],
+        p.count("Exchange"),
+    )
 
 
 def _stage(spark, sf_dir: str, factor: int) -> str:
@@ -174,26 +187,10 @@ def main() -> int:
     from nlp_data_pipeline_spark.operators import similarity as _sim
     from nlp_data_pipeline_spark.operators import text_analytics as _ta
 
-    for mod, staged in (
-        (_ta, "t34_bpe_merge_pairs"),
-        (_ta, "t35_shuffle_shards"),
-        (_ta, "t36_sentence_dedup"),
-        (_dd, "d13_source_overlap_matrix"),
-        (_sim, "s14_int8_quantized_search"),
-        (_dp, "r13_training_shards_sink"),
-        (_dd, "d15_fuzzy_prefix_pairs"),
-        (_sim, "s15_rrf_fusion"),
-        (_sim, "s16_graph_ann_recall"),
-        (_dd, "d16_cdc_chunks"),
-        (_sim, "s17_kmeans_refine"),
-        (_sim, "s18_mmr_rerank"),
-        (_sim, "s19_pagerank"),
-        (_ta, "t39_collocation_pmi"),
-        (_mm, "m09_wav_header_parse"),
-        (_dd, "d17_containment_pairs"),
-        (_sim, "s20_ivf_operating_curve"),
-    ):
-        queries.setdefault(staged, getattr(mod, staged))
+    for mod in (_ta, _dd, _sim, _dp, _mm):
+        for gate_ops in getattr(mod, "STAGED_QUERIES", {}).values():
+            for staged, fn in gate_ops.items():
+                queries.setdefault(staged, fn)
 
     # Stage BOTH scales through the same 32-file writer: the raw driver
     # tables are single-row-group files whose scans cap at 1 task, so
@@ -222,9 +219,16 @@ def main() -> int:
         row = {}
         for tag, d in (("1x", base), (f"{factor}x", staged)):
             t = min(_timed(fn, d), _timed(fn, d))  # min-of-2 vs host noise
-            md5, nex = _fingerprint(fn(spark, d))
-            row[tag] = {"sec": round(t, 2), "plan_md5": md5, "n_exchanges": nex}
-        row["plan_stable"] = row["1x"]["plan_md5"] == row[f"{factor}x"]["plan_md5"]
+            md5, smd5, nex = _fingerprint(fn(spark, d))
+            row[tag] = {
+                "sec": round(t, 2),
+                "plan_md5": md5,
+                "struct_md5": smd5,
+                "n_exchanges": nex,
+            }
+        row["plan_stable"] = (
+            row["1x"]["struct_md5"] == row[f"{factor}x"]["struct_md5"]
+        )
         row["growth"] = round(row[f"{factor}x"]["sec"] / max(row["1x"]["sec"], 1e-9), 1)
         results[name] = row
         sys.stderr.write(f"[10x] {name}: {json.dumps(row)}\n")
