@@ -1772,6 +1772,107 @@ ORDER BY source
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
+# --------------------------------------------------------------------------
+# a06: KMV (k-minimum-values) distinct sketch — STAGED FOR ROUND-11
+# DECLARATION (gated on staged_ops_live(10)). Completes the sketch
+# family (a01 HLL++/KLL, a02 HLL rollup, a03 HLL algebra, a04 approx
+# top-k, a05 Bloom) with the ORDER-STATISTICS estimator — and unlike
+# HLL, whose bit layout is JVM-internal (a01–a03 had to declare
+# tolerance booleans), KMV is built entirely from md5, which both
+# engines compute identically: the sketch state (the k-th smallest
+# hash) AND the estimate (k-1)/frac_k are themselves oracle-exact,
+# value-for-value. Domain: distinct word BIGRAMS per source (the
+# n-gram-LM state-sizing question).
+#
+# Scale: the k smallest hashes of a union are the k smallest of the
+# per-partition k-minima, so KMV is a bounded mergeable partial
+# aggregate — at 100 TB the sketch path needs no distinct shuffle at
+# all (keep k longs per partition, merge). The exact twin declared
+# beside it here is the verification harness and is what forces this
+# toy plan's distinct; production drops it.
+# --------------------------------------------------------------------------
+KMV_K = 64
+_KMV_SCALE = 4294967296.0  # 2^32: first-8-hex-chars hash → [0, 1)
+
+
+def a06_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    base = d.select("source", toks.alias("t"))
+    pairs_expr = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 1),
+            F.slice("t", 2, F.size("t") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    bg = base.select("source", F.explode(pairs_expr).alias("bg")).distinct()
+    h = F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long")
+    ranked = bg.select("source", "bg", h.alias("h")).select(
+        "source",
+        "h",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("h", "bg"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("exact_distinct"),
+    )
+    est = (
+        F.lit(float(KMV_K - 1)) * F.lit(_KMV_SCALE) / F.col("h").cast("double")
+    )
+    return (
+        ranked.filter(F.col("rn") == KMV_K)
+        .select(
+            "source",
+            "exact_distinct",
+            F.col("h").alias("kth_hash"),
+            F.round(est, 4).alias("kmv_estimate"),
+            (
+                F.abs(est - F.col("exact_distinct").cast("double"))
+                <= F.lit(0.5) * F.col("exact_distinct").cast("double")
+            ).alias("within_50pct"),
+        )
+        .orderBy("source")
+    )
+
+
+A06_SQL = f"""
+WITH toks AS (
+  SELECT source, list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT source, bg FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+    FROM toks WHERE len(t) >= 2
+  ) u
+),
+ranked AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, bg) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS exact_distinct
+  FROM (
+    SELECT source, bg,
+           CAST(('0x' || substring(md5(bg), 1, 8)) AS BIGINT) AS h
+    FROM bg
+  ) hashed
+)
+SELECT source, exact_distinct, h AS kth_hash,
+       round({float(KMV_K - 1)} * {_KMV_SCALE} / CAST(h AS DOUBLE), 4)
+         AS kmv_estimate,
+       abs({float(KMV_K - 1)} * {_KMV_SCALE} / CAST(h AS DOUBLE)
+           - CAST(exact_distinct AS DOUBLE))
+         <= 0.5 * CAST(exact_distinct AS DOUBLE) AS within_50pct
+FROM ranked WHERE rn = {KMV_K}
+ORDER BY source
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "r12_xml_roundtrip": r12_xml_roundtrip,
@@ -1789,6 +1890,7 @@ STAGED_QUERIES = {
         "r18_corrupt_file_ingest": r18_corrupt_file_ingest,
         "p06_dataflow_pipeline": p06_dataflow_pipeline,
     },
+    10: {"a06_kmv_distinct_sketch": a06_kmv_distinct_sketch},
 }
 STAGED_ORACLES = {
     6: {
@@ -1807,4 +1909,5 @@ STAGED_ORACLES = {
         "r18_corrupt_file_ingest": R18_SQL,
         "p06_dataflow_pipeline": P06_SQL,
     },
+    10: {"a06_kmv_distinct_sketch": A06_SQL},
 }

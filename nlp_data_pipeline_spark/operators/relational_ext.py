@@ -2422,6 +2422,104 @@ FROM stats, totals
 """
 
 
+# --------------------------------------------------------------------------
+# q51: CBO statistics-driven join planning — STAGED FOR ROUND-11
+# DECLARATION (gated on staged_ops_live(10)). The COST-BASED half of
+# the join-strategy story: q30 fixes strategy by LAYOUT (bucketing),
+# q41/a05 by runtime/Bloom filters, q50 by AQE runtime sizes — q51 by
+# CATALOG STATISTICS at compile time. A selective equality filter on a
+# catalog table is worthless to the size-only estimator (a filter
+# inherits its child's sizeInBytes, so the dim side still looks
+# table-sized and the join plans as sort-merge); with
+# spark.sql.cbo.enabled and ANALYZE TABLE ... FOR COLUMNS stats, the
+# equality's selectivity is rowCount/ndv, the filtered dim estimate
+# collapses below the broadcast threshold, and the SAME query compiles
+# to a broadcast join with no hint. At 100 TB this is the difference
+# between hinting every selective dim join by hand and letting nightly
+# ANALYZE runs drive planning; tests/test_plans.py pins both compile
+# states (stats+CBO → BroadcastHashJoin, CBO off → SortMergeJoin).
+#
+# The declared result is materialized INSIDE the scoped confs (the q41
+# pattern — the caller collects lazily, after confs are restored) and
+# is plan-independent: the oracle runs the plain filtered join.
+# --------------------------------------------------------------------------
+_Q51_CUSTKEY = 7
+
+_Q51_CONFS = {
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    # between the filtered-dim ESTIMATE (~a few rows × row width) and
+    # the raw table size, so only the stats-aware estimate broadcasts
+    "spark.sql.autoBroadcastJoinThreshold": "4KB",
+}
+
+
+def _q51_orders_table(spark: SparkSession, sf_dir: str) -> str:
+    """One-time catalog build: orders as a stats-analyzed table (the
+    nightly-ANALYZE deployment shape; rerunning ANALYZE is idempotent)."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"orders_cbo_{key}"
+    if not spark.catalog.tableExists(name):
+        base = scratch_path(f"cbo_{key}")
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, "orders"))
+            .saveAsTable(name)
+        )
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS "
+            "o_orderkey, o_custkey"
+        )
+    return name
+
+
+def _q51_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = _q51_orders_table(spark, sf_dir)
+    dim = spark.table(name).filter(F.col("o_custkey") == _Q51_CUSTKEY)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", F.col("l_extendedprice").cast(D182).alias("price")
+    )
+    return (
+        li.join(dim, li.l_orderkey == dim.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast(D182)).cast("double").alias("total_qty"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q51_cbo_stats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    root = scratch_path(f"q51_cbo_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    out = os.path.join(root, "agg")
+    with _scoped_confs(spark, _Q51_CONFS):
+        _q51_join(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).orderBy("o_custkey")
+
+
+Q51_SQL = f"""
+SELECT o_custkey,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_custkey = {_Q51_CUSTKEY}
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -2442,6 +2540,7 @@ STAGED_QUERIES = {
         "q49_interval_overlap_join": q49_interval_overlap_join,
         "q50_aqe_skew_join": q50_aqe_skew_join,
         "a05_bloom_semijoin": a05_bloom_semijoin,
+        "q51_cbo_stats_join": q51_cbo_stats_join,
     },
 }
 STAGED_ORACLES = {
@@ -2464,5 +2563,6 @@ STAGED_ORACLES = {
         "q49_interval_overlap_join": Q49_SQL,
         "q50_aqe_skew_join": Q50_SQL,
         "a05_bloom_semijoin": A05_SQL,
+        "q51_cbo_stats_join": Q51_SQL,
     },
 }

@@ -263,3 +263,25 @@ def test_q50_result_is_conf_invariant(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     assert split == base
+
+
+def test_q51_cbo_stats_flip_join_strategy(spark, sf_dir):
+    """q51's contract: with catalog column stats + CBO the selective
+    dim filter's estimate collapses below the broadcast threshold and
+    the join compiles to BroadcastHashJoin with no hint; the identical
+    query with CBO off (size-only estimation: a filter inherits its
+    child's sizeInBytes) stays SortMergeJoin."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        _Q51_CONFS,
+        _q51_join,
+        _q51_orders_table,
+        _scoped_confs,
+    )
+
+    _q51_orders_table(spark, sf_dir)
+    with _scoped_confs(spark, _Q51_CONFS):
+        p = _q51_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    with _scoped_confs(spark, {**_Q51_CONFS, "spark.sql.cbo.enabled": "false"}):
+        p = _q51_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p, p

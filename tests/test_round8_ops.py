@@ -598,3 +598,66 @@ def test_t45_waterfill_matches_python_solve(spark, sf_dir):
         pending = [i for i in pending if i not in newly]
     for idx, r in enumerate(rows):
         assert r["allocated"] == alloc[idx], (r["source"], r["allocated"], alloc[idx])
+
+
+def test_q51_matches_duckdb_oracle(spark, sf_dir):
+    """q51 CBO stats-driven join is STAGED for round-11 declaration;
+    the declared aggregate is plan-independent and must match the plain
+    filtered-join oracle."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q51_SQL,
+        q51_cbo_stats_join,
+    )
+
+    got = [tuple(r) for r in q51_cbo_stats_join(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("orders", "lineitem"))
+        .execute(Q51_SQL)
+        .fetchall()
+    ]
+    assert len(got) == 1 and got == want
+
+
+def test_a06_matches_duckdb_oracle(spark, sf_dir):
+    """a06 KMV sketch is STAGED for round-11 declaration; the md5-based
+    sketch state AND estimate are engine-exact (no tolerance booleans
+    needed, unlike the HLL family)."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        A06_SQL,
+        a06_kmv_distinct_sketch,
+    )
+
+    got = [tuple(r) for r in a06_kmv_distinct_sketch(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(A06_SQL).fetchall()]
+    assert len(got) > 1 and got == want
+
+
+def test_a06_kth_hash_matches_python_recompute(spark, sf_dir):
+    """The declared kth_hash IS the K-th smallest first-8-hex md5 over
+    each source's distinct bigrams, and every estimate is within the
+    declared 50% band on this corpus (k=64 → ~12.6% stderr)."""
+    import hashlib as hl
+
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        KMV_K,
+        a06_kmv_distinct_sketch,
+    )
+    from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL
+
+    rows = a06_kmv_distinct_sketch(spark, sf_dir).collect()
+    assert all(r["within_50pct"] for r in rows)
+    docs = _duck(sf_dir).execute(
+        f"SELECT source, list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != '')"
+        " FROM documents"
+    ).fetchall()
+    per_src = {}
+    for source, t in docs:
+        per_src.setdefault(source, set()).update(
+            f"{a} {b}" for a, b in zip(t, t[1:])
+        )
+    for r in rows:
+        bigrams = per_src[r["source"]]
+        hashes = sorted(int(hl.md5(b.encode()).hexdigest()[:8], 16) for b in bigrams)
+        assert r["exact_distinct"] == len(bigrams)
+        assert r["kth_hash"] == hashes[KMV_K - 1]
