@@ -959,6 +959,58 @@ ORDER BY d.source
 """
 
 
+# --------------------------------------------------------------------------
+# v18: ANSI three-valued-logic battery — STAGED FOR ROUND-11
+# DECLARATION (gated on staged_ops_live(10)). One shared SQL text both
+# engines run verbatim, pinning the NULL semantics that silently
+# corrupt pipelines when an engine (or a hand-rolled operator)
+# deviates: NOT IN against a set CONTAINING NULL matches nothing
+# (x <> NULL is UNKNOWN, so the conjunction can never be TRUE — the
+# classic anti-join-rewrite trap, and why q04/q07 use NOT EXISTS
+# shapes); IN against the same set still finds positive matches;
+# COUNT(col) skips NULLs while COUNT(*) does not; COUNT(DISTINCT col)
+# skips NULLs entirely but GROUP BY gathers them into ONE group
+# (distinct-vs-grouping asymmetry); AVG ignores NULLs in both numerator
+# and denominator. Declared as a single row of counts — every value is
+# a BIGINT or an exactly-representable small average. The NULLs are
+# manufactured with NULLIF (the TPC-H-ish tables ship none).
+# q35 covers the null-safe JOIN operator (<=>); this battery covers
+# the predicate/aggregate side of the same contract.
+# --------------------------------------------------------------------------
+_V18_SQL = """
+WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0),
+cust_null AS (SELECT c_custkey FROM cust UNION ALL SELECT NULL),
+o AS (SELECT o_orderkey, o_custkey,
+             NULLIF(o_orderpriority, '1-URGENT') AS prio,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                  ELSE CAST(o_orderkey % 7 AS DOUBLE) END AS v
+      FROM orders)
+SELECT
+  (SELECT COUNT(*) FROM o
+    WHERE o_custkey IN (SELECT c_custkey FROM cust)) AS n_in,
+  (SELECT COUNT(*) FROM o
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM cust)) AS n_not_in,
+  (SELECT COUNT(*) FROM o
+    WHERE o_custkey IN (SELECT c_custkey FROM cust_null)) AS n_in_nullset,
+  (SELECT COUNT(*) FROM o
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM cust_null))
+    AS n_not_in_nullset,
+  (SELECT COUNT(*) FROM o) AS n_rows,
+  (SELECT COUNT(prio) FROM o) AS n_prio_nonnull,
+  (SELECT COUNT(DISTINCT prio) FROM o) AS n_prio_distinct,
+  (SELECT COUNT(*) FROM (SELECT prio FROM o GROUP BY prio) g) AS n_groups,
+  (SELECT AVG(v) FROM o) AS avg_skips_nulls
+"""
+
+
+def v18_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_V18_SQL)
+
+
+V18_SQL = _V18_SQL
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
@@ -977,6 +1029,7 @@ STAGED_QUERIES = {
         "v16_polymorphic_udtf": v16_polymorphic_udtf,
     },
     9: {"v17_udtf_table_argument": v17_udtf_table_argument},
+    10: {"v18_null_semantics": v18_null_semantics},
 }
 STAGED_ORACLES = {
     6: {
@@ -993,4 +1046,5 @@ STAGED_ORACLES = {
         "v16_polymorphic_udtf": V16_SQL,
     },
     9: {"v17_udtf_table_argument": V17_SQL},
+    10: {"v18_null_semantics": V18_SQL},
 }

@@ -661,3 +661,37 @@ def test_a06_kth_hash_matches_python_recompute(spark, sf_dir):
         hashes = sorted(int(hl.md5(b.encode()).hexdigest()[:8], 16) for b in bigrams)
         assert r["exact_distinct"] == len(bigrams)
         assert r["kth_hash"] == hashes[KMV_K - 1]
+
+
+def test_v18_matches_duckdb_oracle(spark, sf_dir):
+    """v18 three-valued-logic battery is STAGED for round-11
+    declaration; one shared ANSI text, engine-exact."""
+    from nlp_data_pipeline_spark.operators.sql_api import (
+        V18_SQL,
+        v18_null_semantics,
+    )
+
+    got = [tuple(r) for r in v18_null_semantics(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("orders", "customer"))
+        .execute(V18_SQL)
+        .fetchall()
+    ]
+    assert len(got) == 1 and got == want
+
+
+def test_v18_semantics_invariants(spark, sf_dir):
+    """The battery's claims hold: NOT IN against a NULL-bearing set is
+    empty; IN is unaffected by the extra NULL; partitioning by the
+    plain set is exact (IN + NOT IN = all rows); COUNT(DISTINCT) skips
+    the NULL but GROUP BY keeps it as one extra group."""
+    from nlp_data_pipeline_spark.operators.sql_api import v18_null_semantics
+
+    r = v18_null_semantics(spark, sf_dir).collect()[0]
+    assert r["n_not_in_nullset"] == 0
+    assert r["n_in_nullset"] == r["n_in"]
+    assert r["n_in"] + r["n_not_in"] == r["n_rows"]
+    assert r["n_prio_nonnull"] < r["n_rows"]
+    assert r["n_groups"] == r["n_prio_distinct"] + 1
+    assert r["avg_skips_nulls"] is not None
