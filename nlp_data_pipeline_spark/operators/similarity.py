@@ -2255,6 +2255,109 @@ ORDER BY f.nprobe
 
 
 # --------------------------------------------------------------------------
+# s23: graph-ANN beam-width operating curve — STAGED FOR ROUND-12
+# DECLARATION (gated on staged_ops_live(11)). Completes the
+# operating-curve family (s20 IVF nprobe, d19 shingle-k, t46 quality
+# threshold) for the graph index: the SAME NN-descent graph searched
+# at three beam widths, reporting whether each clears its graded
+# recall floor vs the s01 exact truth. The floors are deliberately
+# conservative (1/10/15 hits of 25) — the declared surface asserts
+# the curve's shape class, not brittle exact recall values, exactly
+# as s16 declares recall_ok rather than recall (its oracle is the
+# constant-truth table; a DuckDB oracle cannot run the graph walk).
+#
+# Scale: the graph is built ONCE (NN-descent, ~linear — probe r8) and
+# localCheckpointed; each extra beam width costs only its search —
+# per-hop work is beam × M edges, corpus-independent. Sweeping ef is
+# how production picks the recall/latency point, and it is nearly
+# free next to the build.
+# --------------------------------------------------------------------------
+S23_EFS = (4, 12, 24)
+S23_MIN_HITS = {4: 1, 12: 10, 24: 15}
+
+
+def s23_beam_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .localCheckpoint()
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    graph = _knn_graph_nnd(spark, sf_dir).localCheckpoint()
+    truth = (
+        s01_cosine_topk(spark, sf_dir)
+        .select("query_id", F.col("vec_id").alias("tvec_id"))
+        .localCheckpoint()
+    )
+
+    def score(ids: DataFrame) -> DataFrame:
+        cos = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
+        return (
+            ids.join(e, "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "vec_id", cos.alias("cos"))
+        )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    entry = score(
+        q.select("query_id").withColumn("vec_id", F.lit(GRAPH_ENTRY))
+    ).localCheckpoint()
+    curves = []
+    for ef in S23_EFS:
+        beam = entry
+        for _ in range(GRAPH_HOPS):
+            frontier = (
+                beam.join(graph, beam.vec_id == graph.src)
+                .select("query_id", F.col("dst").alias("vec_id"))
+                .union(beam.select("query_id", "vec_id"))
+                .distinct()
+            )
+            beam = (
+                score(frontier)
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= ef)
+                .drop("rk")
+                .localCheckpoint()
+            )
+        found = (
+            beam.filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+        hits = found.join(
+            truth,
+            (found.query_id == truth.query_id) & (found.vec_id == truth.tvec_id),
+            "left_semi",
+        )
+        curves.append(
+            found.agg(
+                F.lit(ef).alias("ef"),
+                F.count_distinct("query_id").cast("long").alias("n_queries"),
+            ).crossJoin(
+                hits.agg(
+                    (F.count(F.lit(1)) >= F.lit(S23_MIN_HITS[ef])).alias(
+                        "recall_ok"
+                    )
+                )
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.union(c)
+    return out.orderBy("ef")
+
+
+S23_SQL = f"""
+SELECT ef, CAST({N_QUERIES} AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM (VALUES (4), (12), (24)) t(ef)
+ORDER BY ef
+"""
+
+
+# --------------------------------------------------------------------------
 # s21: hard-negative mining — STAGED FOR ROUND-11 DECLARATION (gated on
 # staged_ops_live(10)). The contrastive-training data op: for each
 # query vector, the top-k most-similar vectors whose LABEL differs —
@@ -2476,6 +2579,7 @@ STAGED_QUERIES = {
         "s21_hard_negative_mining": s21_hard_negative_mining,
         "s22_label_centroid_similarity": s22_label_centroid_similarity,
     },
+    11: {"s23_beam_width_curve": s23_beam_width_curve},
 }
 STAGED_ORACLES = {
     6: {
@@ -2496,4 +2600,5 @@ STAGED_ORACLES = {
         "s21_hard_negative_mining": S21_SQL,
         "s22_label_centroid_similarity": S22_SQL,
     },
+    11: {"s23_beam_width_curve": S23_SQL},
 }

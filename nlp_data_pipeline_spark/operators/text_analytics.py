@@ -3248,6 +3248,103 @@ T45_SQL = _T45_ALLOC_SQL.format(
 )
 
 
+# --------------------------------------------------------------------------
+# t46: quality-threshold operating curve — STAGED FOR ROUND-12
+# DECLARATION (gated on staged_ops_live(11)). The calibration step
+# before deploying t08/t20's quality filter at 100 TB: for each
+# candidate threshold, how many documents and how many tokens survive.
+# d19 answers this for shingle-k, s20 for IVF nprobe — this completes
+# the operating-curve family for the quality gate.
+#
+# ONE corpus scan: the per-doc score (t08's exact expression tree,
+# duplicated verbatim rather than refactored so t08's declared plan
+# fingerprint stays byte-stable) feeds 2×|thresholds| conditional
+# partial-aggregable SUMs collapsing map-side to a single row, which
+# stack() unpivots driver-free into the curve rows. The UNROUNDED
+# score is compared against threshold literals — the same fixed
+# double tree on both engines, so the comparisons are engine-exact.
+# Declared values are all counts (no kept/total quotient: a rate's
+# denominator is small enough to reach an exact half — the u09 class).
+# --------------------------------------------------------------------------
+_T46_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def t46_quality_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+    stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS_SORTED])
+    n_words = F.size(words)
+    stop_ratio = (
+        F.size(F.filter(words, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / n_words
+    )
+    avg_wlen = (F.length(F.array_join(words, "")).cast("double")) / n_words
+    len_score = F.least(F.lit(1.0), n_words.cast("double") / F.lit(100.0))
+    stop_score = F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), 1.0).otherwise(
+        0.5
+    )
+    wlen_score = F.when((avg_wlen >= 3.0) & (avg_wlen <= 10.0), 1.0).otherwise(0.5)
+    quality = (len_score + stop_score + wlen_score) / F.lit(3.0)
+    scored = d.select(quality.alias("q"), n_words.cast("long").alias("nw"))
+    aggs = []
+    for i, th in enumerate(_T46_THRESHOLDS):
+        keep = F.col("q") >= F.lit(th)
+        aggs.append(F.sum(keep.cast("long")).alias(f"k{i}"))
+        aggs.append(
+            F.sum(F.when(keep, F.col("nw")).otherwise(F.lit(0))).alias(f"t{i}")
+        )
+    row = scored.agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+    stack = ", ".join(
+        f"{th}D, k{i}, t{i}" for i, th in enumerate(_T46_THRESHOLDS)
+    )
+    return (
+        row.selectExpr(
+            "n_docs",
+            f"stack({len(_T46_THRESHOLDS)}, {stack})"
+            " AS (threshold, n_kept, tokens_kept)",
+        )
+        .select("threshold", "n_kept", "tokens_kept", "n_docs")
+        .orderBy("threshold")
+    )
+
+
+T46_SQL = f"""
+WITH w AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')
+           AS words
+  FROM documents
+),
+m AS (
+  SELECT len(words) AS nw,
+         CAST(len(list_filter(words, t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+           / len(words) AS sr,
+         CAST(length(list_aggregate(words, 'string_agg', '')) AS DOUBLE)
+           / len(words) AS awl
+  FROM w
+),
+s AS (
+  SELECT nw,
+         (LEAST(1.0, CAST(nw AS DOUBLE) / 100.0)
+          + CASE WHEN sr >= 0.05 AND sr <= 0.6 THEN 1.0 ELSE 0.5 END
+          + CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.5 END) / 3.0
+           AS q
+  FROM m
+)
+SELECT t.th AS threshold,
+       CAST(SUM(CASE WHEN q >= t.th THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN q >= t.th THEN nw ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       (SELECT COUNT(*) FROM s) AS n_docs
+FROM s CROSS JOIN (
+  SELECT unnest({list(_T46_THRESHOLDS)}::DOUBLE[]) AS th
+) t
+GROUP BY t.th
+ORDER BY threshold
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -3267,6 +3364,7 @@ STAGED_QUERIES = {
         "t44_source_temperature_mix": t44_source_temperature_mix,
         "t45_token_budget_waterfill": t45_token_budget_waterfill,
     },
+    11: {"t46_quality_threshold_curve": t46_quality_threshold_curve},
 }
 STAGED_ORACLES = {
     6: {
@@ -3287,4 +3385,5 @@ STAGED_ORACLES = {
         "t44_source_temperature_mix": T44_SQL,
         "t45_token_budget_waterfill": T45_SQL,
     },
+    11: {"t46_quality_threshold_curve": T46_SQL},
 }

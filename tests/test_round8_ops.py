@@ -695,3 +695,89 @@ def test_v18_semantics_invariants(spark, sf_dir):
     assert r["n_prio_nonnull"] < r["n_rows"]
     assert r["n_groups"] == r["n_prio_distinct"] + 1
     assert r["avg_skips_nulls"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Round-12 staged ops (gate 11): t46 quality-threshold curve, s23
+# graph-ANN beam-width curve.
+# ---------------------------------------------------------------------------
+def test_t46_matches_duckdb_oracle(spark, sf_dir):
+    """t46 quality-threshold operating curve is STAGED for round-12
+    declaration; one scan, conditional sums, engine-exact counts."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T46_SQL,
+        t46_quality_threshold_curve,
+    )
+
+    got = [tuple(r) for r in t46_quality_threshold_curve(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T46_SQL).fetchall()]
+    assert len(got) == 5 and got == want
+
+
+def test_t46_curve_is_monotone_and_consistent(spark, sf_dir):
+    """Operating-curve invariants: keep counts and kept tokens are
+    non-increasing in the threshold, never exceed the corpus, and a
+    pure-Python IEEE recompute of the UNROUNDED t08 score (same
+    left-associated tree — the corpus has docs sitting exactly ON a
+    threshold, e.g. nw=40 → (0.4+2.0)/3 just below 0.8, so t08's
+    6-dp-rounded scores would miscount by ~9 docs here) reproduces
+    each n_kept and tokens_kept exactly."""
+    import re as _re
+
+    from nlp_data_pipeline_spark.functions.text import STOP_WORDS
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _T46_THRESHOLDS,
+        t46_quality_threshold_curve,
+    )
+
+    rows = t46_quality_threshold_curve(spark, sf_dir).collect()
+    assert [r["threshold"] for r in rows] == list(_T46_THRESHOLDS)
+    kept = [r["n_kept"] for r in rows]
+    toks = [r["tokens_kept"] for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    docs = _duck(sf_dir).execute("SELECT text FROM documents").fetchall()
+    scored = []
+    for (text,) in docs:
+        words = [t for t in _re.split(r"\s+", text.lower()) if t != ""]
+        nw = len(words)
+        sr = sum(1 for t in words if t in STOP_WORDS) / nw
+        awl = sum(len(t) for t in words) / nw
+        ls = min(1.0, nw / 100.0)
+        ss = 1.0 if 0.05 <= sr <= 0.6 else 0.5
+        ws = 1.0 if 3.0 <= awl <= 10.0 else 0.5
+        scored.append(((ls + ss + ws) / 3.0, nw))
+    for r in rows:
+        assert r["n_docs"] == len(scored) >= r["n_kept"]
+        assert r["n_kept"] == sum(1 for q, _ in scored if q >= r["threshold"])
+        assert r["tokens_kept"] == sum(nw for q, nw in scored if q >= r["threshold"])
+
+
+def test_s23_matches_duckdb_oracle(spark, sf_dir):
+    """s23 beam-width curve is STAGED for round-12 declaration; the
+    declared surface is the graded recall_ok gates (s16's constant-
+    truth oracle pattern — SQL cannot run the graph walk)."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S23_SQL,
+        s23_beam_width_curve,
+    )
+
+    got = [tuple(r) for r in s23_beam_width_curve(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir, views=()).execute(S23_SQL).fetchall()]
+    assert len(got) == 3 and got == want
+
+
+def test_s23_all_beams_clear_their_floor(spark, sf_dir):
+    """Every beam width clears its graded floor with the declared
+    n_queries intact (margins measured 12-25 hits vs floors 1/10/15)."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        S23_EFS,
+        s23_beam_width_curve,
+    )
+
+    rows = s23_beam_width_curve(spark, sf_dir).collect()
+    assert [r["ef"] for r in rows] == sorted(S23_EFS)
+    for r in rows:
+        assert r["n_queries"] == N_QUERIES
+        assert r["recall_ok"] is True
