@@ -2358,6 +2358,75 @@ ORDER BY ef
 
 
 # --------------------------------------------------------------------------
+# s24: topical source mix — STAGED FOR ROUND-12 DECLARATION (gated on
+# staged_ops_live(11)). The metadata⋈embedding join every production
+# pipeline runs and no other op here demonstrates: documents.doc_id =
+# embeddings.vec_id (the driver tables align 1:1 at small SF; at
+# sf0.1 embeddings cover a 2000-doc prefix — an inner join scopes the
+# op to the embedded subset, the realistic shape when embedding lags
+# ingestion). Output is the source × label contingency with exact
+# token mass and each source's dominant label — the topic-by-source
+# mixing table data-curation reads before setting mixture weights
+# (t26/t44/t45 consume exactly this kind of relation).
+#
+# Scale: the label projection (vec_id, label) is broadcast here; when
+# the embedding table is corpus-sized, bucket BOTH tables on the doc
+# key (q30's layout) and the join is co-located with zero shuffle —
+# the docstring contract DEPLOYMENT.md prescribes for fact⋈fact.
+# Aggregates are exact integers (count + token sum), engine-exact.
+# --------------------------------------------------------------------------
+def s24_topical_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_data_pipeline_spark.functions.text import clean_text
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    feats = d.select("doc_id", "source", F.size(toks).cast("long").alias("nt"))
+    agg = (
+        feats.join(F.broadcast(e), "doc_id")
+        .groupBy("source", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_docs"), F.asc("label"))
+    return (
+        agg.withColumn("dominant", F.row_number().over(w) == 1)
+        .orderBy("source", "label")
+    )
+
+
+def _s24_sql() -> str:
+    from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL
+
+    return f"""
+WITH feats AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != ''))
+              AS BIGINT) AS nt
+  FROM documents
+),
+agg AS (
+  SELECT f.source, e.label, COUNT(*) AS n_docs,
+         CAST(SUM(f.nt) AS BIGINT) AS n_tokens
+  FROM feats f JOIN embeddings e ON f.doc_id = e.vec_id
+  GROUP BY f.source, e.label
+)
+SELECT source, label, n_docs, n_tokens,
+       ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY n_docs DESC, label ASC) = 1 AS dominant
+FROM agg
+ORDER BY source, label
+"""
+
+
+S24_SQL = _s24_sql()
+
+
+# --------------------------------------------------------------------------
 # s21: hard-negative mining — STAGED FOR ROUND-11 DECLARATION (gated on
 # staged_ops_live(10)). The contrastive-training data op: for each
 # query vector, the top-k most-similar vectors whose LABEL differs —
@@ -2579,7 +2648,10 @@ STAGED_QUERIES = {
         "s21_hard_negative_mining": s21_hard_negative_mining,
         "s22_label_centroid_similarity": s22_label_centroid_similarity,
     },
-    11: {"s23_beam_width_curve": s23_beam_width_curve},
+    11: {
+        "s23_beam_width_curve": s23_beam_width_curve,
+        "s24_topical_source_mix": s24_topical_source_mix,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -2600,5 +2672,8 @@ STAGED_ORACLES = {
         "s21_hard_negative_mining": S21_SQL,
         "s22_label_centroid_similarity": S22_SQL,
     },
-    11: {"s23_beam_width_curve": S23_SQL},
+    11: {
+        "s23_beam_width_curve": S23_SQL,
+        "s24_topical_source_mix": S24_SQL,
+    },
 }

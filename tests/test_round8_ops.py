@@ -781,3 +781,43 @@ def test_s23_all_beams_clear_their_floor(spark, sf_dir):
     for r in rows:
         assert r["n_queries"] == N_QUERIES
         assert r["recall_ok"] is True
+
+
+def test_s24_matches_duckdb_oracle(spark, sf_dir):
+    """s24 topical source mix is STAGED for round-12 declaration; the
+    metadata-to-embedding join contingency is engine-exact."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S24_SQL,
+        s24_topical_source_mix,
+    )
+
+    got = [tuple(r) for r in s24_topical_source_mix(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("documents", "embeddings"))
+        .execute(S24_SQL)
+        .fetchall()
+    ]
+    assert len(got) > 0 and got == want
+
+
+def test_s24_contingency_invariants(spark, sf_dir):
+    """Every embedded doc lands in exactly one (source, label) cell:
+    cell doc counts sum to the join cardinality, each source has
+    exactly one dominant label, and that label has the max doc count
+    in its source (smallest label on ties)."""
+    from nlp_data_pipeline_spark.operators.similarity import s24_topical_source_mix
+
+    rows = s24_topical_source_mix(spark, sf_dir).collect()
+    n_embedded = _duck(sf_dir, views=("documents", "embeddings")).execute(
+        "SELECT COUNT(*) FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_embedded
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, cells in by_src.items():
+        doms = [r for r in cells if r["dominant"]]
+        assert len(doms) == 1
+        best = min(cells, key=lambda r: (-r["n_docs"], r["label"]))
+        assert doms[0]["label"] == best["label"]
