@@ -1480,6 +1480,148 @@ ORDER BY i.k
 
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
+# --------------------------------------------------------------------------
+# d20: Bloom-gated decontamination — STAGED FOR ROUND-12 DECLARATION
+# (gated on staged_ops_live(11)). d10 decontaminates by BROADCASTING
+# the exact benchmark shingle set; at 100 TB that set is GBs and the
+# broadcast becomes the bottleneck. The production tier (the Dolma/
+# CCNet shape) broadcasts a KB-sized BLOOM FILTER of the benchmark
+# shingles instead: corpus (doc, shingle) pairs whose k positions are
+# all set are ADMITTED to the exact check; everything else is proven
+# clean by the filter alone (Bloom has no false negatives). The
+# declared surface accounts for every tier: docs cleared without any
+# exact work, admitted pairs, true hits, and the false-positive pairs
+# the exact tier caught — the number that prices the filter.
+#
+# The filter is the a05 portable-hash family (k=3 md5-seeded positions
+# mod m) so BOTH engines build bit-identical filters — the declared
+# counts are engine-exact, not tolerance-gated. m is sized so the toy
+# corpus shows a real working point (fill ~7%, a handful of
+# false-positive pairs at sf0.01); at deployment m scales with the
+# benchmark set (bits ≈ 1.44·k·n for the target fp rate).
+# --------------------------------------------------------------------------
+_D20_M = 8192
+_D20_K = 3
+
+
+def _d20_pos(col, i: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"d20{i}|"), col)), 1, 7), 16, 10
+        ).cast("long")
+        % _D20_M
+    )
+
+
+def d20_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ss = _shingle_set_df(spark, sf_dir)
+    bench = ss.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    bits = (
+        bench.select(
+            F.explode(
+                F.array(*[_d20_pos(F.col("shingle"), i) for i in range(_D20_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    corpus = ss.filter(~(F.col("doc_id") % 97 == 0))
+    probed = corpus.select(
+        "doc_id",
+        "shingle",
+        F.explode(
+            F.array(*[_d20_pos(F.col("shingle"), i) for i in range(_D20_K)])
+        ).alias("pos"),
+    )
+    admitted = (
+        probed.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .filter(F.col("nh") == _D20_K)
+        .select("doc_id", "shingle")
+    )
+    confirmed = admitted.join(
+        F.broadcast(bench.withColumn("true_hit", F.lit(1))), "shingle", "left"
+    )
+    adm = confirmed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_admitted"),
+        F.sum(F.coalesce("true_hit", F.lit(0))).cast("long").alias("n_true"),
+    )
+    per_doc = (
+        corpus.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .join(adm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_admitted", F.lit(0)).cast("long").alias("n_admitted"),
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+        )
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs_checked"),
+        F.sum((F.col("n_true") > 0).cast("long")).alias("n_contaminated"),
+        F.sum((F.col("n_admitted") == 0).cast("long")).alias(
+            "n_clean_no_exact_check"
+        ),
+        F.sum("n_admitted").alias("n_pairs_admitted"),
+        F.sum("n_true").alias("n_pairs_true"),
+        F.sum(F.col("n_admitted") - F.col("n_true")).alias("n_pairs_false_pos"),
+    )
+
+
+def _d20_pos_sql(col: str) -> str:
+    return ", ".join(
+        f"CAST(('0x' || substring(md5('d20{i}|' || {col}), 1, 7)) AS BIGINT)"
+        f" % {_D20_M}"
+        for i in range(_D20_K)
+    )
+
+
+D20_SQL = (
+    _TOKLIST_CTE
+    + f""",
+bench AS (SELECT DISTINCT shingle FROM shingle_set WHERE doc_id % 97 = 0),
+bits AS (
+  SELECT DISTINCT unnest([{_d20_pos_sql('shingle')}]) AS pos FROM bench
+),
+corpus AS (SELECT doc_id, shingle FROM shingle_set WHERE doc_id % 97 != 0),
+probed AS (
+  SELECT doc_id, shingle, unnest([{_d20_pos_sql('shingle')}]) AS pos FROM corpus
+),
+admitted AS (
+  SELECT doc_id, shingle
+  FROM probed JOIN bits USING (pos)
+  GROUP BY doc_id, shingle
+  HAVING COUNT(*) = {_D20_K}
+),
+confirmed AS (
+  SELECT a.doc_id, b.shingle IS NOT NULL AS true_hit
+  FROM admitted a LEFT JOIN bench b ON a.shingle = b.shingle
+),
+adm AS (
+  SELECT doc_id, COUNT(*) AS n_admitted,
+         SUM(CASE WHEN true_hit THEN 1 ELSE 0 END) AS n_true
+  FROM confirmed GROUP BY doc_id
+),
+per_doc AS (
+  SELECT c.doc_id,
+         COALESCE(a.n_admitted, 0) AS n_admitted,
+         COALESCE(a.n_true, 0) AS n_true
+  FROM (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id) c
+  LEFT JOIN adm a USING (doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_checked,
+       CAST(SUM(CASE WHEN n_true > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN n_admitted = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clean_no_exact_check,
+       CAST(SUM(n_admitted) AS BIGINT) AS n_pairs_admitted,
+       CAST(SUM(n_true) AS BIGINT) AS n_pairs_true,
+       CAST(SUM(n_admitted - n_true) AS BIGINT) AS n_pairs_false_pos
+FROM per_doc
+"""
+)
+
+
 STAGED_QUERIES = {
     6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
     7: {
@@ -1491,6 +1633,7 @@ STAGED_QUERIES = {
         "d17_containment_pairs": d17_containment_pairs,
         "d19_shingle_k_curve": d19_shingle_k_curve,
     },
+    11: {"d20_bloom_decontamination": d20_bloom_decontamination},
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -1503,4 +1646,5 @@ STAGED_ORACLES = {
         "d17_containment_pairs": D17_SQL,
         "d19_shingle_k_curve": D19_SQL,
     },
+    11: {"d20_bloom_decontamination": D20_SQL},
 }

@@ -821,3 +821,43 @@ def test_s24_contingency_invariants(spark, sf_dir):
         assert len(doms) == 1
         best = min(cells, key=lambda r: (-r["n_docs"], r["label"]))
         assert doms[0]["label"] == best["label"]
+
+
+def test_d20_matches_duckdb_oracle(spark, sf_dir):
+    """d20 Bloom-gated decontamination is STAGED for round-12
+    declaration; the portable-hash filter makes every tier count
+    engine-exact."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D20_SQL,
+        d20_bloom_decontamination,
+    )
+
+    got = [tuple(r) for r in d20_bloom_decontamination(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D20_SQL).fetchall()]
+    assert len(got) == 1 and got == want
+
+
+def test_d20_bloom_has_no_false_negatives(spark, sf_dir):
+    """The safety property that makes the tier sound: every document
+    the EXACT d10-style set-join finds contaminated is also flagged by
+    the Bloom-gated path (a Bloom filter can only over-admit), the
+    admitted pairs split exactly into true + false-positive, and the
+    true pair count equals the exact join's pair count."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        _TOKLIST_CTE,
+        d20_bloom_decontamination,
+    )
+
+    r = d20_bloom_decontamination(spark, sf_dir).collect()[0]
+    assert r["n_pairs_true"] + r["n_pairs_false_pos"] == r["n_pairs_admitted"]
+    assert r["n_clean_no_exact_check"] <= r["n_docs_checked"]
+    exact = _duck(sf_dir).execute(
+        _TOKLIST_CTE
+        + """,
+bench AS (SELECT DISTINCT shingle FROM shingle_set WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, shingle FROM shingle_set WHERE doc_id % 97 != 0),
+hits AS (SELECT c.doc_id FROM corpus c JOIN bench b USING (shingle))
+SELECT COUNT(DISTINCT doc_id), COUNT(*) FROM hits"""
+    ).fetchone()
+    assert r["n_contaminated"] == exact[0]
+    assert r["n_pairs_true"] == exact[1]
