@@ -3345,6 +3345,111 @@ ORDER BY threshold
 """
 
 
+# --------------------------------------------------------------------------
+# t47: span-corruption plan — STAGED FOR ROUND-12 DECLARATION (gated
+# on staged_ops_live(11)). The denoising-objective prep step (T5/UL2
+# span corruption): decide which token positions to mask and how many
+# contiguous corruption spans each document yields. Masking is
+# DETERMINISTIC — position i of doc d is masked iff
+# md5(d||'|'||i) mod 1000 < 150 (15%) — which is the production
+# property that matters: re-running the pipeline reproduces byte-
+# identical masks with no RNG state to ship, and both engines compute
+# the identical decision, so every declared count is engine-exact.
+#
+# Scale: entirely SCAN-LOCAL — the mask decision and the span count
+# (a masked position opens a span iff i=1 or i-1 is unmasked) are
+# higher-order array expressions over each row's own token positions;
+# no explode, no per-token shuffle, no window. The only shuffle is
+# the final per-source rollup of four integer sums (map-combined).
+# --------------------------------------------------------------------------
+_T47_MOD = 1000
+_T47_RATE = 150  # masked iff hash mod 1000 < 150 (15%)
+
+
+def _t47_masked(doc_id_col, i):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        doc_id_col.cast("string"), F.lit("|"), i.cast("string")
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _T47_MOD
+        < _T47_RATE
+    )
+
+
+def t47_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n)
+    doc = F.col("doc_id")
+    masked = F.size(F.filter(idx, lambda i: _t47_masked(doc, i)))
+    spans = F.size(
+        F.filter(
+            idx,
+            lambda i: _t47_masked(doc, i)
+            & ((i == F.lit(1)) | ~_t47_masked(doc, i - F.lit(1))),
+        )
+    )
+    per_doc = d.select(
+        "source",
+        n.cast("long").alias("nt"),
+        F.when(n >= 1, masked).otherwise(F.lit(0)).cast("long").alias("nm"),
+        F.when(n >= 1, spans).otherwise(F.lit(0)).cast("long").alias("ns"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("nm").alias("n_masked"),
+            F.sum("ns").alias("n_spans"),
+        )
+        .orderBy("source")
+    )
+
+
+_T47_MASKED_SQL = (
+    "CAST(('0x' || substring(md5(doc_id || '|' || {i}), 1, 7)) AS BIGINT)"
+    f" % {_T47_MOD} < {_T47_RATE}"
+)
+
+T47_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         len(t) AS nt,
+         len(list_filter(range(1, len(t) + 1),
+             i -> {_T47_MASKED_SQL.format(i="i")})) AS nm,
+         len(list_filter(range(1, len(t) + 1),
+             i -> {_T47_MASKED_SQL.format(i="i")}
+                  AND (i = 1 OR NOT ({_T47_MASKED_SQL.format(i="(i - 1)")}))))
+           AS ns
+  FROM (
+    SELECT doc_id, source,
+           list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != '') AS t
+    FROM documents
+  ) base
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(SUM(nm) AS BIGINT) AS n_masked,
+       CAST(SUM(ns) AS BIGINT) AS n_spans
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -3364,7 +3469,10 @@ STAGED_QUERIES = {
         "t44_source_temperature_mix": t44_source_temperature_mix,
         "t45_token_budget_waterfill": t45_token_budget_waterfill,
     },
-    11: {"t46_quality_threshold_curve": t46_quality_threshold_curve},
+    11: {
+        "t46_quality_threshold_curve": t46_quality_threshold_curve,
+        "t47_span_corruption_plan": t47_span_corruption_plan,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -3385,5 +3493,8 @@ STAGED_ORACLES = {
         "t44_source_temperature_mix": T44_SQL,
         "t45_token_budget_waterfill": T45_SQL,
     },
-    11: {"t46_quality_threshold_curve": T46_SQL},
+    11: {
+        "t46_quality_threshold_curve": T46_SQL,
+        "t47_span_corruption_plan": T47_SQL,
+    },
 }

@@ -861,3 +861,62 @@ SELECT COUNT(DISTINCT doc_id), COUNT(*) FROM hits"""
     ).fetchone()
     assert r["n_contaminated"] == exact[0]
     assert r["n_pairs_true"] == exact[1]
+
+
+def test_t47_matches_duckdb_oracle(spark, sf_dir):
+    """t47 span-corruption plan is STAGED for round-12 declaration; the
+    deterministic hash mask makes every count engine-exact."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T47_SQL,
+        t47_span_corruption_plan,
+    )
+
+    got = [tuple(r) for r in t47_span_corruption_plan(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T47_SQL).fetchall()]
+    assert len(got) > 1 and got == want
+
+
+def test_t47_matches_python_mask_recompute(spark, sf_dir):
+    """Pure-Python recompute of the md5 position masks reproduces the
+    per-source masked/span counts exactly, the overall mask rate sits
+    near the designed 15%, and spans never exceed masked positions."""
+    import hashlib as hl
+    import re as _re
+
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _T47_MOD,
+        _T47_RATE,
+        t47_span_corruption_plan,
+    )
+
+    rows = t47_span_corruption_plan(spark, sf_dir).collect()
+    docs = _duck(sf_dir).execute(
+        "SELECT doc_id, source, lower(regexp_replace(regexp_replace(text,"
+        " '[^a-zA-Z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) FROM documents"
+    ).fetchall()
+    agg = {}
+    for doc_id, source, ctext in docs:
+        toks = [t for t in ctext.split(" ") if t != ""]
+        mask = [
+            int(hl.md5(f"{doc_id}|{i}".encode()).hexdigest()[:7], 16) % _T47_MOD
+            < _T47_RATE
+            for i in range(1, len(toks) + 1)
+        ]
+        nm = sum(mask)
+        ns = sum(
+            1 for i, m in enumerate(mask) if m and (i == 0 or not mask[i - 1])
+        )
+        a = agg.setdefault(source, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += nm
+        a[3] += ns
+    tot_tokens = tot_masked = 0
+    for r in rows:
+        assert [r["n_docs"], r["n_tokens"], r["n_masked"], r["n_spans"]] == agg[
+            r["source"]
+        ]
+        assert r["n_spans"] <= r["n_masked"]
+        tot_tokens += r["n_tokens"]
+        tot_masked += r["n_masked"]
+    assert abs(tot_masked / tot_tokens - _T47_RATE / _T47_MOD) < 0.02
