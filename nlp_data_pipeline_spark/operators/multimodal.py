@@ -659,11 +659,112 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# m10: image patch grid — STAGED FOR ROUND-12 DECLARATION (gated on
+# staged_ops_live(11)). The ViT/DiT preprocessing shape on top of
+# m07's real PNG decode: each image is zero-padded to multiples of
+# P=4 and split into a P×P patch grid (the patchify every
+# vision-transformer training pipeline runs before embedding), one
+# output ROW per patch with its exact int64 pixel sum — the
+# one-row-in / many-rows-out mapInPandas batch shape (m05's expansion
+# pattern applied to real decoded pixels). Patch sums are exact
+# integers over the committed fixtures, so the oracle is a closed-form
+# VALUES table (m07's pattern). At 100 TB the decode+patchify kernel
+# is embarrassingly scan-parallel: Arrow batches of binary payloads
+# in, patch rows out, no shuffle until the downstream consumer
+# aggregates or embeds.
+# --------------------------------------------------------------------------
+_M10_P = 4
+
+
+def m10_image_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import numpy as np
+
+    from nlp_data_pipeline_spark.sources.readers import read_binary_files
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    png_dir = _os.path.normpath(
+        _os.path.join(here, "..", "..", "tests", "fixtures", "png")
+    )
+    files = read_binary_files(spark, png_dir, glob="*.png")
+
+    def patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nlp_data_pipeline_spark.functions.png import decode_png
+
+        P = _M10_P
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf["path"], pdf["content"]):
+                w, h, c, px = decode_png(bytes(payload))
+                arr = px.reshape(h, w, c).astype(np.int64)
+                ph, pw = -(-h // P), -(-w // P)
+                pad = np.zeros((ph * P, pw * P, c), dtype=np.int64)
+                pad[:h, :w, :] = arr
+                sums = pad.reshape(ph, P, pw, P, c).sum(axis=(1, 3, 4))
+                fn = path.rsplit("/", 1)[-1]
+                for py in range(ph):
+                    for pxi in range(pw):
+                        rows.append(
+                            {
+                                "filename": fn,
+                                "patch_row": py,
+                                "patch_col": pxi,
+                                "patch_sum": int(sums[py, pxi]),
+                            }
+                        )
+            yield pd.DataFrame(rows)
+
+    return (
+        files.select("path", "content")
+        .mapInPandas(
+            patches,
+            "filename string, patch_row int, patch_col int, patch_sum long",
+        )
+        .orderBy("filename", "patch_row", "patch_col")
+    )
+
+
+M10_SQL = """
+SELECT filename, CAST(patch_row AS INT) AS patch_row,
+       CAST(patch_col AS INT) AS patch_col,
+       CAST(patch_sum AS BIGINT) AS patch_sum
+FROM (VALUES
+  ('checker_gray.png', 0, 0, 2040),
+  ('checker_gray.png', 0, 1, 2040),
+  ('checker_gray.png', 1, 0, 2040),
+  ('checker_gray.png', 1, 1, 2040),
+  ('gradient_rgb.png', 0, 0, 1692),
+  ('gradient_rgb.png', 0, 1, 3484),
+  ('gradient_rgb.png', 0, 2, 5282),
+  ('gradient_rgb.png', 0, 3, 7084),
+  ('gradient_rgb.png', 1, 0, 4440),
+  ('gradient_rgb.png', 1, 1, 6238),
+  ('gradient_rgb.png', 1, 2, 8040),
+  ('gradient_rgb.png', 1, 3, 9832),
+  ('gradient_rgb.png', 2, 0, 1540),
+  ('gradient_rgb.png', 2, 1, 1992),
+  ('gradient_rgb.png', 2, 2, 2440),
+  ('gradient_rgb.png', 2, 3, 2889),
+  ('rings_rgba.png', 0, 0, 9840),
+  ('rings_rgba.png', 0, 1, 6384),
+  ('rings_rgba.png', 0, 2, 9712),
+  ('rings_rgba.png', 1, 0, 2108),
+  ('rings_rgba.png', 1, 1, 2076),
+  ('rings_rgba.png', 1, 2, 2332)
+) AS t(filename, patch_row, patch_col, patch_sum)
+ORDER BY filename, patch_row, patch_col
+"""
+
+
 STAGED_QUERIES = {
     6: {"m08_image_dedup_phash": m08_image_dedup_phash},
     9: {"m09_wav_header_parse": m09_wav_header_parse},
+    11: {"m10_image_patch_grid": m10_image_patch_grid},
 }
 STAGED_ORACLES = {
     6: {"m08_image_dedup_phash": M08_SQL},
     9: {"m09_wav_header_parse": M09_SQL},
+    11: {"m10_image_patch_grid": M10_SQL},
 }

@@ -920,3 +920,43 @@ def test_t47_matches_python_mask_recompute(spark, sf_dir):
         tot_tokens += r["n_tokens"]
         tot_masked += r["n_masked"]
     assert abs(tot_masked / tot_tokens - _T47_RATE / _T47_MOD) < 0.02
+
+
+def test_m10_matches_duckdb_oracle(spark, sf_dir):
+    """m10 image patch grid is STAGED for round-12 declaration; exact
+    integer patch sums over the committed fixtures pin the decode +
+    pad + patchify pipeline against the closed-form VALUES oracle."""
+    from nlp_data_pipeline_spark.operators.multimodal import (
+        M10_SQL,
+        m10_image_patch_grid,
+    )
+
+    got = [tuple(r) for r in m10_image_patch_grid(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir, views=()).execute(M10_SQL).fetchall()]
+    assert len(got) == 22 and got == want
+
+
+def test_m10_patches_partition_each_image(spark, sf_dir):
+    """Patchify invariants: the grid is dense (every (row, col) cell
+    present exactly once per image, ceil-division extents), and the
+    patch sums of each image total its m07 pixel_sum — zero padding
+    adds nothing."""
+    from nlp_data_pipeline_spark.operators.multimodal import (
+        _M10_P,
+        m07_png_pixel_stats,
+        m10_image_patch_grid,
+    )
+
+    stats = {r["filename"]: r for r in m07_png_pixel_stats(spark, sf_dir).collect()}
+    by_img = {}
+    for r in m10_image_patch_grid(spark, sf_dir).collect():
+        by_img.setdefault(r["filename"], []).append(r)
+    assert set(by_img) == set(stats)
+    for fn, cells in by_img.items():
+        s = stats[fn]
+        ph = -(-s["height"] // _M10_P)
+        pw = -(-s["width"] // _M10_P)
+        assert sorted((c["patch_row"], c["patch_col"]) for c in cells) == [
+            (y, x) for y in range(ph) for x in range(pw)
+        ]
+        assert sum(c["patch_sum"] for c in cells) == s["pixel_sum"]
