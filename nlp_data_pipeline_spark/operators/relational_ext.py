@@ -2520,6 +2520,67 @@ ORDER BY o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# q52: file-metadata layout audit — STAGED FOR ROUND-12 DECLARATION
+# (gated on staged_ops_live(11)). The `_metadata` hidden-column
+# surface (SPARK-37273), uncovered by any other op: after staging
+# documents partitioned by source (repartition("source") first, so
+# each source's rows land in exactly ONE task → one file per
+# partition), the audit reads the landed files back and groups by
+# `_metadata.file_path` to report the REAL layout — files per source,
+# rows, and the per-source doc_id range parquet min/max skipping
+# would prune on. The declared n_files = 1 is the layout CONTRACT of
+# the write (a small-files regression — e.g. maxRecordsPerFile
+# splitting, or losing the pre-repartition — flips the gate red); the
+# remaining columns the oracle derives from the source table. This is
+# the per-file audit DEPLOYMENT.md's layout section prescribes after
+# every table build: at 100 TB a table whose per-file key ranges
+# overlap is a table that cannot prune.
+# --------------------------------------------------------------------------
+def q52_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    root = scratch_path(f"q52_meta_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    out = os.path.join(root, "docs")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", "source")
+        .repartition("source")
+        .write.partitionBy("source")
+        .parquet(out)
+    )
+    landed = spark.read.parquet(out)
+    return (
+        landed.select(
+            "source",
+            "doc_id",
+            F.col("_metadata.file_path").alias("fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count_distinct("fp").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+Q52_SQL = """
+SELECT source,
+       CAST(1 AS BIGINT) AS n_files,
+       COUNT(*) AS n_rows,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -2542,6 +2603,7 @@ STAGED_QUERIES = {
         "a05_bloom_semijoin": a05_bloom_semijoin,
         "q51_cbo_stats_join": q51_cbo_stats_join,
     },
+    11: {"q52_file_metadata_audit": q52_file_metadata_audit},
 }
 STAGED_ORACLES = {
     6: {"q42_collated_group": Q42_SQL},
@@ -2565,4 +2627,5 @@ STAGED_ORACLES = {
         "a05_bloom_semijoin": A05_SQL,
         "q51_cbo_stats_join": Q51_SQL,
     },
+    11: {"q52_file_metadata_audit": Q52_SQL},
 }

@@ -960,3 +960,55 @@ def test_m10_patches_partition_each_image(spark, sf_dir):
             (y, x) for y in range(ph) for x in range(pw)
         ]
         assert sum(c["patch_sum"] for c in cells) == s["pixel_sum"]
+
+
+def test_q52_matches_duckdb_oracle(spark, sf_dir):
+    """q52 file-metadata layout audit is STAGED for round-12
+    declaration; the real landed layout must satisfy the one-file-per-
+    source contract the oracle states."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q52_SQL,
+        q52_file_metadata_audit,
+    )
+
+    got = [tuple(r) for r in q52_file_metadata_audit(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("documents",)).execute(Q52_SQL).fetchall()
+    ]
+    assert len(got) > 1 and got == want
+
+
+def test_q52_metadata_paths_carry_partition_value(spark, sf_dir):
+    """The _metadata surface itself: every row's file_path embeds its
+    own source partition directory (source=<value>/), i.e. the hidden
+    column really points at the file the row came from."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nlp_data_pipeline_spark.scratch import scratch_path
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    root = scratch_path(f"q52t_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    out = os.path.join(root, "docs")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .repartition("source")
+        .write.partitionBy("source")
+        .parquet(out)
+    )
+    mismatches = (
+        spark.read.parquet(out)
+        .select(
+            "source",
+            F.regexp_extract(F.col("_metadata.file_path"), r"source=([^/]+)/", 1)
+            .alias("from_path"),
+        )
+        .filter(F.col("source") != F.col("from_path"))
+        .count()
+    )
+    assert mismatches == 0
