@@ -80,6 +80,14 @@ HEAVY = [
     "t45_token_budget_waterfill",
     "s21_hard_negative_mining",
     "s22_label_centroid_similarity",
+    # round-12 staged (documents/embeddings-shaped; m10 reads committed
+    # fixtures and q52 audits its own staged write, so the replicated-
+    # table probe doesn't apply to them)
+    "t46_quality_threshold_curve",
+    "t47_span_corruption_plan",
+    "d20_bloom_decontamination",
+    "s23_beam_width_curve",
+    "s24_topical_source_mix",
 ]
 
 
