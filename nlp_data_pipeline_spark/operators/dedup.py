@@ -1622,6 +1622,142 @@ FROM per_doc
 )
 
 
+# --------------------------------------------------------------------------
+# d21: split-contamination audit — STAGED FOR ROUND-12 DECLARATION
+# (gated on staged_ops_live(11)). The acceptance test for d12's
+# leakage-safe split, and the quantified argument for WHY cluster-
+# atomic assignment matters: count the LSH near-dup candidate pairs
+# (d03's relation) that land across split boundaries under two
+# strategies — `by_doc` (the naive per-document hash split everyone
+# writes first) and `by_cluster` (d12's rule, hashing the near-dup
+# cluster id). by_doc strands ~2·p(1-p) of every near-dup pair across
+# train/test — memorization leakage that inflates eval; by_cluster
+# declares ZERO cross rows by construction (components assigned
+# atomically), and this audit turns that guarantee into a driver-
+# checked fact rather than a docstring claim.
+#
+# Scale: pairs and per-doc labels are each one pass (the pair list is
+# candidate-sized, not corpus²); the audit adds two hash joins of
+# pairs⋈labels and a stack() that evaluates both strategies in the
+# SAME pass (2·|pairs| rows into a partial-aggregable count — no
+# second join pass per strategy). least/greatest canonicalize the
+# split pair identically on both engines (lexicographic VARCHAR).
+# --------------------------------------------------------------------------
+def _split_bucket(col):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("bigint")
+        % 10
+    )
+
+
+def _split_name(bucket):
+    return (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def d21_split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d03_lsh_candidate_pairs(spark, sf_dir)
+    lab = d12_leakage_safe_split(spark, sf_dir).select(
+        "doc_id",
+        F.col("split").alias("cl"),
+        _split_name(_split_bucket(F.col("doc_id"))).alias("nv"),
+    )
+    a = lab.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("cl").alias("cl_a"),
+        F.col("nv").alias("nv_a"),
+    )
+    b = lab.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("cl").alias("cl_b"),
+        F.col("nv").alias("nv_b"),
+    )
+    tagged = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .selectExpr(
+            "stack(2, 'by_cluster', cl_a, cl_b, 'by_doc', nv_a, nv_b)"
+            " AS (strategy, sa, sb)"
+        )
+    )
+    return (
+        tagged.select(
+            "strategy",
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("strategy", "split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_cross", F.col("split_a") != F.col("split_b"))
+        .orderBy("strategy", "split_a", "split_b")
+    )
+
+
+def _d21_split_sql(col: str) -> str:
+    return (
+        f"CASE WHEN ('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 4))::INT"
+        " % 10 <= 7 THEN 'train'"
+        f" WHEN ('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 4))::INT"
+        " % 10 = 8 THEN 'val' ELSE 'test' END"
+    )
+
+
+D21_SQL = (
+    _TOKLIST_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('seed{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES))
+    + " FROM shingle_set GROUP BY doc_id), "
+    + f"banded AS ({_BANDS_SQL}) "
+    + f""",
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+closure AS (
+  SELECT src AS doc_id, dst FROM reach
+  UNION SELECT src, src FROM edges
+),
+labels AS (SELECT doc_id, MIN(dst) AS cluster_id FROM closure GROUP BY doc_id),
+splits AS (
+  SELECT d.doc_id,
+         {_d21_split_sql("COALESCE(l.cluster_id, d.doc_id)")} AS cl,
+         {_d21_split_sql("d.doc_id")} AS nv
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+),
+tagged AS (
+  SELECT u.strategy,
+         CASE WHEN u.strategy = 'by_cluster' THEN a.cl ELSE a.nv END AS sa,
+         CASE WHEN u.strategy = 'by_cluster' THEN b.cl ELSE b.nv END AS sb
+  FROM pairs p
+  JOIN splits a ON p.doc_a = a.doc_id
+  JOIN splits b ON p.doc_b = b.doc_id
+  CROSS JOIN (SELECT unnest(['by_cluster', 'by_doc']) AS strategy) u
+)
+SELECT strategy,
+       least(sa, sb) AS split_a,
+       greatest(sa, sb) AS split_b,
+       COUNT(*) AS n_pairs,
+       least(sa, sb) != greatest(sa, sb) AS is_cross
+FROM tagged
+GROUP BY strategy, least(sa, sb), greatest(sa, sb)
+ORDER BY strategy, split_a, split_b
+"""
+).replace("WITH cleaned AS", "WITH RECURSIVE cleaned AS", 1)
+
+
 STAGED_QUERIES = {
     6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
     7: {
@@ -1633,7 +1769,10 @@ STAGED_QUERIES = {
         "d17_containment_pairs": d17_containment_pairs,
         "d19_shingle_k_curve": d19_shingle_k_curve,
     },
-    11: {"d20_bloom_decontamination": d20_bloom_decontamination},
+    11: {
+        "d20_bloom_decontamination": d20_bloom_decontamination,
+        "d21_split_contamination_audit": d21_split_contamination_audit,
+    },
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -1646,5 +1785,8 @@ STAGED_ORACLES = {
         "d17_containment_pairs": D17_SQL,
         "d19_shingle_k_curve": D19_SQL,
     },
-    11: {"d20_bloom_decontamination": D20_SQL},
+    11: {
+        "d20_bloom_decontamination": D20_SQL,
+        "d21_split_contamination_audit": D21_SQL,
+    },
 }

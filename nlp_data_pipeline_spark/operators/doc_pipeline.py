@@ -1873,6 +1873,68 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# a07: deterministic hash-reservoir sample — STAGED FOR ROUND-12
+# DECLARATION (gated on staged_ops_live(11)). Every eval/labeling/
+# inspection loop needs a fixed-size uniform sample per stratum. The
+# textbook reservoir algorithm is a SEQUENTIAL scan with mutable
+# state — unimplementable as a distributed operator without giving up
+# determinism. The distributed replacement is min-K-by-hash: keep the
+# K documents with the smallest md5(seed|doc_id) per source. Same
+# uniform-without-replacement distribution (the hash induces a
+# uniform random permutation of the stratum), plus three properties
+# sequential reservoirs lack: reruns are byte-identical with no RNG
+# state to ship, the sample is MERGEABLE across shards/batches
+# (min-K of a union = min-K of the per-part min-Ks — a06's KMV
+# order-statistics machinery with doc ids attached), and membership
+# is testable per row without the sample (h < the kth hash).
+#
+# Scale: one scan + one shuffle. The per-source row_number window
+# sorts only for the toy plan; at 100 TB the same answer comes from
+# partial per-partition top-K (TakeOrderedAndProject shape) merged on
+# the reducer — the sort never sees the full corpus. Declared draw
+# keys are md5 hex (engine-identical), ranks are exact ints.
+# --------------------------------------------------------------------------
+A07_SAMPLE_K = 20
+_A07_SEED = "a07"
+
+
+def a07_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    draw = F.md5(
+        F.concat_ws("|", F.lit(_A07_SEED), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy("draw", "doc_id")
+    return (
+        d.select("doc_id", "source", draw.alias("draw"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= A07_SAMPLE_K)
+        .select("source", "sample_rank", "doc_id", "draw")
+        .orderBy("source", "sample_rank")
+    )
+
+
+A07_SQL = f"""
+WITH drawn AS (
+  SELECT doc_id, source,
+         md5('{_A07_SEED}' || '|' || CAST(doc_id AS VARCHAR)) AS draw
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, draw,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY draw, doc_id)
+           AS sample_rank
+  FROM drawn
+)
+SELECT source, sample_rank, doc_id, draw
+FROM ranked
+WHERE sample_rank <= {A07_SAMPLE_K}
+ORDER BY source, sample_rank
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "r12_xml_roundtrip": r12_xml_roundtrip,
@@ -1891,6 +1953,7 @@ STAGED_QUERIES = {
         "p06_dataflow_pipeline": p06_dataflow_pipeline,
     },
     10: {"a06_kmv_distinct_sketch": a06_kmv_distinct_sketch},
+    11: {"a07_reservoir_sample": a07_reservoir_sample},
 }
 STAGED_ORACLES = {
     6: {
@@ -1910,4 +1973,5 @@ STAGED_ORACLES = {
         "p06_dataflow_pipeline": P06_SQL,
     },
     10: {"a06_kmv_distinct_sketch": A06_SQL},
+    11: {"a07_reservoir_sample": A07_SQL},
 }

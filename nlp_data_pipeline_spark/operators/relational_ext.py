@@ -2581,6 +2581,85 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q53: batch sessionization — STAGED FOR ROUND-12 DECLARATION (gated
+# on staged_ops_live(11)). e02/e14 sessionize the live STREAM; the
+# backfill job every analytics stack also runs is the same gap-based
+# sessionization over the event HISTORY in batch. Spark-first: the
+# built-in session_window() works on batch DataFrames too — the
+# aggregation plans as UpdatingSessions/MergingSessions around one
+# shuffle on user_id, with NO self-join and NO window-function pass
+# over the raw events (the lag+cumsum spelling the oracle uses needs
+# a full per-user sort AND a second windowed pass; the native
+# operator merges sessions inside the aggregation).
+#
+# Parity: a session closes when the next event is >= 30 minutes
+# after the previous one (Spark's per-event window is [ts, ts+gap),
+# end-exclusive, so an event landing exactly at prev+gap starts a
+# new session — the oracle's `diff >= gap` test states the same
+# rule). session_end is Spark's window end = last event + gap,
+# reproduced as MAX(ts) + INTERVAL 30 MINUTE. value sums go through
+# DECIMAL(18,2) on both engines (order-independent), cast back to
+# DOUBLE at the edge.
+#
+# Scale: one shuffle by user_id; state is bounded by sessions, not
+# events (partial merging happens map-side). Skewed power users
+# hit one reducer each — acceptable because per-user cost is
+# O(events log events) locally; salt only if a single user exceeds
+# a task's memory, which at 100 TB means splitting by (user, day).
+# --------------------------------------------------------------------------
+_Q53_GAP = "30 minutes"
+
+
+def q53_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        e.groupBy("user_id", F.session_window("ts", _Q53_GAP).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.sum(F.col("value").cast(D182)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "n_event_types",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+Q53_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_type, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, sess_no
+ORDER BY user_id, session_start
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -2603,7 +2682,10 @@ STAGED_QUERIES = {
         "a05_bloom_semijoin": a05_bloom_semijoin,
         "q51_cbo_stats_join": q51_cbo_stats_join,
     },
-    11: {"q52_file_metadata_audit": q52_file_metadata_audit},
+    11: {
+        "q52_file_metadata_audit": q52_file_metadata_audit,
+        "q53_sessionize_batch": q53_sessionize_batch,
+    },
 }
 STAGED_ORACLES = {
     6: {"q42_collated_group": Q42_SQL},
@@ -2627,5 +2709,8 @@ STAGED_ORACLES = {
         "a05_bloom_semijoin": A05_SQL,
         "q51_cbo_stats_join": Q51_SQL,
     },
-    11: {"q52_file_metadata_audit": Q52_SQL},
+    11: {
+        "q52_file_metadata_audit": Q52_SQL,
+        "q53_sessionize_batch": Q53_SQL,
+    },
 }

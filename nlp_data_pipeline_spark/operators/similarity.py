@@ -1334,18 +1334,17 @@ GRAPH_ENTRY = 0  # deterministic entry node
 GRAPH_RECALL_MIN = 0.6
 
 
-def _knn_graph(spark: SparkSession, sf_dir: str, m: int = GRAPH_M) -> DataFrame:
-    """EXACT M-NN graph by cosine, made UNDIRECTED (NSW links are
-    bidirectional — a directed kNN digraph strands greedy search inside
-    tight clusters; measured: 2/5 queries recalled at sf0.1 directed,
-    5/5 undirected). Build uses the s02 packed-block BLAS tile kernel
-    (one flat Arrow buffer per block, B(B+1)/2 tiles, per-row top-M per
-    tile, then a per-src window merges the ≤B·M tile candidates) — the
-    expression-fold scorer at 2000² pairs took 50 s where the tiles
-    take ~2 s. Exactness is the point here: s19's PageRank oracle
-    rebuilds this graph edge-for-edge in SQL, so s19 rides this build
-    (O(n²) FLOPs, affordable at declared-parity scale). The scale path
-    for index CONSTRUCTION is _knn_graph_nnd below, which s16 uses."""
+def _knn_directed(spark: SparkSession, sf_dir: str, m: int = GRAPH_M) -> DataFrame:
+    """EXACT directed top-m cosine kNN list (src, dst, cos). Build uses
+    the s02 packed-block BLAS tile kernel (one flat Arrow buffer per
+    block, B(B+1)/2 tiles, per-row top-M per tile, then a per-src
+    window merges the ≤B·M tile candidates) — the expression-fold
+    scorer at 2000² pairs took 50 s where the tiles take ~2 s.
+    Exactness is the point here: s19's PageRank oracle rebuilds this
+    list edge-for-edge in SQL and s25's mutual filter declares its cos
+    values, so both ride this build (O(n²) FLOPs, affordable at
+    declared-parity scale). The scale path for index CONSTRUCTION is
+    _knn_graph_nnd below, which s16 uses."""
     import numpy as np
     import pandas as pd
 
@@ -1424,11 +1423,19 @@ def _knn_graph(spark: SparkSession, sf_dir: str, m: int = GRAPH_M) -> DataFrame:
 
     cand = grid.mapInPandas(tile_topm, "src long, dst long, cos double")
     w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
-    knn = (
+    return (
         cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= m)
-        .select("src", "dst")
+        .select("src", "dst", "cos")
     )
+
+
+def _knn_graph(spark: SparkSession, sf_dir: str, m: int = GRAPH_M) -> DataFrame:
+    """The exact kNN list of _knn_directed, made UNDIRECTED (NSW links
+    are bidirectional — a directed kNN digraph strands greedy search
+    inside tight clusters; measured: 2/5 queries recalled at sf0.1
+    directed, 5/5 undirected)."""
+    knn = _knn_directed(spark, sf_dir, m).select("src", "dst")
     return knn.union(
         knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -2595,6 +2602,78 @@ ORDER BY label_a, label_b
 """
 
 
+# --------------------------------------------------------------------------
+# s25: mutual-kNN pairs — STAGED FOR ROUND-12 DECLARATION (gated on
+# staged_ops_live(11)). The reciprocal-neighbor filter near-dup
+# curation runs AFTER candidate generation: a pair survives only if
+# each vector ranks inside the other's top-M cosine list. One-sided
+# kNN membership is asymmetric (a hub vector appears in thousands of
+# lists it does not reciprocate); the mutual filter is the standard
+# high-precision subset used for merge decisions and for
+# mutual-kNN clustering seeds.
+#
+# Scale: rides _knn_directed — the SAME exact directed top-M list
+# s19 builds (tile-kernel candidates, one per-src window), so the
+# oracle parity of that relation is already pinned edge-for-edge by
+# s19's SQL rebuild. The mutual step adds ONE self-equi-join of the
+# (n·M)-row edge list on (src,dst)=(dst,src) — linear in edges, no
+# n² anywhere past the build (at production scale the build swaps to
+# _knn_graph_nnd; the mutual join is unchanged). The tile kernel's
+# BLAS cosine only RANKS the lists (s19's pinned convention) and is
+# not declared: the surviving pairs (≤ n·M/2 rows) re-score through
+# the s01 expression helpers — sequential-fold dot/norm, bitwise ≡
+# DuckDB's array_inner_product — so the declared round(cos, 6)
+# compares identical float sequences on both engines instead of
+# BLAS-vs-sequential ulps at a rounding boundary.
+# --------------------------------------------------------------------------
+def s25_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    knn = (
+        _knn_directed(spark, sf_dir, GRAPH_M).select("src", "dst").localCheckpoint()
+    )
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = knn.join(rev, ["src", "dst"]).filter(F.col("src") < F.col("dst"))
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("src"), F.col("emb").alias("aemb"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("emb").alias("bemb"))
+    cos = dot("aemb", "bemb") / (norm("aemb") * norm("bemb"))
+    return (
+        mutual.join(a, "src")
+        .join(b, "dst")
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+S25_SQL = f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding::DOUBLE[] AS DOUBLE[{DIM}]) AS emb FROM embeddings
+),
+e AS MATERIALIZED (
+  SELECT vec_id, emb, sqrt(array_inner_product(emb, emb)) AS nrm FROM e0
+),
+knn AS MATERIALIZED (
+  SELECT src, dst, cos FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           array_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+             array_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) DESC,
+             b.vec_id ASC) AS rn
+    FROM e a JOIN e b ON a.vec_id != b.vec_id
+  ) WHERE rn <= {GRAPH_M}
+)
+SELECT k1.src AS vec_a, k1.dst AS vec_b, round(k1.cos, 6) AS cosine
+FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
+WHERE k1.src < k1.dst
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
@@ -2651,6 +2730,7 @@ STAGED_QUERIES = {
     11: {
         "s23_beam_width_curve": s23_beam_width_curve,
         "s24_topical_source_mix": s24_topical_source_mix,
+        "s25_mutual_knn_pairs": s25_mutual_knn_pairs,
     },
 }
 STAGED_ORACLES = {
@@ -2675,5 +2755,6 @@ STAGED_ORACLES = {
     11: {
         "s23_beam_width_curve": S23_SQL,
         "s24_topical_source_mix": S24_SQL,
+        "s25_mutual_knn_pairs": S25_SQL,
     },
 }

@@ -3450,6 +3450,99 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# t48: packing-efficiency curve — STAGED FOR ROUND-12 DECLARATION
+# (gated on staged_ops_live(11)). The context-length sizing decision
+# t29 feeds: under concat-and-chunk packing (GPT-style), what does
+# each candidate sequence length cost per source in pad waste (the
+# final partial pack) and in documents split across a pack boundary
+# (attention-mask fragmentation)? d19 answers this for shingle-k,
+# s20 for nprobe, t46 for the quality threshold — this completes the
+# operating-curve family for the packing stage. Same tokenization and
+# offset arithmetic as t29 (whitespace tokens, per-source running
+# end_off), evaluated at four lengths in one pass.
+#
+# Scale: ONE corpus scan; the per-source prefix-sum window is the
+# only corpus-sized shuffle (t29's — at 100 TB substitute the
+# per-shard two-pass offset composition DEPLOYMENT.md prescribes for
+# global prefix sums); the 4-length curve is |lens| conditional
+# partial-aggregable SUMs collapsing to sources×1 rows, unpivoted
+# driver-free by stack(). All declared values are exact BIGINTs
+# (counts, ceil-div pack counts, pad remainders — Spark DIV ≡
+# DuckDB // on non-negative operands), so the curve is engine-exact.
+# --------------------------------------------------------------------------
+_T48_SEQ_LENS = (256, 512, 1024, 2048)
+
+
+def t48_packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = d.select(
+        "doc_id", "source", word_count("text").cast("long").alias("n_tokens")
+    ).withColumn("end_off", F.sum("n_tokens").over(w))
+    aggs = [F.sum("n_tokens").alias("total_tokens")]
+    for i, L in enumerate(_T48_SEQ_LENS):
+        boundary = (F.col("n_tokens") > 0) & (
+            F.expr(f"(end_off - 1) DIV {L}")
+            > F.expr(f"(end_off - n_tokens) DIV {L}")
+        )
+        aggs.append(F.sum(boundary.cast("long")).alias(f"b{i}"))
+    per_src = base.groupBy("source").agg(*aggs)
+    stack = ", ".join(
+        f"CAST({L} AS BIGINT), b{i}" for i, L in enumerate(_T48_SEQ_LENS)
+    )
+    return (
+        per_src.selectExpr(
+            "source",
+            "total_tokens",
+            f"stack({len(_T48_SEQ_LENS)}, {stack})"
+            " AS (seq_len, n_boundary_docs)",
+        )
+        .selectExpr(
+            "source",
+            "seq_len",
+            "(total_tokens + seq_len - 1) DIV seq_len AS n_packs",
+            "((total_tokens + seq_len - 1) DIV seq_len) * seq_len"
+            " - total_tokens AS padding_tokens",
+            "n_boundary_docs",
+            "total_tokens",
+        )
+        .orderBy("source", "seq_len")
+    )
+
+
+T48_SQL = f"""
+WITH counted AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))
+           AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+  FROM counted
+),
+lens AS (SELECT unnest({list(_T48_SEQ_LENS)}::BIGINT[]) AS L)
+SELECT source, L AS seq_len,
+       (CAST(SUM(n_tokens) AS BIGINT) + L - 1) // L AS n_packs,
+       ((CAST(SUM(n_tokens) AS BIGINT) + L - 1) // L) * L
+         - CAST(SUM(n_tokens) AS BIGINT) AS padding_tokens,
+       CAST(SUM(CASE WHEN n_tokens > 0
+                      AND (end_off - 1) // L > (end_off - n_tokens) // L
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM offs CROSS JOIN lens
+GROUP BY source, L
+ORDER BY source, seq_len
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -3472,6 +3565,7 @@ STAGED_QUERIES = {
     11: {
         "t46_quality_threshold_curve": t46_quality_threshold_curve,
         "t47_span_corruption_plan": t47_span_corruption_plan,
+        "t48_packing_efficiency_curve": t48_packing_efficiency_curve,
     },
 }
 STAGED_ORACLES = {
@@ -3496,5 +3590,6 @@ STAGED_ORACLES = {
     11: {
         "t46_quality_threshold_curve": T46_SQL,
         "t47_span_corruption_plan": T47_SQL,
+        "t48_packing_efficiency_curve": T48_SQL,
     },
 }

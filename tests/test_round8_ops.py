@@ -1012,3 +1012,216 @@ def test_q52_metadata_paths_carry_partition_value(spark, sf_dir):
         .count()
     )
     assert mismatches == 0
+
+
+def test_t48_matches_duckdb_oracle(spark, sf_dir):
+    """t48 packing-efficiency curve is STAGED for round-12 declaration;
+    all declared values are exact integers, engine-exact."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T48_SQL,
+        t48_packing_efficiency_curve,
+    )
+
+    got = [tuple(r) for r in t48_packing_efficiency_curve(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T48_SQL).fetchall()]
+    assert len(got) > 1 and got == want
+
+
+def test_t48_curve_invariants(spark, sf_dir):
+    """Packing arithmetic: pad waste is a remainder (< seq_len), packs
+    cover the token mass exactly (n_packs*L = total + padding), the
+    curve spans every (source, L) cell, and n_packs shrinks (weakly)
+    as L grows while per-pack waste sits in the final pack only."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _T48_SEQ_LENS,
+        t48_packing_efficiency_curve,
+    )
+
+    rows = t48_packing_efficiency_curve(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        assert 0 <= r["padding_tokens"] < r["seq_len"]
+        assert r["n_packs"] * r["seq_len"] == r["total_tokens"] + r["padding_tokens"]
+        assert 0 <= r["n_boundary_docs"]
+        by_src.setdefault(r["source"], []).append(r)
+    for src, cells in by_src.items():
+        assert sorted(c["seq_len"] for c in cells) == sorted(_T48_SEQ_LENS)
+        ordered = sorted(cells, key=lambda c: c["seq_len"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["n_packs"] >= b["n_packs"]
+
+
+def test_q53_matches_duckdb_oracle(spark, sf_dir):
+    """q53 batch sessionization is STAGED for round-12 declaration; the
+    native session_window aggregation must reproduce the lag+cumsum
+    oracle exactly, including the >= gap closing rule."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q53_SQL,
+        q53_sessionize_batch,
+    )
+
+    got = [tuple(r) for r in q53_sessionize_batch(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(Q53_SQL).fetchall()
+    ]
+    assert len(got) > 1 and got == want
+
+
+def test_q53_sessions_partition_events(spark, sf_dir):
+    """Sessionization invariants: per-user event counts are conserved,
+    every session is non-empty with end = last event + gap (so end >
+    start), and consecutive sessions of one user are separated by at
+    least the 30-minute gap."""
+    import datetime
+
+    from nlp_data_pipeline_spark.operators.relational_ext import q53_sessionize_batch
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    rows = q53_sessionize_batch(spark, sf_dir).collect()
+    totals = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter("ts IS NOT NULL")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    gap = datetime.timedelta(minutes=30)
+    by_user = {}
+    for r in rows:
+        assert r["n_events"] >= 1
+        assert 1 <= r["n_event_types"] <= r["n_events"]
+        assert r["session_end"] > r["session_start"]
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert {u: sum(r["n_events"] for r in rs) for u, rs in by_user.items()} == totals
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r["session_start"])
+        for a, b in zip(rs, rs[1:]):
+            # a ends at (last event + gap); the next session's first
+            # event may start exactly there but never before
+            assert b["session_start"] >= a["session_end"]
+
+
+def test_s25_matches_duckdb_oracle(spark, sf_dir):
+    """s25 mutual-kNN pairs is STAGED for round-12 declaration; the
+    declared cosine re-scores through the s01 fold helpers so both
+    engines compare identical float sequences."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S25_SQL,
+        s25_mutual_knn_pairs,
+    )
+
+    got = [tuple(r) for r in s25_mutual_knn_pairs(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("embeddings",)).execute(S25_SQL).fetchall()
+    ]
+    assert len(got) > 1 and got == want
+
+
+def test_s25_pairs_are_mutual_and_subset_of_knn(spark, sf_dir):
+    """The filter's defining property: every declared pair appears in
+    BOTH directions of the exact directed top-M list, pairs are
+    canonical (a < b) and unique, and the mutual set is a strict
+    subset of the one-sided candidate pairs (hub asymmetry exists)."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        GRAPH_M,
+        _knn_directed,
+        s25_mutual_knn_pairs,
+    )
+
+    knn = {
+        (r["src"], r["dst"])
+        for r in _knn_directed(spark, sf_dir, GRAPH_M).select("src", "dst").collect()
+    }
+    pairs = [(r["vec_a"], r["vec_b"]) for r in s25_mutual_knn_pairs(spark, sf_dir).collect()]
+    assert len(pairs) == len(set(pairs))
+    for a, b in pairs:
+        assert a < b
+        assert (a, b) in knn and (b, a) in knn
+    one_sided = {(min(a, b), max(a, b)) for a, b in knn}
+    assert set(pairs) < one_sided
+
+
+def test_a07_matches_duckdb_oracle(spark, sf_dir):
+    """a07 hash-reservoir sample is STAGED for round-12 declaration;
+    md5 draw keys are engine-identical so the sample is engine-exact."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        A07_SQL,
+        a07_reservoir_sample,
+    )
+
+    got = [tuple(r) for r in a07_reservoir_sample(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(A07_SQL).fetchall()]
+    assert len(got) > 1 and got == want
+
+
+def test_a07_sample_properties(spark, sf_dir):
+    """Reservoir contract: exactly K rows per source (corpus strata are
+    all larger than K), ranks are 1..K ordered by the draw key, two
+    runs are byte-identical (no RNG state), and the kept draws are
+    precisely the K smallest hashes of the stratum (mergeability: the
+    min-K of any partition union is the min-K of the whole)."""
+    import hashlib as hl
+
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        A07_SAMPLE_K,
+        _A07_SEED,
+        a07_reservoir_sample,
+    )
+
+    rows = a07_reservoir_sample(spark, sf_dir).collect()
+    again = a07_reservoir_sample(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    docs = _duck(sf_dir).execute("SELECT doc_id, source FROM documents").fetchall()
+    by_src = {}
+    for doc_id, source in docs:
+        by_src.setdefault(source, []).append(
+            (hl.md5(f"{_A07_SEED}|{doc_id}".encode()).hexdigest(), doc_id)
+        )
+    got_by_src = {}
+    for r in rows:
+        got_by_src.setdefault(r["source"], []).append(r)
+    assert set(got_by_src) == set(by_src)
+    for src, got in got_by_src.items():
+        assert [r["sample_rank"] for r in got] == list(range(1, A07_SAMPLE_K + 1))
+        want = sorted(by_src[src])[:A07_SAMPLE_K]
+        assert [(r["draw"], r["doc_id"]) for r in got] == want
+
+
+def test_d21_matches_duckdb_oracle(spark, sf_dir):
+    """d21 split-contamination audit is STAGED for round-12
+    declaration; both split strategies count the same LSH pair set,
+    engine-exact."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D21_SQL,
+        d21_split_contamination_audit,
+    )
+
+    got = [tuple(r) for r in d21_split_contamination_audit(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D21_SQL).fetchall()]
+    assert len(got) > 1 and got == want
+
+
+def test_d21_cluster_split_never_leaks(spark, sf_dir):
+    """The audit's point: the by_cluster strategy declares ZERO
+    cross-split rows (d12 assigns near-dup components atomically),
+    the naive by_doc strategy DOES leak pairs across splits on this
+    corpus, and both strategies account for every d03 candidate
+    pair."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d03_lsh_candidate_pairs,
+        d21_split_contamination_audit,
+    )
+
+    rows = d21_split_contamination_audit(spark, sf_dir).collect()
+    n_pairs = d03_lsh_candidate_pairs(spark, sf_dir).count()
+    for strat in ("by_cluster", "by_doc"):
+        srows = [r for r in rows if r["strategy"] == strat]
+        assert sum(r["n_pairs"] for r in srows) == n_pairs
+    assert not any(r["is_cross"] for r in rows if r["strategy"] == "by_cluster")
+    assert any(r["is_cross"] for r in rows if r["strategy"] == "by_doc")
+    for r in rows:
+        assert r["split_a"] <= r["split_b"]
+        assert r["is_cross"] == (r["split_a"] != r["split_b"])
