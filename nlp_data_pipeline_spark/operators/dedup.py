@@ -1758,6 +1758,163 @@ ORDER BY strategy, split_a, split_b
 ).replace("WITH cleaned AS", "WITH RECURSIVE cleaned AS", 1)
 
 
+# --------------------------------------------------------------------------
+# d22: LSH banding operating curve — STAGED FOR ROUND-12 DECLARATION
+# (gated on staged_ops_live(11)). The tuning knob d03 fixes at 4×2,
+# measured: with H=8 minhashes, the banding choices (1 band × 8
+# rows, 2×4, 4×2) trade candidate volume against missed true
+# near-dups (P[candidate] = 1-(1-j^r)^b). Stricter configs are
+# NESTED subsets of the deployed 4×2 set (an 8-row or 4-row band
+# match implies its 2-row sub-bands match), so the whole curve is
+# evaluated per-pair ON the deployed candidate set — band-pattern
+# booleans from the two signatures — with zero extra self-joins.
+# Completes the operating-curve family (d19 shingle-k, s20 nprobe,
+# t46 quality, t48 seq-len, s23 beam width) for the LSH stage.
+#
+# "True near-dup" = exact shingle Jaccard ≥ 1/2 on the candidate
+# pair, decided in INTEGER arithmetic (J ≥ 1/2 ⟺ 3·|A∩B| ≥
+# |A|+|B|) — no float quotient anywhere (the u09 hazard class).
+# Scale: pairs are candidate-bounded; the exact-intersection join
+# explodes each pair only by its own doc's shingles (d05's postings
+# shape scoped to candidates); signature re-joins are by doc key;
+# the curve collapses map-side to ONE row, stack()-unpivoted.
+# --------------------------------------------------------------------------
+_D22_CONFIGS = ((1, 8), (2, 4), (4, 2))  # (n_bands, rows_per_band), H = 8
+
+
+def d22_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d03_lsh_candidate_pairs(spark, sf_dir).localCheckpoint()
+    sig = d02_minhash_signatures(spark, sf_dir)
+    ss = _shingle_set_df(spark, sf_dir)
+    sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(ss.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            ss.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    band = lambda lo, hi: F.expr(
+        " AND ".join(f"a{i} = b{i}" for i in range(lo, hi))
+    )
+    flags = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            (3 * F.coalesce("n_inter", F.lit(0)) >= F.col("na") + F.col("nb")).alias(
+                "true_dup"
+            ),
+            band(0, 8).alias("c18"),
+            (band(0, 4) | band(4, 8)).alias("c24"),
+        )
+    )
+    row = flags.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n44"),
+        F.coalesce(F.sum(F.col("true_dup").cast("long")), F.lit(0)).alias("t44"),
+        F.coalesce(F.sum(F.col("c18").cast("long")), F.lit(0)).alias("n18"),
+        F.coalesce(
+            F.sum((F.col("c18") & F.col("true_dup")).cast("long")), F.lit(0)
+        ).alias("t18"),
+        F.coalesce(F.sum(F.col("c24").cast("long")), F.lit(0)).alias("n24"),
+        F.coalesce(
+            F.sum((F.col("c24") & F.col("true_dup")).cast("long")), F.lit(0)
+        ).alias("t24"),
+    )
+    return (
+        row.selectExpr(
+            "t44 AS total_true",
+            "stack(3,"
+            " CAST(1 AS BIGINT), CAST(8 AS BIGINT), n18, t18,"
+            " CAST(2 AS BIGINT), CAST(4 AS BIGINT), n24, t24,"
+            " CAST(4 AS BIGINT), CAST(2 AS BIGINT), n44, t44)"
+            " AS (n_bands, rows_per_band, n_candidates, n_true_pairs)",
+        )
+        .selectExpr(
+            "n_bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_true_pairs",
+            "n_candidates - n_true_pairs AS n_false_pos",
+            "total_true - n_true_pairs AS n_true_missed",
+        )
+        .orderBy("n_bands")
+    )
+
+
+D22_SQL = (
+    _TOKLIST_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('seed{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES))
+    + " FROM shingle_set GROUP BY doc_id), "
+    + f"banded AS ({_BANDS_SQL}) "
+    + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingle_set GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN shingle_set x ON x.doc_id = p.doc_a
+  JOIN shingle_set y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+flags AS (
+  SELECT 3 * COALESCE(i.n_inter, 0) >= za.n_sh + zb.n_sh AS true_dup,
+         """
+    + " AND ".join(f"a.h{i} = b.h{i}" for i in range(8))
+    + """ AS c18,
+         ("""
+    + " AND ".join(f"a.h{i} = b.h{i}" for i in range(4))
+    + ") OR ("
+    + " AND ".join(f"a.h{i} = b.h{i}" for i in range(4, 8))
+    + """) AS c24
+  FROM pairs p
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sizes za ON za.doc_id = p.doc_a
+  JOIN sizes zb ON zb.doc_id = p.doc_b
+  JOIN sig a ON a.doc_id = p.doc_a
+  JOIN sig b ON b.doc_id = p.doc_b
+),
+onerow AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n44,
+         CAST(COALESCE(SUM(CASE WHEN true_dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS t44,
+         CAST(COALESCE(SUM(CASE WHEN c18 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n18,
+         CAST(COALESCE(SUM(CASE WHEN c18 AND true_dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS t18,
+         CAST(COALESCE(SUM(CASE WHEN c24 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n24,
+         CAST(COALESCE(SUM(CASE WHEN c24 AND true_dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS t24
+  FROM flags
+)
+SELECT c.n_bands, c.rows_per_band,
+       CASE c.n_bands WHEN 1 THEN n18 WHEN 2 THEN n24 ELSE n44 END AS n_candidates,
+       CASE c.n_bands WHEN 1 THEN t18 WHEN 2 THEN t24 ELSE t44 END AS n_true_pairs,
+       CASE c.n_bands WHEN 1 THEN n18 - t18 WHEN 2 THEN n24 - t24 ELSE n44 - t44 END AS n_false_pos,
+       CASE c.n_bands WHEN 1 THEN t44 - t18 WHEN 2 THEN t44 - t24 ELSE CAST(0 AS BIGINT) END AS n_true_missed
+FROM onerow
+CROSS JOIN (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS n_bands,
+                   CAST(unnest([8, 4, 2]) AS BIGINT) AS rows_per_band) c
+ORDER BY c.n_bands
+"""
+)
+
+
 STAGED_QUERIES = {
     6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
     7: {
@@ -1772,6 +1929,7 @@ STAGED_QUERIES = {
     11: {
         "d20_bloom_decontamination": d20_bloom_decontamination,
         "d21_split_contamination_audit": d21_split_contamination_audit,
+        "d22_lsh_band_curve": d22_lsh_band_curve,
     },
 }
 STAGED_ORACLES = {
@@ -1788,5 +1946,6 @@ STAGED_ORACLES = {
     11: {
         "d20_bloom_decontamination": D20_SQL,
         "d21_split_contamination_audit": D21_SQL,
+        "d22_lsh_band_curve": D22_SQL,
     },
 }

@@ -3543,6 +3543,118 @@ ORDER BY source, seq_len
 """
 
 
+# --------------------------------------------------------------------------
+# t49: n-gram coverage curve — STAGED FOR ROUND-12 DECLARATION (gated
+# on staged_ops_live(11)). The vocabulary-size sizing tool: what
+# fraction of the corpus's token-pair mass do the top-K bigram types
+# cover? Zipfian mass concentrates hard (t23 measures the slope;
+# this measures the consequence), and the K knee is what decides
+# tokenizer vocab size and phrase-table cutoffs. Distinct from t41
+# (vocab growth vs corpus size) and t37 (OOV vs a FIXED external
+# vocab): this ranks the corpus's own vocabulary and reads coverage
+# at candidate cutoffs. Bigrams, not unigrams, because the synthetic
+# corpus has ~31 token types (the a06 precedent) — and at web scale
+# the bigram curve is the one that actually strains vocab budgets.
+#
+# Scale: one corpus scan explodes to pairs, immediately collapsed by
+# a map-combined groupBy to the VOCABULARY-sized count relation;
+# the global rank window runs on that relation (one partition by
+# design — vocab ≪ corpus; at 100 TB replace with the two-pass
+# per-partition-top-K merge since only ranks ≤ max(K) matter).
+# Declared values are exact BIGINT occurrence masses — no ratios
+# (the u09 quotient hazard), the reader divides.
+# --------------------------------------------------------------------------
+_T49_CUTOFFS = (16, 64, 256)
+
+
+def t49_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    base = d.select(toks.alias("t"))
+    pairs_expr = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 1),
+            F.slice("t", 2, F.size("t") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    counts = (
+        base.select(F.explode(pairs_expr).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("bg"))
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    aggs = [
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("cnt").alias("total_occ"),
+    ]
+    for i, k in enumerate(_T49_CUTOFFS):
+        aggs.append(
+            F.sum(F.when(F.col("rk") <= k, F.col("cnt")).otherwise(F.lit(0))).alias(
+                f"c{i}"
+            )
+        )
+    stack = ", ".join(
+        f"CAST({k} AS BIGINT), c{i}" for i, k in enumerate(_T49_CUTOFFS)
+    )
+    return (
+        ranked.agg(*aggs)
+        .selectExpr(
+            "n_distinct",
+            "total_occ",
+            f"stack({len(_T49_CUTOFFS)}, {stack})"
+            " AS (cutoff_k, covered_occurrences)",
+        )
+        .selectExpr(
+            "cutoff_k",
+            "least(cutoff_k, n_distinct) AS n_types_used",
+            "covered_occurrences",
+            "total_occ AS total_occurrences",
+            "n_distinct AS n_distinct_ngrams",
+        )
+        .orderBy("cutoff_k")
+    )
+
+
+T49_SQL = f"""
+WITH toks AS (
+  SELECT list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS bg
+  FROM toks WHERE len(t) >= 2
+),
+counts AS (SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY bg),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, bg ASC) AS rk FROM counts
+),
+onerow AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(cnt) AS BIGINT) AS total_occ,
+         {", ".join(
+            f"CAST(COALESCE(SUM(CASE WHEN rk <= {k} THEN cnt ELSE 0 END), 0)"
+            f" AS BIGINT) AS c{i}"
+            for i, k in enumerate(_T49_CUTOFFS)
+         )}
+  FROM ranked
+)
+SELECT k.cutoff_k,
+       least(k.cutoff_k, n_distinct) AS n_types_used,
+       CASE k.cutoff_k {" ".join(
+          f"WHEN {k} THEN c{i}" for i, k in enumerate(_T49_CUTOFFS)
+       )} END AS covered_occurrences,
+       total_occ AS total_occurrences,
+       n_distinct AS n_distinct_ngrams
+FROM onerow
+CROSS JOIN (SELECT CAST(unnest({list(_T49_CUTOFFS)}) AS BIGINT) AS cutoff_k) k
+ORDER BY cutoff_k
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -3566,6 +3678,7 @@ STAGED_QUERIES = {
         "t46_quality_threshold_curve": t46_quality_threshold_curve,
         "t47_span_corruption_plan": t47_span_corruption_plan,
         "t48_packing_efficiency_curve": t48_packing_efficiency_curve,
+        "t49_ngram_coverage_curve": t49_ngram_coverage_curve,
     },
 }
 STAGED_ORACLES = {
@@ -3591,5 +3704,6 @@ STAGED_ORACLES = {
         "t46_quality_threshold_curve": T46_SQL,
         "t47_span_corruption_plan": T47_SQL,
         "t48_packing_efficiency_curve": T48_SQL,
+        "t49_ngram_coverage_curve": T49_SQL,
     },
 }

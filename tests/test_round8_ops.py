@@ -1225,3 +1225,96 @@ def test_d21_cluster_split_never_leaks(spark, sf_dir):
     for r in rows:
         assert r["split_a"] <= r["split_b"]
         assert r["is_cross"] == (r["split_a"] != r["split_b"])
+
+
+def test_d22_matches_duckdb_oracle(spark, sf_dir):
+    """d22 LSH banding operating curve is STAGED for round-12
+    declaration; every declared value is an integer count and the
+    near-dup truth test is pure integer arithmetic, engine-exact."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D22_SQL,
+        d22_lsh_band_curve,
+    )
+
+    got = [tuple(r) for r in d22_lsh_band_curve(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D22_SQL).fetchall()]
+    assert len(got) == 3 and got == want
+
+
+def test_d22_curve_is_nested_and_consistent(spark, sf_dir):
+    """Banding algebra: the three configs use all H=8 hashes, stricter
+    configs admit (weakly) fewer candidates and catch fewer true pairs
+    (nesting), the deployed 4x2 row equals the d03 candidate count and
+    misses zero true pairs by definition of the truth reference, and
+    candidates always split exactly into true + false-positive."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        _D22_CONFIGS,
+        d03_lsh_candidate_pairs,
+        d22_lsh_band_curve,
+    )
+
+    rows = sorted(
+        d22_lsh_band_curve(spark, sf_dir).collect(), key=lambda r: r["n_bands"]
+    )
+    assert [(r["n_bands"], r["rows_per_band"]) for r in rows] == sorted(_D22_CONFIGS)
+    for r in rows:
+        assert r["n_bands"] * r["rows_per_band"] == 8
+        assert r["n_candidates"] == r["n_true_pairs"] + r["n_false_pos"]
+        assert r["n_true_missed"] >= 0
+    for a, b in zip(rows, rows[1:]):  # ordered strict -> loose
+        assert a["n_candidates"] <= b["n_candidates"]
+        assert a["n_true_pairs"] <= b["n_true_pairs"]
+        assert a["n_true_missed"] >= b["n_true_missed"]
+    deployed = rows[-1]
+    assert deployed["n_candidates"] == d03_lsh_candidate_pairs(spark, sf_dir).count()
+    assert deployed["n_true_missed"] == 0
+
+
+def test_t49_matches_duckdb_oracle(spark, sf_dir):
+    """t49 bigram coverage curve is STAGED for round-12 declaration;
+    coverage masses are exact BIGINTs, engine-exact."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T49_SQL,
+        t49_ngram_coverage_curve,
+    )
+
+    got = [tuple(r) for r in t49_ngram_coverage_curve(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T49_SQL).fetchall()]
+    assert len(got) == 3 and got == want
+
+
+def test_t49_coverage_matches_python_recompute(spark, sf_dir):
+    """Pure-Python recompute: rank bigrams by (count desc, bigram asc)
+    and sum the top-K masses; the curve must agree exactly, be
+    monotone in K, and never exceed the total mass."""
+    from collections import Counter
+
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _T49_CUTOFFS,
+        t49_ngram_coverage_curve,
+    )
+
+    rows = sorted(
+        t49_ngram_coverage_curve(spark, sf_dir).collect(),
+        key=lambda r: r["cutoff_k"],
+    )
+    docs = _duck(sf_dir).execute(
+        "SELECT lower(regexp_replace(regexp_replace(text,"
+        " '[^a-zA-Z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) FROM documents"
+    ).fetchall()
+    c = Counter()
+    for (ctext,) in docs:
+        toks = [t for t in ctext.split(" ") if t != ""]
+        c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    assert [r["cutoff_k"] for r in rows] == sorted(_T49_CUTOFFS)
+    prev = 0
+    for r in rows:
+        want_cov = sum(cnt for _, cnt in ordered[: r["cutoff_k"]])
+        assert r["covered_occurrences"] == want_cov
+        assert r["total_occurrences"] == total
+        assert r["n_distinct_ngrams"] == len(c)
+        assert r["n_types_used"] == min(r["cutoff_k"], len(c))
+        assert prev <= r["covered_occurrences"] <= total
+        prev = r["covered_occurrences"]

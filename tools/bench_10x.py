@@ -88,6 +88,14 @@ HEAVY = [
     "d20_bloom_decontamination",
     "s23_beam_width_curve",
     "s24_topical_source_mix",
+    # late-round-8 gate-11 additions (q53 reads the unreplicated
+    # events table, so the replicated-table probe doesn't apply)
+    "t48_packing_efficiency_curve",
+    "s25_mutual_knn_pairs",
+    "a07_reservoir_sample",
+    "d21_split_contamination_audit",
+    "d22_lsh_band_curve",
+    "t49_ngram_coverage_curve",
 ]
 
 
