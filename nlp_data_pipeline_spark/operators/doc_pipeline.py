@@ -1935,6 +1935,79 @@ ORDER BY source, sample_rank
 """
 
 
+# --------------------------------------------------------------------------
+# r19: multiline quoted-CSV ingestion — STAGED FOR ROUND-13
+# DECLARATION (gated on staged_ops_live(12)). r01 roundtrips
+# newline-free CSV; real exports carry fields with EMBEDDED newlines,
+# commas, and quotes, and those require the reader's `multiLine` mode
+# (each record may span physical lines, so files are no longer
+# line-splittable). A note field that contains all three hazards is
+# synthesized per document, written through the CSV writer with
+# RFC-4180 doubled-quote escaping (escape = quote char), read back
+# with multiLine + the same escape, and re-parsed into its
+# components — the declared row equals the source row only if the
+# writer's quoting and the reader's record assembly are BOTH exact.
+#
+# Scale note the option implies: multiLine CSV cannot be split inside
+# a file (a newline no longer delimits records), so parallelism is
+# per-FILE — export many moderate files, never one giant CSV; the
+# parquet-first pipelines elsewhere in this repo avoid the format
+# for anything but interchange edges.
+# --------------------------------------------------------------------------
+_R19_N_DOCS = 20
+
+
+def r19_multiline_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _R19_N_DOCS
+    )
+    note = F.concat(
+        F.lit("L1:"),
+        F.col("source"),
+        F.lit("\nL2,\""),
+        F.col("n_chars").cast("string"),
+        F.lit("\""),
+    )
+    out = _tmp_stage("multiline_csv")
+    (
+        d.select("doc_id", note.alias("note"))
+        .coalesce(1)
+        .write.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .mode("overwrite")
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .schema("doc_id long, note string")
+        .csv(out)
+    )
+    lines = F.split(F.col("note"), "\n")
+    return (
+        back.select(
+            "doc_id",
+            F.substring(lines[0], 4, 1000).alias("source"),
+            F.regexp_extract(lines[1], r'^L2,"(\d+)"$', 1)
+            .cast("long")
+            .alias("n_chars"),
+            F.size(lines).cast("long").alias("n_lines"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+R19_SQL = f"""
+SELECT doc_id, source, n_chars, CAST(2 AS BIGINT) AS n_lines
+FROM documents
+WHERE doc_id < {_R19_N_DOCS}
+ORDER BY doc_id
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "r12_xml_roundtrip": r12_xml_roundtrip,
@@ -1954,6 +2027,7 @@ STAGED_QUERIES = {
     },
     10: {"a06_kmv_distinct_sketch": a06_kmv_distinct_sketch},
     11: {"a07_reservoir_sample": a07_reservoir_sample},
+    12: {"r19_multiline_csv_ingest": r19_multiline_csv_ingest},
 }
 STAGED_ORACLES = {
     6: {
@@ -1974,4 +2048,5 @@ STAGED_ORACLES = {
     },
     10: {"a06_kmv_distinct_sketch": A06_SQL},
     11: {"a07_reservoir_sample": A07_SQL},
+    12: {"r19_multiline_csv_ingest": R19_SQL},
 }

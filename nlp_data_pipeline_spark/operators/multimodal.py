@@ -758,13 +758,111 @@ ORDER BY filename, patch_row, patch_col
 """
 
 
+# --------------------------------------------------------------------------
+# m11: PCM frame energy — STAGED FOR ROUND-13 DECLARATION (gated on
+# staged_ops_live(12)). m09 parses the WAV HEADER without leaving
+# codegen; this goes one tier deeper: SIGNAL-level compute on the
+# sample payload, still entirely JVM-side. A 64-sample int16
+# little-endian PCM payload is synthesized per document
+# (deterministic samples from doc_id — the m02 fake-decoder
+# convention, since no audio ships in the testdata), then parsed
+# back by INDEPENDENT byte-slice expressions (hex → byte-swap →
+# conv → two's-complement sign fold) and reduced to per-frame
+# energy (Σ s²) and peak |s| — the VAD/silence-trim/loudness pass
+# every audio curation pipeline runs before handing clips to an
+# expensive Python codec kernel. The construct→parse loop proves
+# the decode lossless; every declared value is an exact BIGINT the
+# oracle recomputes closed-form from doc_id.
+#
+# Scale: scan-local (zero shuffles before the tiny ordered output);
+# per-row cost is a constant-sized higher-order expression over the
+# row's own bytes. At 100 TB this is the shape that beats a Python
+# decoder: JVM array kernels over binary slices, zero Python and no
+# Arrow boundary at all.
+# --------------------------------------------------------------------------
+_M11_N_DOCS = 16      # bounded declared output: 16 docs × 4 frames
+_M11_SAMPLES = 64
+_M11_FRAME = 16
+_M11_A = 7919         # sample synth: u_i = (doc_id·A + i·B) mod 2^16
+_M11_B = 104729
+
+
+def m11_pcm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _M11_N_DOCS
+    )
+    u = [
+        (F.col("doc_id") * _M11_A + F.lit(i * _M11_B)) % 65536
+        for i in range(_M11_SAMPLES)
+    ]
+    pcm = d.select(
+        "doc_id", F.unhex(F.concat(*[_le_hex(x, 2) for x in u])).alias("pcm")
+    )
+
+    # ONE transform() builds the signed sample array (each byte pair
+    # parsed once, two's-complement via the branch-free
+    # ((u + 2^15) mod 2^16) - 2^15 fold) — the naive per-sample
+    # expression expansion squared the tree into a multi-MB plan that
+    # fell out of whole-stage codegen; the higher-order form keeps
+    # the plan constant-sized regardless of sample count.
+    parsed = pcm.withColumn(
+        "s",
+        F.expr(
+            f"transform(sequence(0, {_M11_SAMPLES - 1}, 1), i -> "
+            "((CAST(conv(hex(substring(pcm, 1 + 2*i, 1)), 16, 10) AS BIGINT)"
+            " + 256 * CAST(conv(hex(substring(pcm, 2 + 2*i, 1)), 16, 10) AS BIGINT)"
+            " + 32768) % 65536) - 32768)"
+        ),
+    )
+    frames = [
+        F.struct(
+            F.lit(f).cast("long").alias("frame_id"),
+            F.expr(
+                f"aggregate(slice(s, {f * _M11_FRAME + 1}, {_M11_FRAME}),"
+                " 0L, (acc, x) -> acc + x * x)"
+            ).alias("energy"),
+            F.expr(
+                f"array_max(transform(slice(s, {f * _M11_FRAME + 1},"
+                f" {_M11_FRAME}), x -> abs(x)))"
+            ).alias("peak_abs"),
+        )
+        for f in range(_M11_SAMPLES // _M11_FRAME)
+    ]
+    return (
+        parsed.select("doc_id", F.explode(F.array(*frames)).alias("fr"))
+        .select("doc_id", "fr.frame_id", "fr.energy", "fr.peak_abs")
+        .orderBy("doc_id", "frame_id")
+    )
+
+
+M11_SQL = f"""
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {_M11_N_DOCS}),
+samples AS (
+  SELECT doc_id, i,
+         CASE WHEN (doc_id * {_M11_A} + i * {_M11_B}) % 65536 >= 32768
+              THEN (doc_id * {_M11_A} + i * {_M11_B}) % 65536 - 65536
+              ELSE (doc_id * {_M11_A} + i * {_M11_B}) % 65536 END AS s
+  FROM docs CROSS JOIN (SELECT unnest(range(0, {_M11_SAMPLES})) AS i) t
+)
+SELECT doc_id,
+       CAST(i // {_M11_FRAME} AS BIGINT) AS frame_id,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       CAST(MAX(abs(s)) AS BIGINT) AS peak_abs
+FROM samples
+GROUP BY doc_id, i // {_M11_FRAME}
+ORDER BY doc_id, frame_id
+"""
+
+
 STAGED_QUERIES = {
     6: {"m08_image_dedup_phash": m08_image_dedup_phash},
     9: {"m09_wav_header_parse": m09_wav_header_parse},
     11: {"m10_image_patch_grid": m10_image_patch_grid},
+    12: {"m11_pcm_frame_energy": m11_pcm_frame_energy},
 }
 STAGED_ORACLES = {
     6: {"m08_image_dedup_phash": M08_SQL},
     9: {"m09_wav_header_parse": M09_SQL},
     11: {"m10_image_patch_grid": M10_SQL},
+    12: {"m11_pcm_frame_energy": M11_SQL},
 }

@@ -2674,6 +2674,100 @@ ORDER BY vec_a, vec_b
 """
 
 
+# --------------------------------------------------------------------------
+# s26: label-retrieval eval — STAGED FOR ROUND-13 DECLARATION (gated
+# on staged_ops_live(12)). The eval harness every retrieval/embedding
+# deployment runs and no other op here declares: treat each query
+# vector's LABEL as its relevance judgment and score the top-K cosine
+# ranking — hits@1/5/10 and the first relevant rank per query (the
+# kNN-classifier purity view of embedding quality; s08 instead audits
+# ANN-vs-exact agreement, s21 mines different-label NEIGHBORS as
+# training negatives). first_hit_rank is declared as the INTEGER rank
+# (NULL when no hit in K) rather than reciprocal rank — 1/rank is a
+# small-denominator quotient, the u09 rounding-hazard class.
+#
+# Scale: the s01 shape — queries broadcast, ONE corpus scan, per-query
+# top-K via window; swap the scan for the IVF probe path (s07) when
+# the corpus outgrows brute force; counts are conditional sums on the
+# K·|queries| ranked rows. Cosine uses the fold dot/norm helpers ≡
+# DuckDB array_inner_product bitwise, so ranking parity is exact.
+# --------------------------------------------------------------------------
+_S26_N_QUERIES = 50
+_S26_K = 10
+
+
+def s26_label_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb"), "label"
+    )
+    q = e.filter(F.col("vec_id") < _S26_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("label").alias("qlabel"),
+    )
+    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    ranked = (
+        joined.select(
+            "query_id",
+            "qlabel",
+            (F.col("label") == F.col("qlabel")).alias("rel"),
+            cos.alias("cos"),
+            "vec_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _S26_K)
+    )
+    hit_at = lambda k: F.sum(
+        F.when(F.col("rel") & (F.col("rn") <= k), 1).otherwise(0)
+    ).cast("long")
+    return (
+        ranked.groupBy("query_id", F.col("qlabel").alias("label"))
+        .agg(
+            hit_at(1).alias("hits_at_1"),
+            hit_at(5).alias("hits_at_5"),
+            hit_at(_S26_K).alias("hits_at_10"),
+            F.min(F.when(F.col("rel"), F.col("rn")))
+            .cast("long")
+            .alias("first_hit_rank"),
+        )
+        .orderBy("query_id")
+    )
+
+
+S26_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding::DOUBLE[] AS DOUBLE[{DIM}]) AS emb, label
+  FROM embeddings
+),
+n AS MATERIALIZED (
+  SELECT vec_id, emb, label, sqrt(array_inner_product(emb, emb)) AS nrm FROM e
+),
+ranked AS (
+  SELECT q.vec_id AS query_id, q.label AS qlabel, c.label AS clabel,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           array_inner_product(q.emb, c.emb) / (q.nrm * c.nrm) DESC,
+           c.vec_id ASC) AS rn
+  FROM n q JOIN n c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {_S26_N_QUERIES}
+)
+SELECT query_id, qlabel AS label,
+       CAST(SUM(CASE WHEN clabel = qlabel AND rn <= 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits_at_1,
+       CAST(SUM(CASE WHEN clabel = qlabel AND rn <= 5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits_at_5,
+       CAST(SUM(CASE WHEN clabel = qlabel AND rn <= {_S26_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits_at_10,
+       CAST(MIN(CASE WHEN clabel = qlabel THEN rn END) AS BIGINT)
+         AS first_hit_rank
+FROM ranked
+WHERE rn <= {_S26_K}
+GROUP BY query_id, qlabel
+ORDER BY query_id
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_top_similar_pairs": s02_top_similar_pairs,
@@ -2732,6 +2826,7 @@ STAGED_QUERIES = {
         "s24_topical_source_mix": s24_topical_source_mix,
         "s25_mutual_knn_pairs": s25_mutual_knn_pairs,
     },
+    12: {"s26_label_retrieval_eval": s26_label_retrieval_eval},
 }
 STAGED_ORACLES = {
     6: {
@@ -2757,4 +2852,5 @@ STAGED_ORACLES = {
         "s24_topical_source_mix": S24_SQL,
         "s25_mutual_knn_pairs": S25_SQL,
     },
+    12: {"s26_label_retrieval_eval": S26_SQL},
 }

@@ -1011,6 +1011,66 @@ def v18_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 V18_SQL = _V18_SQL
 
 
+# --------------------------------------------------------------------------
+# v19: error-safe `try_*` functions — STAGED FOR ROUND-13 DECLARATION
+# (gated on staged_ops_live(12)). Under ANSI mode (the Spark 4
+# default) arithmetic overflow, bad casts, division by zero, and
+# out-of-bounds element access THROW — correct for catching bugs,
+# fatal for a 100 TB batch job where one malformed row otherwise
+# kills a 12-hour run at hour 11. The engineered alternative to
+# flipping ANSI off is the `try_*` family (try_divide / try_cast /
+# try_add / try_element_at): per-expression NULL-on-error with the
+# strict semantics kept everywhere else. This battery counts each
+# failure mode over `orders` so a semantics regression (a try_*
+# starting to throw, or swallowing successes) flips exact counts.
+# Unlike v18 the SQL text is NOT shared: DuckDB has TRY_CAST but no
+# try_divide/try_add, so the oracle states the same counts via
+# explicit CASE guards — the pair proves the null-injection sites
+# agree, not just that both engines parse one dialect.
+# --------------------------------------------------------------------------
+_V19_SQL = """
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(try_divide(o_totalprice, o_orderkey % 5)) AS n_div_ok,
+  COUNT(*) - COUNT(try_divide(o_totalprice, o_orderkey % 5)) AS n_div_null,
+  COUNT(try_cast(o_orderpriority AS INT)) AS n_cast_word_ok,
+  COUNT(try_cast(substring(o_orderpriority, 1, 1) AS INT)) AS n_cast_digit_ok,
+  COUNT(try_add(9223372036854775807, o_orderkey)) AS n_add_ok,
+  COUNT(try_element_at(array(o_orderkey, o_orderkey + 1),
+                       CAST(1 + o_orderkey % 3 AS INT))) AS n_elem_ok
+FROM orders
+"""
+
+
+def v19_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_V19_SQL)
+
+
+V19_SQL = """
+SELECT
+  COUNT(*) AS n_rows,
+  CAST(COALESCE(SUM(CASE WHEN o_orderkey % 5 != 0 THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_div_ok,
+  CAST(COALESCE(SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_div_null,
+  CAST(COUNT(TRY_CAST(o_orderpriority AS INT)) AS BIGINT) AS n_cast_word_ok,
+  CAST(COUNT(TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)) AS BIGINT)
+    AS n_cast_digit_ok,
+  -- BIGINT_MAX + k overflows for every k >= 1; the generator's keys
+  -- include a single 0 (MAX + 0 is representable)
+  CAST(COALESCE(SUM(CASE WHEN o_orderkey <= 0 THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_add_ok,
+  -- try_element_at over a 2-element array at index 1 + k%3 (1, 2, 3):
+  -- indexes 1 and 2 succeed, 3 is out-of-bounds and null-folds (index
+  -- 0 is a compile-style INVALID_INDEX_OF_ZERO error that even the
+  -- try_ form refuses, so it never appears here)
+  CAST(COALESCE(SUM(CASE WHEN o_orderkey % 3 != 2 THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_elem_ok
+FROM orders
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
@@ -1030,6 +1090,7 @@ STAGED_QUERIES = {
     },
     9: {"v17_udtf_table_argument": v17_udtf_table_argument},
     10: {"v18_null_semantics": v18_null_semantics},
+    12: {"v19_try_functions": v19_try_functions},
 }
 STAGED_ORACLES = {
     6: {
@@ -1047,4 +1108,5 @@ STAGED_ORACLES = {
     },
     9: {"v17_udtf_table_argument": V17_SQL},
     10: {"v18_null_semantics": V18_SQL},
+    12: {"v19_try_functions": V19_SQL},
 }

@@ -1318,3 +1318,151 @@ def test_t49_coverage_matches_python_recompute(spark, sf_dir):
         assert r["n_types_used"] == min(r["cutoff_k"], len(c))
         assert prev <= r["covered_occurrences"] <= total
         prev = r["covered_occurrences"]
+
+
+# ---------------------------------------------------------------------------
+# Round-13 staged batch (gate 12): m11 PCM frame energy, s26 label
+# retrieval eval, v19 try_* battery, r19 multiline CSV.
+# ---------------------------------------------------------------------------
+def test_m11_matches_duckdb_oracle(spark, sf_dir):
+    """m11 PCM frame energy is STAGED for round-13 declaration; the
+    construct->parse loop yields exact BIGINTs the oracle recomputes
+    closed-form from doc_id."""
+    from nlp_data_pipeline_spark.operators.multimodal import (
+        M11_SQL,
+        m11_pcm_frame_energy,
+    )
+
+    got = [tuple(r) for r in m11_pcm_frame_energy(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(M11_SQL).fetchall()]
+    assert len(got) == 64 and got == want
+
+
+def test_m11_matches_python_pcm_recompute(spark, sf_dir):
+    """Pure-Python synthesis of the same int16 stream reproduces every
+    frame energy and peak exactly (byte-level decode is lossless)."""
+    from nlp_data_pipeline_spark.operators.multimodal import (
+        _M11_A,
+        _M11_B,
+        _M11_FRAME,
+        _M11_N_DOCS,
+        _M11_SAMPLES,
+        m11_pcm_frame_energy,
+    )
+
+    rows = m11_pcm_frame_energy(spark, sf_dir).collect()
+    for r in rows:
+        base = r["frame_id"] * _M11_FRAME
+        ss = []
+        for i in range(base, base + _M11_FRAME):
+            u = (r["doc_id"] * _M11_A + i * _M11_B) % 65536
+            ss.append(u - 65536 if u >= 32768 else u)
+        assert r["energy"] == sum(s * s for s in ss)
+        assert r["peak_abs"] == max(abs(s) for s in ss)
+    assert len({r["doc_id"] for r in rows}) == _M11_N_DOCS
+    assert _M11_SAMPLES // _M11_FRAME == 4
+
+
+def test_s26_matches_duckdb_oracle(spark, sf_dir):
+    """s26 label-retrieval eval is STAGED for round-13 declaration; the
+    fold-helper cosine makes rank selection engine-exact."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S26_SQL,
+        s26_label_retrieval_eval,
+    )
+
+    got = [tuple(r) for r in s26_label_retrieval_eval(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("embeddings",)).execute(S26_SQL).fetchall()
+    ]
+    assert len(got) > 1 and got == want
+
+
+def test_s26_metric_invariants(spark, sf_dir):
+    """Retrieval-metric algebra: hits are monotone in K and bounded by
+    the cutoff, first_hit_rank is NULL exactly when no hit landed in
+    the top-10, and when present it is consistent with the hit counts
+    (rank 1 iff hits_at_1)."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        _S26_K,
+        _S26_N_QUERIES,
+        s26_label_retrieval_eval,
+    )
+
+    rows = s26_label_retrieval_eval(spark, sf_dir).collect()
+    assert len(rows) == _S26_N_QUERIES
+    for r in rows:
+        assert 0 <= r["hits_at_1"] <= 1
+        assert r["hits_at_1"] <= r["hits_at_5"] <= r["hits_at_10"] <= _S26_K
+        if r["hits_at_10"] == 0:
+            assert r["first_hit_rank"] is None
+        else:
+            assert 1 <= r["first_hit_rank"] <= _S26_K
+            assert (r["first_hit_rank"] == 1) == (r["hits_at_1"] == 1)
+
+
+def test_v19_matches_duckdb_oracle(spark, sf_dir):
+    """v19 try_* battery is STAGED for round-13 declaration; every
+    null-injection site must agree with the oracle's CASE guards."""
+    from nlp_data_pipeline_spark.operators.sql_api import (
+        V19_SQL,
+        v19_try_functions,
+    )
+
+    got = [tuple(r) for r in v19_try_functions(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("orders",)).execute(V19_SQL).fetchall()
+    ]
+    assert len(got) == 1 and got == want
+
+
+def test_v19_failure_modes_partition_rows(spark, sf_dir):
+    """Each try_* column splits the row count coherently: div ok+null
+    covers all rows, the word cast never succeeds while the digit
+    prefix always does, and overflow spares only non-positive keys."""
+    from nlp_data_pipeline_spark.operators.sql_api import v19_try_functions
+
+    r = v19_try_functions(spark, sf_dir).collect()[0]
+    assert r["n_div_ok"] + r["n_div_null"] == r["n_rows"]
+    assert r["n_div_null"] > 0
+    assert r["n_cast_word_ok"] == 0
+    assert r["n_cast_digit_ok"] == r["n_rows"]
+    assert 0 <= r["n_add_ok"] < r["n_rows"]
+    assert 0 < r["n_elem_ok"] < r["n_rows"]
+
+
+def test_r19_matches_duckdb_oracle(spark, sf_dir):
+    """r19 multiline quoted-CSV ingestion is STAGED for round-13
+    declaration; the roundtrip reproduces the source rows exactly."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        R19_SQL,
+        r19_multiline_csv_ingest,
+    )
+
+    got = [tuple(r) for r in r19_multiline_csv_ingest(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(R19_SQL).fetchall()]
+    assert len(got) == 20 and got == want
+
+
+def test_r19_staged_file_really_spans_lines(spark, sf_dir):
+    """The multiLine property itself: the staged CSV has MORE physical
+    lines than records (every note embeds one newline), so a plain
+    line-oriented reader could not have parsed it."""
+    import glob
+    import os
+
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        _R19_N_DOCS,
+        r19_multiline_csv_ingest,
+    )
+    from nlp_data_pipeline_spark.scratch import scratch_path
+
+    r19_multiline_csv_ingest(spark, sf_dir).collect()
+    files = glob.glob(
+        os.path.join(scratch_path(f"multiline_csv_{os.getpid()}"), "*.csv")
+    )
+    assert files
+    n_lines = sum(open(f).read().count("\n") for f in files)
+    # header + N records x 2 physical lines each
+    assert n_lines == 1 + 2 * _R19_N_DOCS
