@@ -1915,6 +1915,95 @@ ORDER BY c.n_bands
 )
 
 
+# --------------------------------------------------------------------------
+# d23: best-copy dedup policy — STAGED FOR ROUND-13 DECLARATION
+# (gated on staged_ops_live(12)). d07 materializes dedup with the
+# FIRST-copy policy (keep min doc_id — reproducible but arbitrary);
+# production curation keeps the BEST copy of each near-dup cluster,
+# and the standard heuristic is the longest variant (truncated /
+# boilerplate-stripped copies lose characters). Per d06 cluster:
+# the keeper under (n_chars DESC, doc_id ASC), member count, the
+# char spread, and whether the policy actually changed the keeper
+# vs first-copy — the declared row that quantifies what the policy
+# choice is worth on this corpus.
+#
+# Scale: one window + one aggregation over the CLUSTERED docs only
+# (cluster membership is the near-dup subset, ≪ corpus); the
+# argmax-per-group is the rn=1 conditional-sum trick (no join-back,
+# one shuffle on cluster_id shared by window and groupBy).
+# --------------------------------------------------------------------------
+def d23_best_copy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = d06_neardup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mem = clusters.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        mem.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("n_chars").cast("long").alias("keeper_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            (
+                F.sum(F.when(F.col("rn") == 1, F.col("doc_id")))
+                != F.min("doc_id")
+            ).alias("differs_from_first_copy"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+D23_SQL = (
+    _TOKLIST_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('seed{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES))
+    + " FROM shingle_set GROUP BY doc_id), "
+    + f"banded AS ({_BANDS_SQL}) "
+    + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+closure AS (
+  SELECT src AS doc_id, dst FROM reach
+  UNION SELECT src, src FROM edges
+),
+labels AS (SELECT doc_id, MIN(dst) AS cluster_id FROM closure GROUP BY doc_id),
+mem AS (
+  SELECT l.cluster_id, d.doc_id, d.n_chars
+  FROM labels l JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM mem
+)
+SELECT cluster_id,
+       CAST(SUM(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_doc_id,
+       COUNT(*) AS n_members,
+       CAST(MAX(n_chars) AS BIGINT) AS keeper_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(SUM(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+         != CAST(MIN(doc_id) AS BIGINT) AS differs_from_first_copy
+FROM ranked
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+).replace("WITH cleaned AS", "WITH RECURSIVE cleaned AS", 1)
+
+
 STAGED_QUERIES = {
     6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
     7: {
@@ -1931,6 +2020,7 @@ STAGED_QUERIES = {
         "d21_split_contamination_audit": d21_split_contamination_audit,
         "d22_lsh_band_curve": d22_lsh_band_curve,
     },
+    12: {"d23_best_copy_dedup": d23_best_copy_dedup},
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -1948,4 +2038,5 @@ STAGED_ORACLES = {
         "d21_split_contamination_audit": D21_SQL,
         "d22_lsh_band_curve": D22_SQL,
     },
+    12: {"d23_best_copy_dedup": D23_SQL},
 }

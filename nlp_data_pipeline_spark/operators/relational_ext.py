@@ -2660,6 +2660,75 @@ ORDER BY user_id, session_start
 """
 
 
+# --------------------------------------------------------------------------
+# q54: SCD type-2 dimension build — STAGED FOR ROUND-13 DECLARATION
+# (gated on staged_ops_live(12)). The warehouse pattern that turns an
+# update STREAM into a HISTORY table: r05/e17 keep only each key's
+# latest state (type-1); type-2 keeps every state with its validity
+# interval. Two window passes over the per-user event history:
+# (1) change detection — a row opens a new version only when the
+# tracked attribute actually CHANGES (consecutive duplicate updates
+# collapse, the part q12's raw lead/lag gaps don't do); (2) validity
+# stitching — valid_to = next change's valid_from (half-open
+# intervals, NULL = current version). Deterministic total order via
+# (ts, event_id).
+#
+# Scale: both windows partition by the dimension key — one shuffle,
+# the second window reuses the first's partitioning (no new
+# exchange); state per key is its change count, not its event count.
+# The declared user_id < 20 slice bounds the surface; the plan is
+# key-partitioned identically at any corpus size.
+# --------------------------------------------------------------------------
+def q54_scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20) & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    changes = (
+        e.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("chg", prev.isNull() | (prev != F.col("event_type")))
+        .filter("chg")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.row_number().over(w2).cast("long").alias("version"),
+            F.col("event_type").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"),
+            F.lead("ts").over(w2).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+Q54_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WHERE user_id < 20 AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type != event_type
+)
+SELECT user_id,
+       ROW_NUMBER() OVER w2 AS version,
+       event_type AS attr_value,
+       ts AS valid_from,
+       LEAD(ts) OVER w2 AS valid_to,
+       LEAD(ts) OVER w2 IS NULL AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -2686,6 +2755,7 @@ STAGED_QUERIES = {
         "q52_file_metadata_audit": q52_file_metadata_audit,
         "q53_sessionize_batch": q53_sessionize_batch,
     },
+    12: {"q54_scd2_dimension_build": q54_scd2_dimension_build},
 }
 STAGED_ORACLES = {
     6: {"q42_collated_group": Q42_SQL},
@@ -2713,4 +2783,5 @@ STAGED_ORACLES = {
         "q52_file_metadata_audit": Q52_SQL,
         "q53_sessionize_batch": Q53_SQL,
     },
+    12: {"q54_scd2_dimension_build": Q54_SQL},
 }

@@ -1466,3 +1466,83 @@ def test_r19_staged_file_really_spans_lines(spark, sf_dir):
     n_lines = sum(open(f).read().count("\n") for f in files)
     # header + N records x 2 physical lines each
     assert n_lines == 1 + 2 * _R19_N_DOCS
+
+
+def test_q54_matches_duckdb_oracle(spark, sf_dir):
+    """q54 SCD2 dimension build is STAGED for round-13 declaration;
+    change detection + validity stitching must agree exactly."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q54_SQL,
+        q54_scd2_dimension_build,
+    )
+
+    got = [tuple(r) for r in q54_scd2_dimension_build(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(Q54_SQL).fetchall()
+    ]
+    assert len(got) > 1 and got == want
+
+
+def test_q54_scd2_invariants(spark, sf_dir):
+    """SCD2 algebra: versions are dense 1..n per key, intervals chain
+    exactly (valid_to == next valid_from), exactly one current version
+    per key (the last), and consecutive versions always change the
+    attribute (no duplicate-collapse misses)."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        q54_scd2_dimension_build,
+    )
+
+    by_user = {}
+    for r in q54_scd2_dimension_build(spark, sf_dir).collect():
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(1 for r in rs if r["is_current"]) == 1
+        assert rs[-1]["is_current"] and rs[-1]["valid_to"] is None
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["attr_value"] != b["attr_value"]
+            assert not a["is_current"]
+
+
+def test_d23_matches_duckdb_oracle(spark, sf_dir):
+    """d23 best-copy dedup policy is STAGED for round-13 declaration;
+    the per-cluster argmax must agree engine-exactly."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D23_SQL,
+        d23_best_copy_dedup,
+    )
+
+    got = [tuple(r) for r in d23_best_copy_dedup(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D23_SQL).fetchall()]
+    assert len(got) > 1 and got == want
+
+
+def test_d23_keeper_is_longest_member(spark, sf_dir):
+    """Policy semantics: every cluster's keeper is a member with the
+    maximum n_chars (smallest doc_id on ties), clusters cover exactly
+    the d06 membership, and the policy demonstrably differs from
+    first-copy on this corpus (else the op proves nothing)."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d06_neardup_clusters,
+        d23_best_copy_dedup,
+    )
+
+    rows = d23_best_copy_dedup(spark, sf_dir).collect()
+    chars = dict(
+        _duck(sf_dir).execute("SELECT doc_id, n_chars FROM documents").fetchall()
+    )
+    members = {}
+    for m in d06_neardup_clusters(spark, sf_dir).collect():
+        members.setdefault(m["cluster_id"], []).append(m["doc_id"])
+    assert {r["cluster_id"] for r in rows} == set(members)
+    for r in rows:
+        docs = members[r["cluster_id"]]
+        assert len(docs) == r["n_members"]
+        best = min(docs, key=lambda d: (-chars[d], d))
+        assert r["keeper_doc_id"] == best
+        assert r["keeper_chars"] == chars[best] == max(chars[d] for d in docs)
+        assert r["min_chars"] == min(chars[d] for d in docs)
+        assert r["differs_from_first_copy"] == (best != min(docs))
+    assert any(r["differs_from_first_copy"] for r in rows)
