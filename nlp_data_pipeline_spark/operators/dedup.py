@@ -2004,6 +2004,93 @@ ORDER BY cluster_id
 ).replace("WITH cleaned AS", "WITH RECURSIVE cleaned AS", 1)
 
 
+# --------------------------------------------------------------------------
+# d24: connected components via alternating stars — STAGED FOR
+# ROUND-13 DECLARATION (gated on staged_ops_live(12)). d06 finds
+# near-dup clusters by min-label FLOODING, whose round count grows
+# with the component DIAMETER — fine for compact dup clusters, wrong
+# for the chain-shaped components web-scale near-dup graphs grow
+# (A≈B≈C≈… chains of length n need n rounds). This is the
+# MapReduce-era remedy (Kiveris et al., "Connected Components in
+# MapReduce and Beyond": alternating large-star/small-star
+# contractions), which converges in O(log n) rounds REGARDLESS of
+# diameter: large-star hangs every strictly-larger neighbor of u
+# under u's minimum; small-star re-hangs the rest; at fixpoint each
+# component is a star centered at its minimum id.
+#
+# Implementation is pure joins — per round: one groupBy-min per
+# node + one join back to the edge list (NO collect_list: a star
+# center's neighborhood grows toward component size, and holding it
+# in one aggregation buffer is exactly the hot-key state this
+# formulation avoids). Fixpoint = canonicalized edge set unchanged
+# (checked via two-sided anti-join counts); localCheckpoint per
+# round bounds lineage (the d06 rule). Declared output is
+# byte-identical to d06's (doc_id, cluster_id, cluster_size) — the
+# oracle IS D06_SQL, so the driver hash proves the O(log n)
+# algorithm computes the exact same clustering as the flooding one.
+# --------------------------------------------------------------------------
+_D24_MAX_ROUNDS = 12
+
+
+def _d24_canon(e: DataFrame) -> DataFrame:
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+
+
+def _d24_star(e_canon: DataFrame, larger: bool) -> DataFrame:
+    sym = e_canon.union(
+        e_canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    j = sym.join(mins, "u").select("u", "v", m.alias("m"))
+    cond = F.col("v") > F.col("u") if larger else F.col("v") <= F.col("u")
+    out = j.filter(cond).select(F.col("v").alias("u"), F.col("m").alias("v"))
+    if not larger:
+        out = out.union(mins.select("u", m.alias("v")))
+    return _d24_canon(out)
+
+
+def d24_cc_alternating_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d03_lsh_candidate_pairs(spark, sf_dir)
+    e = _d24_canon(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).localCheckpoint()
+    for _ in range(_D24_MAX_ROUNDS):
+        nxt = _d24_star(_d24_star(e, larger=True), larger=False).localCheckpoint()
+        unchanged = (
+            nxt.join(e, ["u", "v"], "left_anti").count() == 0
+            and e.join(nxt, ["u", "v"], "left_anti").count() == 0
+        )
+        e = nxt
+        if unchanged:
+            break
+    else:
+        raise RuntimeError(
+            "d24 alternating stars did not converge within the round cap"
+        )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("doc_id"), F.least("u", "mn").alias("cluster_id"))
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+# The declared contract: the O(log n) build yields EXACTLY d06's
+# clustering — one oracle text shared by both (driver-hash-proven).
+D24_SQL = D06_SQL
+
+
 STAGED_QUERIES = {
     6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
     7: {
@@ -2020,7 +2107,10 @@ STAGED_QUERIES = {
         "d21_split_contamination_audit": d21_split_contamination_audit,
         "d22_lsh_band_curve": d22_lsh_band_curve,
     },
-    12: {"d23_best_copy_dedup": d23_best_copy_dedup},
+    12: {
+        "d23_best_copy_dedup": d23_best_copy_dedup,
+        "d24_cc_alternating_stars": d24_cc_alternating_stars,
+    },
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -2038,5 +2128,8 @@ STAGED_ORACLES = {
         "d21_split_contamination_audit": D21_SQL,
         "d22_lsh_band_curve": D22_SQL,
     },
-    12: {"d23_best_copy_dedup": D23_SQL},
+    12: {
+        "d23_best_copy_dedup": D23_SQL,
+        "d24_cc_alternating_stars": D24_SQL,
+    },
 }

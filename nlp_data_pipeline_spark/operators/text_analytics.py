@@ -3655,6 +3655,79 @@ ORDER BY cutoff_k
 """
 
 
+# --------------------------------------------------------------------------
+# t50: length-bucketed dynamic batching — STAGED FOR ROUND-13
+# DECLARATION (gated on staged_ops_live(12)). The OTHER batching
+# discipline next to t48's concat-and-chunk: keep documents intact,
+# group them into power-of-two length buckets, and pad only to the
+# bucket length (dynamic/bucketed batching — the standard shape for
+# instruction tuning and any objective where documents must not be
+# split). Per bucket: doc count, batch count at the fixed batch
+# size, exact pad waste, and effective token mass — the table that
+# decides bucket boundaries and predicts step-time distribution.
+#
+# Every value is engine-exact: the bucket boundary is a CASE chain
+# over the 8 power-of-two literals (NOT ceil(log2(n)) — a float log
+# at an exact power of two is the classic boundary-straddle bug),
+# over-long docs truncate to the top bucket, and all outputs are
+# BIGINT counts. One scan, one map-combined groupBy on the ≤8-row
+# bucket key — no window at all, cheaper than t48's prefix sum.
+# --------------------------------------------------------------------------
+_T50_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+_T50_BATCH = 8
+
+
+def t50_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = word_count("text").cast("long")
+    bucket = F.lit(_T50_BUCKETS[-1])
+    for b in reversed(_T50_BUCKETS):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    eff = F.least(n, F.lit(_T50_BUCKETS[-1]))
+    return (
+        d.select(bucket.cast("long").alias("bucket_len"), eff.alias("eff"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(f"(count(1) + {_T50_BATCH - 1}) DIV {_T50_BATCH}").alias(
+                "n_batches"
+            ),
+            (F.count(F.lit(1)) * F.col("bucket_len") - F.sum("eff")).alias(
+                "pad_tokens"
+            ),
+            F.sum("eff").alias("eff_tokens"),
+        )
+        .orderBy("bucket_len")
+    )
+
+
+_T50_BUCKET_SQL = " ".join(
+    f"WHEN n <= {b} THEN {b}" for b in _T50_BUCKETS
+)
+
+T50_SQL = f"""
+WITH counted AS (
+  SELECT len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))
+           AS n
+  FROM documents
+),
+bucketed AS (
+  SELECT CAST(CASE {_T50_BUCKET_SQL} ELSE {_T50_BUCKETS[-1]} END AS BIGINT)
+           AS bucket_len,
+         CAST(LEAST(n, {_T50_BUCKETS[-1]}) AS BIGINT) AS eff
+  FROM counted
+)
+SELECT bucket_len,
+       COUNT(*) AS n_docs,
+       (COUNT(*) + {_T50_BATCH - 1}) // {_T50_BATCH} AS n_batches,
+       CAST(COUNT(*) * bucket_len - SUM(eff) AS BIGINT) AS pad_tokens,
+       CAST(SUM(eff) AS BIGINT) AS eff_tokens
+FROM bucketed
+GROUP BY bucket_len
+ORDER BY bucket_len
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -3680,6 +3753,7 @@ STAGED_QUERIES = {
         "t48_packing_efficiency_curve": t48_packing_efficiency_curve,
         "t49_ngram_coverage_curve": t49_ngram_coverage_curve,
     },
+    12: {"t50_length_bucketed_batches": t50_length_bucketed_batches},
 }
 STAGED_ORACLES = {
     6: {
@@ -3706,4 +3780,5 @@ STAGED_ORACLES = {
         "t48_packing_efficiency_curve": T48_SQL,
         "t49_ngram_coverage_curve": T49_SQL,
     },
+    12: {"t50_length_bucketed_batches": T50_SQL},
 }

@@ -1546,3 +1546,97 @@ def test_d23_keeper_is_longest_member(spark, sf_dir):
         assert r["min_chars"] == min(chars[d] for d in docs)
         assert r["differs_from_first_copy"] == (best != min(docs))
     assert any(r["differs_from_first_copy"] for r in rows)
+
+
+def test_d24_matches_duckdb_oracle(spark, sf_dir):
+    """d24 alternating-stars CC is STAGED for round-13 declaration; its
+    oracle IS D06_SQL — the O(log n) build must reproduce the flooding
+    clustering byte-for-byte."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D24_SQL,
+        d24_cc_alternating_stars,
+    )
+
+    got = [tuple(r) for r in d24_cc_alternating_stars(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D24_SQL).fetchall()]
+    assert len(got) > 1 and got == want
+
+
+def test_d24_equals_d06_clustering(spark, sf_dir):
+    """Algorithm equivalence on the real graph: alternating stars and
+    label-propagation flooding produce the identical relation."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d06_neardup_clusters,
+        d24_cc_alternating_stars,
+    )
+
+    a = [tuple(r) for r in d24_cc_alternating_stars(spark, sf_dir).collect()]
+    b = [tuple(r) for r in d06_neardup_clusters(spark, sf_dir).collect()]
+    assert a == b
+
+
+def test_d24_converges_fast_on_a_chain(spark):
+    """The scale claim itself: a 64-node PATH graph (diameter 63, the
+    flooding worst case) must collapse to ONE star in far fewer than
+    diameter rounds — alternating stars converge in O(log n)."""
+    from pyspark.sql import functions as F
+
+    from nlp_data_pipeline_spark.operators.dedup import _d24_canon, _d24_star
+
+    n = 64
+    e = _d24_canon(
+        spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "u long, v long"
+        )
+    ).localCheckpoint()
+    rounds = 0
+    for _ in range(10):  # far below the 63-round flooding bound
+        nxt = _d24_star(_d24_star(e, larger=True), larger=False).localCheckpoint()
+        rounds += 1
+        if (
+            nxt.join(e, ["u", "v"], "left_anti").count() == 0
+            and e.join(nxt, ["u", "v"], "left_anti").count() == 0
+        ):
+            e = nxt
+            break
+        e = nxt
+    else:
+        raise AssertionError("chain did not converge in 10 alternating rounds")
+    # fixpoint is a single star centered at 0: every node links to 0
+    rows = sorted(tuple(r) for r in e.collect())
+    assert rows == [(0, v) for v in range(1, n)]
+    assert rounds <= 10
+
+
+def test_t50_matches_duckdb_oracle(spark, sf_dir):
+    """t50 length-bucketed batching is STAGED for round-13 declaration;
+    bucket assignment is a pure-integer CASE chain, engine-exact."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T50_SQL,
+        t50_length_bucketed_batches,
+    )
+
+    got = [tuple(r) for r in t50_length_bucketed_batches(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T50_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_t50_bucket_accounting(spark, sf_dir):
+    """Bucketed-batching algebra: buckets are from the declared grid,
+    doc counts total the corpus, batches cover their docs at the batch
+    size, pad + effective = n_docs x bucket_len, and every doc's
+    effective length fits its bucket."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _T50_BATCH,
+        _T50_BUCKETS,
+        t50_length_bucketed_batches,
+    )
+
+    rows = t50_length_bucketed_batches(spark, sf_dir).collect()
+    n_docs_total = _duck(sf_dir).execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    for r in rows:
+        assert r["bucket_len"] in _T50_BUCKETS
+        assert r["n_batches"] == -(-r["n_docs"] // _T50_BATCH)
+        assert r["pad_tokens"] + r["eff_tokens"] == r["n_docs"] * r["bucket_len"]
+        assert 0 <= r["pad_tokens"] < r["n_docs"] * r["bucket_len"]

@@ -96,10 +96,13 @@ HEAVY = [
     "d21_split_contamination_audit",
     "d22_lsh_band_curve",
     "t49_ngram_coverage_curve",
-    # round-13 staged (s26 scans embeddings; m11/r19 are bounded
-    # doc_id<K fixtures and v19 reads the unreplicated orders table,
-    # so the replicated-table probe doesn't apply to those)
+    # round-13 staged (s26 scans embeddings; d24/t50 scan documents;
+    # m11/r19 are bounded doc_id<K fixtures, v19 reads the
+    # unreplicated orders table, and q54 reads events, so the
+    # replicated-table probe doesn't apply to those)
     "s26_label_retrieval_eval",
+    "d24_cc_alternating_stars",
+    "t50_length_bucketed_batches",
 ]
 
 
