@@ -2008,6 +2008,75 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# p07: dataset card — STAGED FOR ROUND-13 DECLARATION (gated on
+# staged_ops_live(12)). The per-source manifest every published
+# corpus ships (datasheet/dataset-card practice): sizes, token and
+# char mass, exact-duplicate load, and language spread — one row per
+# source, all exact counts, the table a consumer reads BEFORE
+# deciding mixture weights (t44) and budgets (t45). d01 answers
+# "which docs are dups" corpus-wide; this declares the per-source
+# accounting view of the same sha256 identity.
+#
+# Scale: ONE corpus scan into a single per-source aggregation; the
+# distinct-text and distinct-lang counts ride the same groupBy
+# (count_distinct expands rows map-side but there is no
+# object-hash aggregate in this plan to break partial aggregation —
+# the a01 split rule applies only when percentile-class state is
+# present). No joins, no windows.
+# --------------------------------------------------------------------------
+def p07_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    base = d.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(toks).cast("long").alias("nt"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("h"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique_texts"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dup_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("nc").alias("n_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+def _p07_sql() -> str:
+    from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL
+
+    return f"""
+WITH base AS (
+  SELECT source, lang,
+         CAST(n_chars AS BIGINT) AS nc,
+         CAST(len(list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != ''))
+              AS BIGINT) AS nt,
+         sha256(text) AS h
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT h) AS n_unique_texts,
+       COUNT(*) - COUNT(DISTINCT h) AS n_exact_dup_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM base
+GROUP BY source
+ORDER BY source
+"""
+
+
+P07_SQL = _p07_sql()
+
+
 STAGED_QUERIES = {
     6: {
         "r12_xml_roundtrip": r12_xml_roundtrip,
@@ -2027,7 +2096,10 @@ STAGED_QUERIES = {
     },
     10: {"a06_kmv_distinct_sketch": a06_kmv_distinct_sketch},
     11: {"a07_reservoir_sample": a07_reservoir_sample},
-    12: {"r19_multiline_csv_ingest": r19_multiline_csv_ingest},
+    12: {
+        "r19_multiline_csv_ingest": r19_multiline_csv_ingest,
+        "p07_dataset_card": p07_dataset_card,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -2048,5 +2120,8 @@ STAGED_ORACLES = {
     },
     10: {"a06_kmv_distinct_sketch": A06_SQL},
     11: {"a07_reservoir_sample": A07_SQL},
-    12: {"r19_multiline_csv_ingest": R19_SQL},
+    12: {
+        "r19_multiline_csv_ingest": R19_SQL,
+        "p07_dataset_card": P07_SQL,
+    },
 }

@@ -2729,6 +2729,91 @@ ORDER BY user_id, version
 """
 
 
+# --------------------------------------------------------------------------
+# q55: effectivity (as-of-interval) join — STAGED FOR ROUND-13
+# DECLARATION (gated on staged_ops_live(12)). The consumer side of
+# q54: join every fact event to the dimension version that was valid
+# AT ITS TIMESTAMP (ts ∈ [valid_from, valid_to), NULL-open current) —
+# the temporal join every warehouse runs against an SCD2 table. q19's
+# as-of join picks nearest-preceding by sort; this one is the
+# interval-predicate form, and the declared per-version event counts
+# PROVE q54's intervals partition each user's timeline: totals must
+# reconcile exactly with the raw per-user event counts (pinned in
+# tests), which fails if intervals overlap or leave gaps.
+#
+# Scale: equi-key (user_id) + range residual — Spark executes the
+# equi part as the join key and the interval predicate as a
+# post-join filter per key group, so cost is per-user events ×
+# versions, never a cross join; broadcast the dimension when it
+# fits (dimension tables are version counts, orders of magnitude
+# smaller than facts).
+# --------------------------------------------------------------------------
+def q55_effectivity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = q54_scd2_dimension_build(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        "version",
+        "attr_value",
+        "valid_from",
+        "valid_to",
+    )
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20) & F.col("ts").isNotNull()
+    )
+    j = e.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy("user_id", "version")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("event_type") == F.col("attr_value")).cast("long")
+            ).alias("n_same_attr"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+Q55_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WHERE user_id < 20 AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type != event_type
+),
+dim AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER w2 AS version,
+         event_type AS attr_value,
+         ts AS valid_from,
+         LEAD(ts) OVER w2 AS valid_to
+  FROM changes
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT d.user_id, d.version,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN e.event_type = d.attr_value THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_same_attr
+FROM dim d
+JOIN events e
+  ON e.user_id = d.user_id
+ AND e.ts IS NOT NULL
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+GROUP BY d.user_id, d.version
+ORDER BY d.user_id, d.version
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -2755,7 +2840,10 @@ STAGED_QUERIES = {
         "q52_file_metadata_audit": q52_file_metadata_audit,
         "q53_sessionize_batch": q53_sessionize_batch,
     },
-    12: {"q54_scd2_dimension_build": q54_scd2_dimension_build},
+    12: {
+        "q54_scd2_dimension_build": q54_scd2_dimension_build,
+        "q55_effectivity_join": q55_effectivity_join,
+    },
 }
 STAGED_ORACLES = {
     6: {"q42_collated_group": Q42_SQL},
@@ -2783,5 +2871,8 @@ STAGED_ORACLES = {
         "q52_file_metadata_audit": Q52_SQL,
         "q53_sessionize_batch": Q53_SQL,
     },
-    12: {"q54_scd2_dimension_build": Q54_SQL},
+    12: {
+        "q54_scd2_dimension_build": Q54_SQL,
+        "q55_effectivity_join": Q55_SQL,
+    },
 }

@@ -1640,3 +1640,86 @@ def test_t50_bucket_accounting(spark, sf_dir):
         assert r["n_batches"] == -(-r["n_docs"] // _T50_BATCH)
         assert r["pad_tokens"] + r["eff_tokens"] == r["n_docs"] * r["bucket_len"]
         assert 0 <= r["pad_tokens"] < r["n_docs"] * r["bucket_len"]
+
+
+def test_q55_matches_duckdb_oracle(spark, sf_dir):
+    """q55 effectivity join is STAGED for round-13 declaration; the
+    interval-predicate join must agree engine-exactly."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q55_SQL,
+        q55_effectivity_join,
+    )
+
+    got = [tuple(r) for r in q55_effectivity_join(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(Q55_SQL).fetchall()
+    ]
+    assert len(got) > 1 and got == want
+
+
+def test_q55_intervals_partition_the_timeline(spark, sf_dir):
+    """The temporal-consistency proof: every event of every tracked
+    user joins exactly one dimension version (totals reconcile with
+    raw per-user counts — fails on any interval overlap or gap), the
+    version's opening event always matches its attribute, and version
+    coverage equals the q54 dimension exactly."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        q54_scd2_dimension_build,
+        q55_effectivity_join,
+    )
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = q55_effectivity_join(spark, sf_dir).collect()
+    totals = {
+        r["user_id"]: r["count"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter("user_id < 20 AND ts IS NOT NULL")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    }
+    by_user = {}
+    for r in rows:
+        assert 1 <= r["n_same_attr"] <= r["n_events"]
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert {u: sum(r["n_events"] for r in rs) for u, rs in by_user.items()} == totals
+    dim = q54_scd2_dimension_build(spark, sf_dir).collect()
+    assert {(d["user_id"], d["version"]) for d in dim} == {
+        (r["user_id"], r["version"]) for r in rows
+    }
+
+
+def test_p07_matches_duckdb_oracle(spark, sf_dir):
+    """p07 dataset card is STAGED for round-13 declaration; every cell
+    is an exact count, engine-exact."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        P07_SQL,
+        p07_dataset_card,
+    )
+
+    got = [tuple(r) for r in p07_dataset_card(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(P07_SQL).fetchall()]
+    assert len(got) > 1 and got == want
+
+
+def test_p07_card_reconciles_with_d01(spark, sf_dir):
+    """Cross-op accounting: the card's per-source dup load totals the
+    corpus-wide d01 exact-dedup excess (copies beyond each content
+    hash's keeper), doc counts cover the corpus, and unique + dup =
+    docs per source."""
+    from nlp_data_pipeline_spark.operators.dedup import d01_exact_dedup
+    from nlp_data_pipeline_spark.operators.doc_pipeline import p07_dataset_card
+
+    rows = p07_dataset_card(spark, sf_dir).collect()
+    n_total = _duck(sf_dir).execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_total
+    for r in rows:
+        assert r["n_unique_texts"] + r["n_exact_dup_docs"] == r["n_docs"]
+        assert r["n_langs"] >= 1
+    d01_excess = sum(
+        r["n_copies"] - 1 for r in d01_exact_dedup(spark, sf_dir).collect()
+    )
+    # per-source dup sums can only under-count the global excess when a
+    # text repeats ACROSS sources (each source still sees it once)
+    assert sum(r["n_exact_dup_docs"] for r in rows) <= d01_excess
