@@ -2077,6 +2077,109 @@ ORDER BY source
 P07_SQL = _p07_sql()
 
 
+# --------------------------------------------------------------------------
+# a08: KMV sketch MERGE — STAGED FOR ROUND-13 DECLARATION (gated on
+# staged_ops_live(12)). a06 builds one KMV sketch per source; this
+# declares the property that makes KMV deployable at 100 TB: the
+# union rule "merge per-part sketches, keep the k smallest" is EXACT
+# — min-K(∪ sets) = min-K(∪ per-part min-Ks). The Spark side
+# deliberately computes the GLOBAL estimate only through the merge
+# path (per-source k-smallest survivors → union → re-select k
+# smallest; never a direct global pass), while the oracle computes
+# it directly over the full global distinct-bigram domain — the
+# driver's hash equality IS the mergeability proof, the same
+# declared-algebra pattern as d24-vs-d06.
+#
+# Scale: the merge path touches sources × K rows after the
+# per-source windows — the shuffle that replaces a global distinct
+# at the merge step; per-source sketches are what per-shard jobs
+# would persist, and any subset of sources merges the same way
+# (incremental corpus growth updates the global count without
+# rescanning history).
+# --------------------------------------------------------------------------
+def a08_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    base = d.select("source", toks.alias("t"))
+    pairs_expr = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 1),
+            F.slice("t", 2, F.size("t") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    bg = base.select("source", F.explode(pairs_expr).alias("bg")).distinct()
+    h = F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long")
+    hashed = bg.select("source", "bg", h.alias("h"))
+    per_src = (
+        hashed.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("source").orderBy("h", "bg")),
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("bg", "h")
+        .distinct()
+    )
+    merged = per_src.select(
+        "h",
+        F.row_number().over(Window.orderBy("h", "bg")).alias("rn"),
+    ).filter(F.col("rn") == KMV_K)
+    exact = (
+        base.select(F.explode(pairs_expr).alias("bg"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    est = F.lit(float(KMV_K - 1)) * F.lit(_KMV_SCALE) / F.col("h").cast("double")
+    return merged.crossJoin(exact).select(
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.col("h").alias("kth_hash"),
+        F.round(est, 4).alias("kmv_estimate"),
+        (
+            F.abs(est - F.col("exact_distinct").cast("double"))
+            <= 0.5 * F.col("exact_distinct").cast("double")
+        ).alias("within_50pct"),
+    )
+
+
+def _a08_sql() -> str:
+    from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL
+
+    return f"""
+WITH toks AS (
+  SELECT source, list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT bg FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+    FROM toks WHERE len(t) >= 2
+  ) u
+),
+ranked AS (
+  SELECT h,
+         ROW_NUMBER() OVER (ORDER BY h, bg) AS rn,
+         COUNT(*) OVER () AS exact_distinct
+  FROM (
+    SELECT bg, CAST(('0x' || substring(md5(bg), 1, 8)) AS BIGINT) AS h FROM bg
+  ) hashed
+)
+SELECT CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       h AS kth_hash,
+       round({float(KMV_K - 1)} * {_KMV_SCALE} / CAST(h AS DOUBLE), 4)
+         AS kmv_estimate,
+       abs({float(KMV_K - 1)} * {_KMV_SCALE} / CAST(h AS DOUBLE)
+           - CAST(exact_distinct AS DOUBLE))
+         <= 0.5 * CAST(exact_distinct AS DOUBLE) AS within_50pct
+FROM ranked WHERE rn = {KMV_K}
+"""
+
+
+A08_SQL = _a08_sql()
+
+
 STAGED_QUERIES = {
     6: {
         "r12_xml_roundtrip": r12_xml_roundtrip,
@@ -2099,6 +2202,7 @@ STAGED_QUERIES = {
     12: {
         "r19_multiline_csv_ingest": r19_multiline_csv_ingest,
         "p07_dataset_card": p07_dataset_card,
+        "a08_kmv_sketch_merge": a08_kmv_sketch_merge,
     },
 }
 STAGED_ORACLES = {
@@ -2123,5 +2227,6 @@ STAGED_ORACLES = {
     12: {
         "r19_multiline_csv_ingest": R19_SQL,
         "p07_dataset_card": P07_SQL,
+        "a08_kmv_sketch_merge": A08_SQL,
     },
 }

@@ -2675,6 +2675,200 @@ ORDER BY vec_a, vec_b
 
 
 # --------------------------------------------------------------------------
+# s27: IVF+PQ search — STAGED FOR ROUND-13 DECLARATION (gated on
+# staged_ops_live(12)). The composition production ANN indexes
+# actually ship (FAISS IVFPQ): s07 bounds WHICH vectors are scored
+# (only the NPROBE probed clusters) and s11 bounds WHAT scoring
+# costs (M table lookups against 8-byte codes instead of a 64-double
+# exact distance). Neither declared op composes them; this one runs
+# the ADC scan cluster-confined — per query, cost is
+# (cluster fraction × corpus) × M lookups, the genuine 100 TB
+# serving shape (with the exact-rerank tier of s07 available on the
+# shortlist). Assignment and code rules are BYTE-IDENTICAL to
+# s04/s10 (nearest centroid / nearest codeword, id tie-breaks), and
+# the ADC sum folds cells in sub_idx order (s11's
+# engine-independent convention), so the oracle composes the same
+# CTE fragments and every declared distance matches at 6 dp. In
+# production the assignment+codes relations are the MATERIALIZED
+# index (built once, scanned per query batch); here they rebuild
+# per run because the declared surface must be self-contained.
+# --------------------------------------------------------------------------
+def s27_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
+    )
+    ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    assigned = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "centroid_id", ccos.alias("cos"))
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    qcos = dot("cemb", "qemb") / (norm("cemb") * norm("qemb"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "centroid_id", qcos.alias("cos"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= NPROBE)
+        .select("query_id", "centroid_id")
+    )
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" j -> slice(emb, j * {PQ_SUB} + 1, {PQ_SUB}))"
+            )
+        ).alias("sub_idx", "subv"),
+    )
+    codes = subs.filter(F.col("vec_id") < PQ_K).select(
+        "sub_idx", F.col("vec_id").alias("code_id"), F.col("subv").alias("codev")
+    )
+    d2 = F.aggregate(
+        F.zip_with("subv", "codev", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wbest = Window.partitionBy("vec_id", "sub_idx").orderBy("d2", "code_id")
+    best = (
+        subs.join(F.broadcast(codes), "sub_idx")
+        .select("vec_id", "sub_idx", "code_id", d2.alias("d2"))
+        .withColumn("r", F.row_number().over(wbest))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "sub_idx", "code_id")
+    )
+    tables = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), "sub_idx", F.col("subv").alias("qsubv")
+        )
+        .join(F.broadcast(codes), "sub_idx")
+        .select(
+            "query_id",
+            "sub_idx",
+            "code_id",
+            F.aggregate(
+                F.zip_with("qsubv", "codev", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("cell"),
+        )
+    )
+    # cluster-confined candidates, then ADC over their codes only
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cells_in_order = F.transform(
+        F.array_sort(F.collect_list(F.struct("sub_idx", "cell"))),
+        lambda s: s["cell"],
+    )
+    adc = (
+        cand.join(best, "vec_id")
+        .join(F.broadcast(tables), ["query_id", "sub_idx", "code_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.aggregate(
+                cells_in_order, F.lit(0.0), lambda acc, x: acc + x
+            ).alias("adc_d2")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc_d2", F.asc("vec_id"))
+    return (
+        adc.withColumn("nn_rank", F.row_number().over(wr))
+        .filter(F.col("nn_rank") <= TOP_K)
+        .select(
+            "query_id", "vec_id", F.round("adc_d2", 6).alias("adc_d2"), "nn_rank"
+        )
+        .orderBy("query_id", "nn_rank")
+    )
+
+
+S27_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e WHERE vec_id < {N_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(c.cemb, e.emb)
+               / (sqrt(list_dot_product(c.cemb, c.cemb)) * sqrt(list_dot_product(e.emb, e.emb))) DESC,
+             c.centroid_id ASC) AS r
+    FROM e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(c.cemb, q.emb)
+               / (sqrt(list_dot_product(c.cemb, c.cemb)) * sqrt(list_dot_product(q.emb, q.emb))) DESC,
+             c.centroid_id ASC) AS r
+    FROM e q CROSS JOIN cents c
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE r <= {NPROBE}
+),
+subs AS (
+  SELECT vec_id, j AS sub_idx, list_slice(emb, j * {PQ_SUB} + 1, j * {PQ_SUB} + {PQ_SUB}) AS subv
+  FROM e, unnest(generate_series(0, {PQ_M - 1})) AS g(j)
+),
+codes AS (
+  SELECT sub_idx, vec_id AS code_id, subv AS codev FROM subs WHERE vec_id < {PQ_K}
+),
+scored AS (
+  SELECT s.vec_id, s.sub_idx, c.code_id,
+         list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                                 i -> (s.subv[i] - c.codev[i]) * (s.subv[i] - c.codev[i]))) AS d2
+  FROM subs s JOIN codes c USING (sub_idx)
+),
+best AS (
+  SELECT vec_id, sub_idx, code_id FROM (
+    SELECT vec_id, sub_idx, code_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx ORDER BY d2, code_id) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+tables AS (
+  SELECT s.vec_id AS query_id, s.sub_idx, c.code_id,
+         list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                                 i -> (s.subv[i] - c.codev[i]) * (s.subv[i] - c.codev[i]))) AS cell
+  FROM subs s JOIN codes c USING (sub_idx)
+  WHERE s.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assigned a JOIN probes p USING (centroid_id)
+  WHERE a.vec_id != p.query_id
+),
+adc AS (
+  SELECT c.query_id, c.vec_id,
+         list_sum(list(t.cell ORDER BY t.sub_idx)) AS adc_d2
+  FROM cand c
+  JOIN best b ON b.vec_id = c.vec_id
+  JOIN tables t ON t.query_id = c.query_id AND t.sub_idx = b.sub_idx
+                AND t.code_id = b.code_id
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id, round(adc_d2, 6) AS adc_d2, nn_rank
+FROM (
+  SELECT query_id, vec_id, adc_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id) AS nn_rank
+  FROM adc
+)
+WHERE nn_rank <= {TOP_K}
+ORDER BY query_id, nn_rank
+"""
+
+
+# --------------------------------------------------------------------------
 # s26: label-retrieval eval — STAGED FOR ROUND-13 DECLARATION (gated
 # on staged_ops_live(12)). The eval harness every retrieval/embedding
 # deployment runs and no other op here declares: treat each query
@@ -2826,7 +3020,10 @@ STAGED_QUERIES = {
         "s24_topical_source_mix": s24_topical_source_mix,
         "s25_mutual_knn_pairs": s25_mutual_knn_pairs,
     },
-    12: {"s26_label_retrieval_eval": s26_label_retrieval_eval},
+    12: {
+        "s26_label_retrieval_eval": s26_label_retrieval_eval,
+        "s27_ivfpq_search": s27_ivfpq_search,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -2852,5 +3049,8 @@ STAGED_ORACLES = {
         "s24_topical_source_mix": S24_SQL,
         "s25_mutual_knn_pairs": S25_SQL,
     },
-    12: {"s26_label_retrieval_eval": S26_SQL},
+    12: {
+        "s26_label_retrieval_eval": S26_SQL,
+        "s27_ivfpq_search": S27_SQL,
+    },
 }

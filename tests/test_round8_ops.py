@@ -1723,3 +1723,102 @@ def test_p07_card_reconciles_with_d01(spark, sf_dir):
     # per-source dup sums can only under-count the global excess when a
     # text repeats ACROSS sources (each source still sees it once)
     assert sum(r["n_exact_dup_docs"] for r in rows) <= d01_excess
+
+
+def test_s27_matches_duckdb_oracle(spark, sf_dir):
+    """s27 IVF+PQ search is STAGED for round-13 declaration; cluster
+    confinement + ADC table lookups must compose engine-exactly."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S27_SQL,
+        s27_ivfpq_search,
+    )
+
+    got = [tuple(r) for r in s27_ivfpq_search(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("embeddings",)).execute(S27_SQL).fetchall()
+    ]
+    assert len(got) > 1 and got == want
+
+
+def test_s27_composes_s07_confinement_with_s11_scoring(spark, sf_dir):
+    """Composition semantics: every result vector lives in one of its
+    query's probed clusters (s04 assignment / s07 probe rule), its ADC
+    distance equals s11's full-scan ADC for that (query, vector) pair,
+    and per query there are exactly TOP_K ranked results."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        NPROBE,
+        TOP_K,
+        s04_ivf_assign,  # noqa: F401 (assignment rule documented by s04)
+        s11_pq_adc_search,
+        s27_ivfpq_search,
+    )
+
+    rows = s27_ivfpq_search(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert [r["nn_rank"] for r in sorted(rs, key=lambda r: r["nn_rank"])] == list(
+            range(1, TOP_K + 1)
+        )
+    full = {
+        (r["query_id"], r["vec_id"]): r["adc_d2"]
+        for r in s11_pq_adc_search(spark, sf_dir).collect()
+    }
+    # s11 declares only its own top-k, so compare on the intersection —
+    # any shared (query, vec) pair must carry the identical ADC value
+    shared = [r for r in rows if (r["query_id"], r["vec_id"]) in full]
+    assert shared, "confined and full-scan top-k should overlap"
+    for r in shared:
+        assert r["adc_d2"] == full[(r["query_id"], r["vec_id"])]
+    assert NPROBE < 16  # confinement is real: fewer than all clusters
+
+
+def test_a08_matches_duckdb_oracle(spark, sf_dir):
+    """a08 KMV merge is STAGED for round-13 declaration; the Spark side
+    computes the global sketch ONLY through the per-source merge path,
+    the oracle directly — hash equality proves the merge law."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        A08_SQL,
+        a08_kmv_sketch_merge,
+    )
+
+    got = [tuple(r) for r in a08_kmv_sketch_merge(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(A08_SQL).fetchall()]
+    assert len(got) == 1 and got == want
+
+
+def test_a08_merge_equals_direct_python_recompute(spark, sf_dir):
+    """Pure-Python proof of the same law: the k-th smallest hash of the
+    union of per-source k-smallest sets equals the k-th smallest over
+    the global distinct domain."""
+    import hashlib as hl
+
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        KMV_K,
+        a08_kmv_sketch_merge,
+    )
+    from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL
+
+    r = a08_kmv_sketch_merge(spark, sf_dir).collect()[0]
+    docs = _duck(sf_dir).execute(
+        f"SELECT source, {_CLEAN_SQL} FROM documents"
+    ).fetchall()
+    per_src, global_set = {}, set()
+    for source, ctext in docs:
+        toks = [t for t in ctext.split(" ") if t != ""]
+        bgs = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        per_src.setdefault(source, set()).update(bgs)
+        global_set.update(bgs)
+
+    def hkey(bg):
+        return (int(hl.md5(bg.encode()).hexdigest()[:8], 16), bg)
+
+    direct = sorted(hkey(b) for b in global_set)[KMV_K - 1][0]
+    merged_pool = set()
+    for bgs in per_src.values():
+        merged_pool.update(sorted(bgs, key=hkey)[:KMV_K])
+    merged = sorted(hkey(b) for b in merged_pool)[KMV_K - 1][0]
+    assert merged == direct == r["kth_hash"]
+    assert r["exact_distinct"] == len(global_set)
