@@ -2593,11 +2593,16 @@ ORDER BY source
 # a full per-user sort AND a second windowed pass; the native
 # operator merges sessions inside the aggregation).
 #
-# Parity: a session closes when the next event is >= 30 minutes
-# after the previous one (Spark's per-event window is [ts, ts+gap),
-# end-exclusive, so an event landing exactly at prev+gap starts a
-# new session — the oracle's `diff >= gap` test states the same
-# rule). session_end is Spark's window end = last event + gap,
+# Parity: a session closes only when the next event is STRICTLY
+# MORE than 30 minutes after the previous one — measured, not
+# assumed: an event landing exactly at prev+gap MERGES into the
+# running session (Spark extends a session whose end point equals
+# the new event's start; the half-open-interval reading that would
+# split at exactly prev+gap is WRONG, and the synthetic data can
+# never catch it because microsecond timestamps make exact-gap
+# pairs measure-zero — test_q53_exact_gap_boundary_merges pins the
+# rule on crafted rows). The oracle's `diff > gap` test states the
+# same rule. session_end is Spark's window end = last event + gap,
 # reproduced as MAX(ts) + INTERVAL 30 MINUTE. value sums go through
 # DECIMAL(18,2) on both engines (order-independent), cast back to
 # DOUBLE at the edge.
@@ -2636,7 +2641,7 @@ Q53_SQL = """
 WITH ordered AS (
   SELECT user_id, event_id, ts, event_type, value,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WHERE ts IS NOT NULL

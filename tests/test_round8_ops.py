@@ -1054,7 +1054,7 @@ def test_t48_curve_invariants(spark, sf_dir):
 def test_q53_matches_duckdb_oracle(spark, sf_dir):
     """q53 batch sessionization is STAGED for round-12 declaration; the
     native session_window aggregation must reproduce the lag+cumsum
-    oracle exactly, including the >= gap closing rule."""
+    oracle exactly, including the strictly-greater-than-gap closing rule."""
     from nlp_data_pipeline_spark.operators.relational_ext import (
         Q53_SQL,
         q53_sessionize_batch,
@@ -1822,3 +1822,39 @@ def test_a08_merge_equals_direct_python_recompute(spark, sf_dir):
     merged = sorted(hkey(b) for b in merged_pool)[KMV_K - 1][0]
     assert merged == direct == r["kth_hash"]
     assert r["exact_distinct"] == len(global_set)
+
+
+def test_q53_exact_gap_boundary_merges(spark):
+    """The boundary the corpus can never produce (exact-gap pairs are
+    measure-zero with microsecond timestamps): an event at EXACTLY
+    prev + 30min MERGES into the running session; one microsecond
+    later opens a new one. Pins Spark's session_window semantics and
+    the oracle's strictly-greater closing rule together."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    gap = datetime.timedelta(minutes=30)
+    us = datetime.timedelta(microseconds=1)
+    df = spark.createDataFrame(
+        [
+            (1, 1, t0),
+            (2, 1, t0 + gap),            # exactly at gap -> merges
+            (3, 2, t0),
+            (4, 2, t0 + gap + us),       # one us past gap -> new session
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "n")
+        .orderBy("user_id", "n")
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    assert per_user[1] == [2]      # merged: one session of 2
+    assert per_user[2] == [1, 1]   # split: two singleton sessions
