@@ -2091,6 +2091,134 @@ def d24_cc_alternating_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
 D24_SQL = D06_SQL
 
 
+# --------------------------------------------------------------------------
+# d25: lexical × semantic near-dup overlap — STAGED FOR ROUND-13
+# DECLARATION (gated on staged_ops_live(12)). The question that
+# decides whether a pipeline needs BOTH dedup tiers: how much do
+# d03's lexical (minhash/LSH shingle) candidates and s06's semantic
+# (SimHash-bucketed embedding-cosine ≥ τ) pairs agree? semantic_only
+# pairs are the paraphrases lexical dedup misses — SemDeDup's reason
+# to exist; lexical_only pairs share surface n-grams without
+# embedding-level similarity (boilerplate frames around different
+# content). Universe: documents with embeddings (doc_id = vec_id,
+# s24's alignment); both pair sets as DECLARED by their ops (the
+# semantic side is s06's bucket-confined tier, not all-pairs).
+#
+# Scale: both inputs are already candidate-bounded relations; the
+# overlap is ONE full-outer equi-join on the pair key plus a
+# conditional aggregation collapsing to a single row, stack()ed to
+# the 3 fixed category rows (always present, even when a category
+# counts zero).
+# --------------------------------------------------------------------------
+def d25_lexical_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_data_pipeline_spark.operators.similarity import (
+        s06_embedding_neardup_pairs,
+    )
+
+    emb_ids = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    lex = (
+        d03_lsh_candidate_pairs(spark, sf_dir)
+        .join(F.broadcast(emb_ids), F.col("doc_a") == F.col("doc_id"))
+        .drop("doc_id")
+        .join(F.broadcast(emb_ids), F.col("doc_b") == F.col("doc_id"))
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .withColumn("lex", F.lit(True))
+    )
+    sem = s06_embedding_neardup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), F.lit(True).alias("sem")
+    )
+    j = lex.join(sem, ["a", "b"], "full")
+    row = j.agg(
+        F.coalesce(
+            F.sum((F.col("lex").isNotNull() & F.col("sem").isNotNull()).cast("long")),
+            F.lit(0),
+        ).alias("nb"),
+        F.coalesce(
+            F.sum((F.col("lex").isNotNull() & F.col("sem").isNull()).cast("long")),
+            F.lit(0),
+        ).alias("nl"),
+        F.coalesce(
+            F.sum((F.col("lex").isNull() & F.col("sem").isNotNull()).cast("long")),
+            F.lit(0),
+        ).alias("ns"),
+    )
+    return (
+        row.selectExpr(
+            "stack(3, 'both', nb, 'lexical_only', nl, 'semantic_only', ns)"
+            " AS (category, n_pairs)"
+        )
+        .orderBy("category")
+    )
+
+
+def _d25_sql() -> str:
+    from nlp_data_pipeline_spark.operators.similarity import (
+        NEARDUP_TAU,
+        N_PLANES,
+        _plane_sql,
+    )
+
+    sem_bucket = " || ".join(_plane_sql(p) for p in range(N_PLANES))
+    return (
+        _TOKLIST_CTE
+        + ", sig AS (SELECT doc_id, "
+        + ", ".join(
+            f"min(md5('seed{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+        )
+        + " FROM shingle_set GROUP BY doc_id), "
+        + f"banded AS ({_BANDS_SQL}) "
+        + f""",
+lexpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+lex AS (
+  SELECT p.doc_a AS a, p.doc_b AS b
+  FROM lexpairs p
+  JOIN emb x ON x.vec_id = p.doc_a
+  JOIN emb y ON y.vec_id = p.doc_b
+),
+bucketed AS (
+  SELECT vec_id, emb, {sem_bucket} AS bucket FROM emb
+),
+sem AS (
+  SELECT vec_a AS a, vec_b AS b FROM (
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           list_dot_product(x.emb, y.emb)
+             / (sqrt(list_dot_product(x.emb, x.emb)) * sqrt(list_dot_product(y.emb, y.emb))) AS raw_cos
+    FROM bucketed x
+    JOIN bucketed y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  ) WHERE raw_cos >= {NEARDUP_TAU}
+),
+joined AS (
+  SELECT COALESCE(l.a, s.a) AS a, COALESCE(l.b, s.b) AS b,
+         l.a IS NOT NULL AS is_lex, s.a IS NOT NULL AS is_sem
+  FROM lex l FULL OUTER JOIN sem s ON l.a = s.a AND l.b = s.b
+),
+onerow AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN is_lex AND is_sem THEN 1 ELSE 0 END), 0) AS BIGINT) AS nb,
+         CAST(COALESCE(SUM(CASE WHEN is_lex AND NOT is_sem THEN 1 ELSE 0 END), 0) AS BIGINT) AS nl,
+         CAST(COALESCE(SUM(CASE WHEN NOT is_lex AND is_sem THEN 1 ELSE 0 END), 0) AS BIGINT) AS ns
+  FROM joined
+)
+SELECT c.category,
+       CASE c.category WHEN 'both' THEN nb
+                       WHEN 'lexical_only' THEN nl
+                       ELSE ns END AS n_pairs
+FROM onerow
+CROSS JOIN (SELECT unnest(['both', 'lexical_only', 'semantic_only']) AS category) c
+ORDER BY c.category
+"""
+    ).replace("WITH cleaned AS", "WITH RECURSIVE cleaned AS", 1)
+
+
+D25_SQL = _d25_sql()
+
+
 STAGED_QUERIES = {
     6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
     7: {
@@ -2110,6 +2238,7 @@ STAGED_QUERIES = {
     12: {
         "d23_best_copy_dedup": d23_best_copy_dedup,
         "d24_cc_alternating_stars": d24_cc_alternating_stars,
+        "d25_lexical_semantic_overlap": d25_lexical_semantic_overlap,
     },
 }
 STAGED_ORACLES = {
@@ -2131,5 +2260,6 @@ STAGED_ORACLES = {
     12: {
         "d23_best_copy_dedup": D23_SQL,
         "d24_cc_alternating_stars": D24_SQL,
+        "d25_lexical_semantic_overlap": D25_SQL,
     },
 }

@@ -2819,6 +2819,71 @@ ORDER BY d.user_id, d.version
 """
 
 
+# --------------------------------------------------------------------------
+# q56: small-file compaction — STAGED FOR ROUND-13 DECLARATION (gated
+# on staged_ops_live(12)). The table-maintenance job every long-lived
+# 100 TB lake runs on a schedule: streaming/micro-batch ingestion
+# fragments a table into files far below the scan-efficient size
+# (here a deliberate repartition(16) write of a 500-row table), and
+# the compactor rewrites partitions into few large files. Declared
+# surface audits BOTH layouts through the `_metadata` hidden column
+# (q52's surface): files per phase are the WRITE's layout contract
+# (16 fragmented → 2 compacted; a contract breach — e.g. empty-
+# partition files appearing or coalesce not taking — flips the gate
+# red), with row count and doc-id span proving the rewrite lost
+# nothing.
+#
+# Scale: compaction is a pure re-layout — one read + one write, no
+# shuffle beyond the coalesce's partition merge (coalesce NARROWS,
+# it never shuffles); production compacts per table-partition and
+# targets spark.sql.files.maxPartitionBytes-sized outputs.
+# --------------------------------------------------------------------------
+_Q56_FRAG = 16
+_Q56_COMPACT = 2
+
+
+def q56_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    root = scratch_path(f"q56_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    frag, compact = os.path.join(root, "frag"), os.path.join(root, "compact")
+    d.repartition(_Q56_FRAG).write.parquet(frag)
+    spark.read.parquet(frag).coalesce(_Q56_COMPACT).write.parquet(compact)
+
+    def audit(path, phase):
+        return (
+            spark.read.parquet(path)
+            .agg(
+                F.countDistinct("_metadata.file_path").alias("n_files"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+            .select(F.lit(phase).alias("phase"), "*")
+        )
+
+    return audit(frag, "fragmented").union(audit(compact, "compacted")).orderBy(
+        "phase"
+    )
+
+
+Q56_SQL = f"""
+SELECT phase,
+       CAST(CASE phase WHEN 'fragmented' THEN {_Q56_FRAG}
+                       ELSE {_Q56_COMPACT} END AS BIGINT) AS n_files,
+       (SELECT COUNT(*) FROM documents) AS n_rows,
+       (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n_docs,
+       (SELECT MIN(doc_id) FROM documents) AS min_doc_id,
+       (SELECT MAX(doc_id) FROM documents) AS max_doc_id
+FROM (SELECT unnest(['compacted', 'fragmented']) AS phase) p
+ORDER BY phase
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -2848,6 +2913,7 @@ STAGED_QUERIES = {
     12: {
         "q54_scd2_dimension_build": q54_scd2_dimension_build,
         "q55_effectivity_join": q55_effectivity_join,
+        "q56_small_file_compaction": q56_small_file_compaction,
     },
 }
 STAGED_ORACLES = {
@@ -2879,5 +2945,6 @@ STAGED_ORACLES = {
     12: {
         "q54_scd2_dimension_build": Q54_SQL,
         "q55_effectivity_join": Q55_SQL,
+        "q56_small_file_compaction": Q56_SQL,
     },
 }

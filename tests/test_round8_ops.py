@@ -1858,3 +1858,93 @@ def test_q53_exact_gap_boundary_merges(spark):
         per_user.setdefault(r["user_id"], []).append(r["n"])
     assert per_user[1] == [2]      # merged: one session of 2
     assert per_user[2] == [1, 1]   # split: two singleton sessions
+
+
+def test_q56_matches_duckdb_oracle(spark, sf_dir):
+    """q56 small-file compaction is STAGED for round-13 declaration;
+    both phases' layouts must satisfy the declared file contracts with
+    rows conserved."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q56_SQL,
+        q56_small_file_compaction,
+    )
+
+    got = [tuple(r) for r in q56_small_file_compaction(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(Q56_SQL).fetchall()]
+    assert len(got) == 2 and got == want
+
+
+def test_q56_compaction_preserves_rows_on_disk(spark, sf_dir):
+    """Direct disk check: the fragmented dir really holds FRAG parquet
+    files and the compacted dir COMPACT, and both read back the same
+    sorted doc_id multiset."""
+    import glob
+    import os
+
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        _Q56_COMPACT,
+        _Q56_FRAG,
+        q56_small_file_compaction,
+    )
+    from nlp_data_pipeline_spark.scratch import scratch_path
+
+    q56_small_file_compaction(spark, sf_dir).collect()
+    root = scratch_path(f"q56_{os.getpid()}")
+    frag_files = glob.glob(os.path.join(root, "frag", "*.parquet"))
+    compact_files = glob.glob(os.path.join(root, "compact", "*.parquet"))
+    assert len(frag_files) == _Q56_FRAG
+    assert len(compact_files) == _Q56_COMPACT
+    a = sorted(r["doc_id"] for r in spark.read.parquet(os.path.join(root, "frag")).collect())
+    b = sorted(r["doc_id"] for r in spark.read.parquet(os.path.join(root, "compact")).collect())
+    assert a == b
+
+
+def test_d25_matches_duckdb_oracle(spark, sf_dir):
+    """d25 lexical x semantic overlap is STAGED for round-13
+    declaration; the 2x2 contingency must agree engine-exactly with
+    all three category rows always present."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D25_SQL,
+        d25_lexical_semantic_overlap,
+    )
+
+    got = [tuple(r) for r in d25_lexical_semantic_overlap(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("documents", "embeddings"))
+        .execute(D25_SQL)
+        .fetchall()
+    ]
+    assert [r[0] for r in got] == ["both", "lexical_only", "semantic_only"]
+    assert got == want
+
+
+def test_d25_reconciles_with_both_pair_ops(spark, sf_dir):
+    """Accounting against the source ops: both + lexical_only equals
+    d03's embedded-pair count, both + semantic_only equals s06's pair
+    count, and on THIS corpus (embeddings independent of text) the
+    tiers are disjoint — 'both' is exactly zero, the honest expected
+    value that any table misalignment would disturb."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d03_lsh_candidate_pairs,
+        d25_lexical_semantic_overlap,
+    )
+    from nlp_data_pipeline_spark.operators.similarity import (
+        s06_embedding_neardup_pairs,
+    )
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    cat = {r["category"]: r["n_pairs"] for r in d25_lexical_semantic_overlap(spark, sf_dir).collect()}
+    emb_ids = {
+        r["vec_id"] for r in load_table(spark, sf_dir, "embeddings").select("vec_id").collect()
+    }
+    lex_embedded = sum(
+        1
+        for r in d03_lsh_candidate_pairs(spark, sf_dir).collect()
+        if r["doc_a"] in emb_ids and r["doc_b"] in emb_ids
+    )
+    n_sem = s06_embedding_neardup_pairs(spark, sf_dir).count()
+    assert cat["both"] + cat["lexical_only"] == lex_embedded
+    assert cat["both"] + cat["semantic_only"] == n_sem
+    assert cat["both"] == 0
