@@ -3728,6 +3728,128 @@ ORDER BY bucket_len
 """
 
 
+# --------------------------------------------------------------------------
+# t51: tokenizer-fertility corpus profile — STAGED FOR ROUND-14
+# DECLARATION (gated on staged_ops_live(13)). Tokenizer evaluation's
+# first table: per source, the exact byte / character / whitespace-
+# token masses and the fertility ratios derived from them
+# (bytes-per-token is the standard cross-tokenizer compression
+# metric; a source whose fertility is an outlier either carries a
+# different script or is junk). `all_ascii` (bytes == chars) is the
+# encoding audit a multilingual corpus runs before choosing a
+# byte-level vs char-level tokenizer.
+#
+# Hash-gate discipline: the masses are exact BIGINT sums; each ratio
+# is ONE IEEE division of those exact integers (never round() — the
+# u09 exact-half hazard). Spark octet_length/length map to DuckDB
+# strlen/length (DuckDB's octet_length only accepts BLOB).
+# Scale: one scan, map-side combine to one row per source.
+# --------------------------------------------------------------------------
+def t51_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            F.octet_length("text").cast("long").alias("b"),
+            F.length("text").cast("long").alias("c"),
+            word_count("text").cast("long").alias("t"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("b").alias("total_bytes"),
+            F.sum("c").alias("total_chars"),
+            F.sum("t").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_bytes",
+            "total_chars",
+            "total_tokens",
+            (
+                F.col("total_bytes").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("bytes_per_token"),
+            (
+                F.col("total_chars").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("chars_per_doc"),
+            (F.col("total_bytes") == F.col("total_chars")).alias("all_ascii"),
+        )
+        .orderBy("source")
+    )
+
+
+T51_SQL = """
+WITH m AS (
+  SELECT source,
+         CAST(strlen(text) AS BIGINT) AS b,
+         CAST(length(text) AS BIGINT) AS c,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t != '')) AS BIGINT) AS t
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(b) AS BIGINT) AS total_bytes,
+       CAST(SUM(c) AS BIGINT) AS total_chars,
+       CAST(SUM(t) AS BIGINT) AS total_tokens,
+       CAST(SUM(b) AS DOUBLE) / CAST(SUM(t) AS DOUBLE) AS bytes_per_token,
+       CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS chars_per_doc,
+       SUM(b) = SUM(c) AS all_ascii
+FROM m
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# t52: language-ID confusion matrix — STAGED FOR ROUND-14 DECLARATION
+# (gated on staged_ops_live(13)). t07 predicts a language per document
+# against the labeled `lang` column; this is the evaluation that makes
+# the classifier actionable: the (labeled, predicted) confusion matrix
+# with per-cell counts and a per-labeled-language row total, the table
+# a curation pipeline reads before trusting lang-ID as a filter. All
+# counts are exact BIGINTs; the oracle composes the ALREADY-GREEN
+# T07 SQL as a CTE so both sides score with byte-identical rules.
+# Scale: rides t07's shuffle-free scoring scan; the groupBy key space
+# is |langs|² ≤ 36 rows — map-side combine collapses it.
+# --------------------------------------------------------------------------
+def t52_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = t07_language_id(spark, sf_dir)
+    w = Window.partitionBy("labeled_lang")
+    return (
+        scored.groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("labeled_total", F.sum("n_docs").over(w))
+        .select(
+            "labeled_lang",
+            "pred_lang",
+            "n_docs",
+            "labeled_total",
+            (F.col("labeled_lang") == F.col("pred_lang")).alias("is_correct"),
+        )
+        .orderBy("labeled_lang", "pred_lang")
+    )
+
+
+T52_SQL = f"""
+WITH t07 AS ({T07_SQL}),
+cells AS (
+  SELECT labeled_lang, pred_lang, COUNT(*) AS n_docs
+  FROM t07
+  GROUP BY labeled_lang, pred_lang
+)
+SELECT labeled_lang, pred_lang, n_docs,
+       CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT)
+         AS labeled_total,
+       labeled_lang = pred_lang AS is_correct
+FROM cells
+ORDER BY labeled_lang, pred_lang
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -3754,6 +3876,10 @@ STAGED_QUERIES = {
         "t49_ngram_coverage_curve": t49_ngram_coverage_curve,
     },
     12: {"t50_length_bucketed_batches": t50_length_bucketed_batches},
+    13: {
+        "t51_token_fertility": t51_token_fertility,
+        "t52_lang_confusion": t52_lang_confusion,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -3781,4 +3907,8 @@ STAGED_ORACLES = {
         "t49_ngram_coverage_curve": T49_SQL,
     },
     12: {"t50_length_bucketed_batches": T50_SQL},
+    13: {
+        "t51_token_fertility": T51_SQL,
+        "t52_lang_confusion": T52_SQL,
+    },
 }

@@ -1948,3 +1948,65 @@ def test_d25_reconciles_with_both_pair_ops(spark, sf_dir):
     assert cat["both"] + cat["lexical_only"] == lex_embedded
     assert cat["both"] + cat["semantic_only"] == n_sem
     assert cat["both"] == 0
+
+
+def test_t51_matches_duckdb_oracle(spark, sf_dir):
+    """t51 tokenizer fertility is STAGED for round-14 declaration;
+    masses are exact BIGINT sums, ratios single IEEE divisions."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T51_SQL,
+        t51_token_fertility,
+    )
+
+    got = [tuple(r) for r in t51_token_fertility(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T51_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_t51_fertility_algebra(spark, sf_dir):
+    """Masses are positive, chars never exceed bytes (UTF-8), and each
+    declared ratio equals the quotient of its declared integer masses
+    bit-for-bit (the no-round() discipline)."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        t51_token_fertility,
+    )
+
+    rows = t51_token_fertility(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert 0 < r["total_tokens"] <= r["total_chars"] <= r["total_bytes"]
+        assert r["bytes_per_token"] == r["total_bytes"] / r["total_tokens"]
+        assert r["chars_per_doc"] == r["total_chars"] / r["n_docs"]
+        assert r["all_ascii"] == (r["total_bytes"] == r["total_chars"])
+
+
+def test_t52_matches_duckdb_oracle(spark, sf_dir):
+    """t52 lang-ID confusion matrix is STAGED for round-14 declaration;
+    the oracle composes the already-green T07 SQL as a CTE."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T52_SQL,
+        t52_lang_confusion,
+    )
+
+    got = [tuple(r) for r in t52_lang_confusion(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T52_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_t52_cells_total_the_corpus(spark, sf_dir):
+    """Confusion cells partition the corpus: cell counts sum to the
+    doc count, per-label totals are consistent across a label's cells,
+    and is_correct marks exactly the diagonal."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        t52_lang_confusion,
+    )
+
+    rows = t52_lang_confusion(spark, sf_dir).collect()
+    n_docs = _duck(sf_dir).execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["labeled_lang"], []).append(r)
+        assert r["is_correct"] == (r["labeled_lang"] == r["pred_lang"])
+    for label, cells in by_label.items():
+        assert all(c["labeled_total"] == sum(x["n_docs"] for x in cells) for c in cells)
