@@ -2219,6 +2219,121 @@ ORDER BY c.category
 D25_SQL = _d25_sql()
 
 
+# --------------------------------------------------------------------------
+# d26: LSH recall/precision vs EXACT ground truth — STAGED FOR
+# ROUND-14 DECLARATION (gated on staged_ops_live(13)). d22 sweeps
+# band configs but measures truth only WITHIN the candidate set; the
+# question a curation pipeline actually signs off on is the other
+# direction: of all truly-near-duplicate pairs in the corpus, how
+# many does the deployed 4×2 LSH config surface at all? Ground truth
+# here is computed INDEPENDENTLY of LSH: the capped-postings pair
+# machinery (d05's — same-source scope, hot-shingle cap) gives every
+# pair sharing ≥1 surviving shingle, and J ≥ 1/2 is the integer test
+# 3·n_inter ≥ |A|+|B| (no float thresholds). A J ≥ 1/2 pair shares
+# shingles by definition, so the postings join cannot miss truth.
+# Candidates are d03's pairs restricted to the same-source scope so
+# both relations live in one domain. recall = caught/truth and
+# precision = caught/candidates are each ONE IEEE division of exact
+# BIGINTs (NULL when the denominator is 0, both engines).
+#
+# Scale: truth-side cost is the capped postings self-join (bounded by
+# the df-cap, d05's documented trade); candidate side rides d03's
+# band equi-join. The final audit is three scalar counts — the
+# eval runs at sketch cost relative to the corpus, which is exactly
+# why this audit table can be recomputed per ingest batch at 100 TB.
+# --------------------------------------------------------------------------
+def d26_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sizes, inter = _capped_postings(spark, sf_dir)
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    truth = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            3 * F.col("n_inter") >= F.col("sa.n_shingles") + F.col("sb.n_shingles")
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    cand = (
+        d03_lsh_candidate_pairs(spark, sf_dir)
+        .join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+            "doc_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+            "doc_b",
+        )
+        .filter(F.col("src_a") == F.col("src_b"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    caught = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(caught.agg(F.count(F.lit(1)).alias("n_caught")))
+    )
+    div = lambda num, den: F.when(
+        F.col(den) > 0, F.col(num).cast("double") / F.col(den).cast("double")
+    )
+    return counts.select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_caught",
+        (F.col("n_true_pairs") - F.col("n_caught")).alias("n_missed"),
+        div("n_caught", "n_true_pairs").alias("recall"),
+        div("n_caught", "n_candidates").alias("precision"),
+    )
+
+
+D26_SQL = (
+    _TOKLIST_CTE
+    + _CAPPED_POSTINGS_SQL
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('seed{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES))
+    + " FROM shingle_set GROUP BY doc_id), "
+    + f"banded AS ({_BANDS_SQL}), "
+    + """
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE 3 * i.n_inter >= sa.n_shingles + sb.n_shingles
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+  JOIN documents da ON da.doc_id = a.doc_id
+  JOIN documents db ON db.doc_id = b.doc_id
+  WHERE da.source = db.source
+),
+caught AS (
+  SELECT t.doc_a FROM truth t
+  JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+counts AS (
+  SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+         CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+         CAST((SELECT COUNT(*) FROM caught) AS BIGINT) AS n_caught
+)
+SELECT n_true_pairs, n_candidates, n_caught,
+       n_true_pairs - n_caught AS n_missed,
+       CASE WHEN n_true_pairs > 0
+            THEN CAST(n_caught AS DOUBLE) / CAST(n_true_pairs AS DOUBLE) END
+         AS recall,
+       CASE WHEN n_candidates > 0
+            THEN CAST(n_caught AS DOUBLE) / CAST(n_candidates AS DOUBLE) END
+         AS precision
+FROM counts
+"""
+)
+
+
 STAGED_QUERIES = {
     6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
     7: {
@@ -2240,6 +2355,7 @@ STAGED_QUERIES = {
         "d24_cc_alternating_stars": d24_cc_alternating_stars,
         "d25_lexical_semantic_overlap": d25_lexical_semantic_overlap,
     },
+    13: {"d26_lsh_recall_eval": d26_lsh_recall_eval},
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -2262,4 +2378,5 @@ STAGED_ORACLES = {
         "d24_cc_alternating_stars": D24_SQL,
         "d25_lexical_semantic_overlap": D25_SQL,
     },
+    13: {"d26_lsh_recall_eval": D26_SQL},
 }

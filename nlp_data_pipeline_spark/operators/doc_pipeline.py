@@ -2180,6 +2180,242 @@ FROM ranked WHERE rn = {KMV_K}
 A08_SQL = _a08_sql()
 
 
+# --------------------------------------------------------------------------
+# a09: KMV INTERSECTION estimate — STAGED FOR ROUND-14 DECLARATION
+# (gated on staged_ops_live(13)). a06 sizes each source's distinct-
+# bigram vocabulary and a08 proves union-mergeability; this closes the
+# set-algebra: pairwise |A∩B| from the same sketches. Rule: merge the
+# two k-min sketches, keep the k smallest of the union; ρ = how many
+# of those k survivors appear in BOTH sides' sketches; then
+# |A∩B| ≈ (ρ/k) · Û where Û = (k-1)·2³²/h_k is the union estimate —
+# the standard KMV intersection estimator (Beyer et al., SIGMOD'07).
+# The pairwise source-overlap question is d13's (shared shingles)
+# asked at sketch cost: 20 sources → 190 pairs scored from 20·k longs.
+#
+# Hash-gate discipline: the sketch state, ρ, and the estimates are
+# all deterministic functions of md5 — both engines compute them
+# value-identically (the a06 pattern). The exact intersection is
+# declared beside the estimate as the verification harness.
+# Scale: after the per-source k-min windows the pairwise pass touches
+# sources × k rows — all-pairs overlap WITHOUT an all-pairs join on
+# data; the exact twin's bigram self-join is toy-only, production
+# drops it. Sketches persist per shard; any pair (or subset union)
+# scores without rescanning the corpus.
+# --------------------------------------------------------------------------
+def a09_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    base = d.select("source", toks.alias("t"))
+    pairs_expr = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 1),
+            F.slice("t", 2, F.size("t") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    bg = base.select("source", F.explode(pairs_expr).alias("bg")).distinct()
+    h = F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long")
+    hashed = bg.select("source", "bg", h.alias("h"))
+    km = (
+        hashed.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("source").orderBy("h", "bg")),
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "bg", "h")
+    )
+    srcs = hashed.select("source").distinct().withColumnRenamed("source", "other")
+    # each sketch entry, replicated once per unordered pair it serves
+    items = (
+        km.crossJoin(F.broadcast(srcs))
+        .filter(F.col("other") != F.col("source"))
+        .select(
+            F.least("source", "other").alias("sa"),
+            F.greatest("source", "other").alias("sb"),
+            "bg",
+            "h",
+        )
+    )
+    sides = items.groupBy("sa", "sb", "bg", "h").agg(
+        F.count(F.lit(1)).alias("n_side")
+    )
+    ranked = sides.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("sa", "sb").orderBy("h", "bg")),
+    )
+    kth = F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).cast("double")
+    est_union = F.lit(float(KMV_K - 1)) * F.lit(_KMV_SCALE) / kth
+    rho = F.sum(
+        F.when((F.col("rn") <= KMV_K) & (F.col("n_side") == 2), 1).otherwise(0)
+    ).cast("long")
+    sketch = ranked.groupBy("sa", "sb").agg(
+        rho.alias("rho"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("union_kth_hash"),
+        F.round(est_union, 4).alias("kmv_union_est"),
+        F.round(rho.cast("double") / F.lit(float(KMV_K)) * est_union, 4).alias(
+            "kmv_inter_est"
+        ),
+    )
+    exact = (
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.bg") == F.col("b.bg"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        sketch.join(exact, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "rho",
+            "union_kth_hash",
+            "kmv_union_est",
+            "kmv_inter_est",
+            F.coalesce(F.col("exact_intersection"), F.lit(0))
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _a09_sql() -> str:
+    from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL
+
+    return f"""
+WITH toks AS (
+  SELECT source, list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT source, bg FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+    FROM toks WHERE len(t) >= 2
+  ) u
+),
+hashed AS (
+  SELECT source, bg, CAST(('0x' || substring(md5(bg), 1, 8)) AS BIGINT) AS h
+  FROM bg
+),
+km AS (
+  SELECT source, bg, h FROM (
+    SELECT source, bg, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, bg) AS rn
+    FROM hashed
+  ) r WHERE rn <= {KMV_K}
+),
+srcs AS (SELECT DISTINCT source AS other FROM documents),
+items AS (
+  SELECT least(k.source, s.other) AS sa,
+         greatest(k.source, s.other) AS sb,
+         k.bg, k.h
+  FROM km k CROSS JOIN srcs s
+  WHERE s.other != k.source
+),
+sides AS (
+  SELECT sa, sb, bg, h, COUNT(*) AS n_side
+  FROM items GROUP BY sa, sb, bg, h
+),
+ranked AS (
+  SELECT sa, sb, h, n_side,
+         ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h, bg) AS rn
+  FROM sides
+),
+sketch AS (
+  SELECT sa, sb,
+         CAST(SUM(CASE WHEN rn <= {KMV_K} AND n_side = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS rho,
+         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS union_kth_hash,
+         round({float(KMV_K - 1)} * {_KMV_SCALE}
+               / CAST(MAX(CASE WHEN rn = {KMV_K} THEN h END) AS DOUBLE), 4)
+           AS kmv_union_est,
+         round(CAST(SUM(CASE WHEN rn <= {KMV_K} AND n_side = 2 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / {float(KMV_K)}
+               * ({float(KMV_K - 1)} * {_KMV_SCALE}
+                  / CAST(MAX(CASE WHEN rn = {KMV_K} THEN h END) AS DOUBLE)), 4)
+           AS kmv_inter_est
+  FROM ranked GROUP BY sa, sb
+),
+exact AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS exact_intersection
+  FROM hashed a JOIN hashed b ON a.bg = b.bg AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.sa AS source_a, s.sb AS source_b, s.rho, s.union_kth_hash,
+       s.kmv_union_est, s.kmv_inter_est,
+       COALESCE(e.exact_intersection, 0) AS exact_intersection
+FROM sketch s LEFT JOIN exact e ON s.sa = e.sa AND s.sb = e.sb
+ORDER BY source_a, source_b
+"""
+
+
+A09_SQL = _a09_sql()
+
+
+# --------------------------------------------------------------------------
+# r20: parquet schema-evolution merge — STAGED FOR ROUND-14
+# DECLARATION (gated on staged_ops_live(13)). Long-lived datasets
+# evolve: a column added mid-corpus means the lake holds files with
+# BOTH schemas, and the reader must widen rather than fail. Staged
+# here: generation 1 writes (doc_id, source) for even doc_ids,
+# generation 2 writes (doc_id, source, lang) for odd ones; the read
+# goes through `mergeSchema=true`, which unions the file footers and
+# fills the missing column with NULL for legacy files. The declared
+# audit proves the widening: per source, total rows survive, evolved/
+# legacy row counts split exactly by the generation rule, and lang is
+# non-NULL precisely on generation-2 rows.
+#
+# Scale: schema merge is a FOOTER operation (Spark samples footers at
+# planning, not data), so evolution costs nothing at read beyond the
+# union'd schema; writers never rewrite history — the property that
+# makes additive evolution viable on a 100-TB lake. Oracle computes
+# the same audit from the raw table with the generation rule inlined.
+# --------------------------------------------------------------------------
+def r20_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _tmp_stage("r20")
+    g1, g2 = os.path.join(root, "gen1"), os.path.join(root, "gen2")
+    d = load_table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source").write.parquet(g1)
+    d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "lang"
+    ).write.parquet(g2)
+    merged = spark.read.option("mergeSchema", "true").parquet(g1, g2)
+    return (
+        merged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("lang").isNotNull().cast("long")).alias("n_evolved"),
+            F.sum(F.col("lang").isNull().cast("long")).alias("n_legacy"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+R20_SQL = """
+SELECT source,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_evolved,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_legacy,
+       COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "r12_xml_roundtrip": r12_xml_roundtrip,
@@ -2203,6 +2439,10 @@ STAGED_QUERIES = {
         "r19_multiline_csv_ingest": r19_multiline_csv_ingest,
         "p07_dataset_card": p07_dataset_card,
         "a08_kmv_sketch_merge": a08_kmv_sketch_merge,
+    },
+    13: {
+        "a09_kmv_intersection": a09_kmv_intersection,
+        "r20_schema_evolution_merge": r20_schema_evolution_merge,
     },
 }
 STAGED_ORACLES = {
@@ -2228,5 +2468,9 @@ STAGED_ORACLES = {
         "r19_multiline_csv_ingest": R19_SQL,
         "p07_dataset_card": P07_SQL,
         "a08_kmv_sketch_merge": A08_SQL,
+    },
+    13: {
+        "a09_kmv_intersection": A09_SQL,
+        "r20_schema_evolution_merge": R20_SQL,
     },
 }

@@ -1569,6 +1569,110 @@ LIMIT 3
 """
 
 
+# --------------------------------------------------------------------------
+# e23: sequenced conversion funnel — STAGED FOR ROUND-14 DECLARATION
+# (gated on staged_ops_live(13)). The classic product-analytics query
+# the e-series still lacked: per user, the ORDER-RESPECTING funnel
+# signup → view → click → purchase, where stage k counts only if it
+# happens at-or-after the user's stage-(k-1) time (a purchase before
+# ever viewing does not convert the funnel). The naive per-stage
+# first-timestamp table gets this wrong; the sequenced definition is
+# t1 = min ts(signup), t_k = min ts(type_k AND ts ≥ t_{k-1}) — four
+# chained conditional window minima over the SAME user partitioning.
+#
+# Hash-gate discipline: all comparisons are on exact microsecond
+# timestamps; stage counts are BIGINTs; the per-stage conversion is
+# ONE IEEE division of those counts (NULL-guarded both sides).
+# Scale: Spark chains all four window operators after a SINGLE
+# shuffle on user_id (same-partitioning windows reuse the exchange);
+# the final stage table is a scalar aggregate. At 100 TB this is one
+# pass over events, state bounded by the per-user row group.
+# --------------------------------------------------------------------------
+def e23_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    steps = [("signup", None), ("view", "t1"), ("click", "t2"), ("purchase", "t3")]
+    df = e
+    for i, (etype, prev) in enumerate(steps, start=1):
+        cond = F.col("event_type") == etype
+        if prev is not None:
+            cond = cond & (F.col("ts") >= F.col(prev))
+        df = df.withColumn(
+            f"t{i}", F.min(F.when(cond, F.col("ts"))).over(w)
+        )
+    u = df.groupBy("user_id").agg(
+        *[F.max(f"t{i}").alias(f"t{i}") for i in range(1, 5)]
+    )
+    c = u.agg(*[F.count(f"t{i}").alias(f"n{i}") for i in range(1, 5)])
+    return (
+        c.selectExpr(
+            "stack(4,"
+            " CAST(1 AS BIGINT), 'signup', n1,"
+            " CAST(2 AS BIGINT), 'view', n2,"
+            " CAST(3 AS BIGINT), 'click', n3,"
+            " CAST(4 AS BIGINT), 'purchase', n4)"
+            " AS (stage, stage_name, n_users)",
+            "n1",
+        )
+        .select(
+            "stage",
+            "stage_name",
+            "n_users",
+            F.when(
+                F.col("n1") > 0,
+                F.col("n_users").cast("double") / F.col("n1").cast("double"),
+            ).alias("frac_of_signups"),
+        )
+        .orderBy("stage")
+    )
+
+
+E23_SQL = """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' AND ts >= t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+s4 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t3 THEN ts END)
+              OVER (PARTITION BY user_id) AS t4
+  FROM s3
+),
+u AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3, MAX(t4) AS t4
+  FROM s4 GROUP BY user_id
+),
+c AS (
+  SELECT CAST(COUNT(t1) AS BIGINT) AS n1, CAST(COUNT(t2) AS BIGINT) AS n2,
+         CAST(COUNT(t3) AS BIGINT) AS n3, CAST(COUNT(t4) AS BIGINT) AS n4
+  FROM u
+),
+stages AS (
+  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS stage_name, n1 AS n_users, n1 FROM c
+  UNION ALL SELECT 2, 'view', n2, n1 FROM c
+  UNION ALL SELECT 3, 'click', n3, n1 FROM c
+  UNION ALL SELECT 4, 'purchase', n4, n1 FROM c
+)
+SELECT stage, stage_name, n_users,
+       CASE WHEN n1 > 0
+            THEN CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE) END
+         AS frac_of_signups
+FROM stages
+ORDER BY stage
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "e18_dedup_within_watermark": e18_dedup_within_watermark,
@@ -1580,6 +1684,7 @@ STAGED_QUERIES = {
         "e21_admission_control": e21_admission_control,
         "e22_foreach_row_sink": e22_foreach_row_sink,
     },
+    13: {"e23_conversion_funnel": e23_conversion_funnel},
 }
 STAGED_ORACLES = {
     6: {
@@ -1592,4 +1697,5 @@ STAGED_ORACLES = {
         "e21_admission_control": E21_SQL,
         "e22_foreach_row_sink": E22_SQL,
     },
+    13: {"e23_conversion_funnel": E23_SQL},
 }

@@ -2993,6 +2993,126 @@ ORACLES = {
 }
 
 
+# --------------------------------------------------------------------------
+# s28: binary (1-bit) quantized search with exact re-score — STAGED
+# FOR ROUND-14 DECLARATION (gated on staged_ops_live(13)). Completes
+# the quantization ladder s14 (int8 SQ) → s10/s11 (8-byte PQ) → here
+# 8 BYTES TOTAL per vector: the sign bit of each of the 64 dims,
+# packed into two 32-bit words. Distance = Hamming via XOR+popcount —
+# the cheapest filter tier in any production vector stack (binary
+# quantization, e.g. faiss IndexBinaryFlat): candidates are ranked by
+# bit_count(q XOR c) over the packed words, then ONLY the top-k
+# survivors are re-scored with the exact float cosine (s01's fold
+# rules, bitwise-identical both engines).
+#
+# Hash-gate discipline: packing is integer-exact (sign test x > 0 on
+# the same float64 widening both engines; shifts and popcounts are
+# integer ops), hamming/ranks are BIGINTs, and the re-scored cosine
+# follows the s01 sequential-fold + round(6) discipline.
+# Scale: the corpus scans as 8-byte codes (a 100-TB float32 corpus is
+# a 390-GB binary sketch); the query side is broadcast; the exact
+# re-score touches k rows per query. Two 32-bit words (not one
+# 64-bit) dodge the sign-bit overflow of packing dim 63 into 2⁶³.
+# --------------------------------------------------------------------------
+_S28_K = 10
+
+
+def _pack_expr(col: str, lo: int) -> str:
+    """Spark SQL: pack 32 sign bits of array<double> `col` starting at
+    1-based position `lo` into one BIGINT (bit i = dim lo+i > 0)."""
+    return (
+        f"aggregate(transform(slice({col}, {lo}, 32), "
+        f"(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), "
+        f"0L, (a, b) -> a + b)"
+    )
+
+
+def s28_binary_hamming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    codes = e.select(
+        "vec_id",
+        F.expr(_pack_expr("emb", 1)).alias("w1"),
+        F.expr(_pack_expr("emb", 33)).alias("w2"),
+    )
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    ham = (
+        F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+        + F.bit_count(F.col("qw2").bitwiseXOR(F.col("w2")))
+    ).cast("long")
+    scored = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", ham.alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    survivors = (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= _S28_K)
+    )
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    cos = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
+    return (
+        survivors.join(e, "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            "nn_rank",
+            F.round(cos, 6).alias("exact_cosine"),
+        )
+        .orderBy("query_id", "nn_rank")
+    )
+
+
+_S28_PACK_SQL = (
+    "CAST(list_sum(list_transform(range(1, 33), "
+    "i -> CASE WHEN {col}[{off} + i - 1] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) "
+    "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+
+S28_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+codes AS (
+  SELECT vec_id,
+         {_S28_PACK_SQL.format(col="emb", off=1)} AS w1,
+         {_S28_PACK_SQL.format(col="emb", off=33)} AS w2
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, w1 AS qw1, w2 AS qw2 FROM codes
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(bit_count(xor(q.qw1, c.w1)) + bit_count(xor(q.qw2, c.w2))
+              AS BIGINT) AS hamming
+  FROM codes c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+),
+survivors AS (
+  SELECT query_id, vec_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming, vec_id) AS nn_rank
+  FROM scored
+  QUALIFY nn_rank <= {_S28_K}
+),
+qe AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES})
+SELECT s.query_id, s.vec_id, s.hamming, s.nn_rank,
+       round(list_dot_product(qe.qemb, e.emb)
+             / (sqrt(list_dot_product(qe.qemb, qe.qemb))
+                * sqrt(list_dot_product(e.emb, e.emb))), 6) AS exact_cosine
+FROM survivors s
+JOIN e ON e.vec_id = s.vec_id
+JOIN qe ON qe.query_id = s.query_id
+ORDER BY s.query_id, s.nn_rank
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7
 # by __spark_entry__._collect, which evaluates staging.staged_ops_live
 # lazily per queries()/oracle_sql() call (not at import).
@@ -3024,6 +3144,7 @@ STAGED_QUERIES = {
         "s26_label_retrieval_eval": s26_label_retrieval_eval,
         "s27_ivfpq_search": s27_ivfpq_search,
     },
+    13: {"s28_binary_hamming_search": s28_binary_hamming_search},
 }
 STAGED_ORACLES = {
     6: {
@@ -3053,4 +3174,5 @@ STAGED_ORACLES = {
         "s26_label_retrieval_eval": S26_SQL,
         "s27_ivfpq_search": S27_SQL,
     },
+    13: {"s28_binary_hamming_search": S28_SQL},
 }

@@ -2010,3 +2010,201 @@ def test_t52_cells_total_the_corpus(spark, sf_dir):
         assert r["is_correct"] == (r["labeled_lang"] == r["pred_lang"])
     for label, cells in by_label.items():
         assert all(c["labeled_total"] == sum(x["n_docs"] for x in cells) for c in cells)
+
+
+def test_a09_matches_duckdb_oracle(spark, sf_dir):
+    """a09 pairwise KMV intersection is STAGED for round-14; both
+    engines compute the same deterministic md5 order-statistics
+    estimate value-for-value (the a06/a08 pattern)."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        A09_SQL,
+        a09_kmv_intersection,
+    )
+
+    got = [tuple(r) for r in a09_kmv_intersection(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(A09_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_a09_estimator_algebra(spark, sf_dir):
+    """Every source pair appears exactly once, ρ is bounded by k, and
+    the intersection estimate is ρ/k of the union estimate (so it can
+    never exceed it)."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        KMV_K,
+        a09_kmv_intersection,
+    )
+
+    rows = a09_kmv_intersection(spark, sf_dir).collect()
+    n_src = _duck(sf_dir).execute(
+        "SELECT COUNT(DISTINCT source) FROM documents"
+    ).fetchone()[0]
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["rho"] <= KMV_K
+        assert r["kmv_inter_est"] <= r["kmv_union_est"]
+        assert r["exact_intersection"] >= 0
+        if r["rho"] == 0:
+            assert r["kmv_inter_est"] == 0.0
+
+
+def test_s28_matches_duckdb_oracle(spark, sf_dir):
+    """s28 binary-quantized search is STAGED for round-14; packing,
+    XOR+popcount ranks, and the exact re-score must match DuckDB."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S28_SQL,
+        s28_binary_hamming_search,
+    )
+
+    got = [tuple(r) for r in s28_binary_hamming_search(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("embeddings",)).execute(S28_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_s28_hamming_against_numpy(spark, sf_dir):
+    """Independent ground truth: the declared hamming distances equal
+    a numpy sign-bit disagreement count recomputed from the raw
+    parquet, and ranks are monotone in hamming."""
+    import numpy as np
+
+    from nlp_data_pipeline_spark.operators.similarity import (
+        s28_binary_hamming_search,
+    )
+
+    raw = _duck(sf_dir, views=("embeddings",)).execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    signs = {vid: np.asarray(emb, dtype=np.float64) > 0 for vid, emb in raw}
+    rows = s28_binary_hamming_search(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    prev = {}
+    for r in rows:
+        expect = int(np.sum(signs[r["query_id"]] != signs[r["vec_id"]]))
+        assert r["hamming"] == expect
+        assert 0 <= r["hamming"] <= 64
+        assert -1.0 <= r["exact_cosine"] <= 1.0
+        if r["query_id"] in prev:
+            assert r["hamming"] >= prev[r["query_id"]]
+        prev[r["query_id"]] = r["hamming"]
+
+
+def test_d26_matches_duckdb_oracle(spark, sf_dir):
+    """d26 LSH recall eval is STAGED for round-14; truth is computed
+    independently of LSH via the capped-postings machinery."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D26_SQL,
+        d26_lsh_recall_eval,
+    )
+
+    got = [tuple(r) for r in d26_lsh_recall_eval(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D26_SQL).fetchall()]
+    assert len(got) == 1 and got == want
+
+
+def test_d26_count_algebra(spark, sf_dir):
+    """Caught pairs are bounded by both relations, n_missed closes the
+    truth set, and each declared ratio is the exact quotient of its
+    declared integer counts."""
+    from nlp_data_pipeline_spark.operators.dedup import d26_lsh_recall_eval
+
+    r = d26_lsh_recall_eval(spark, sf_dir).collect()[0]
+    assert 0 <= r["n_caught"] <= min(r["n_true_pairs"], r["n_candidates"])
+    assert r["n_missed"] == r["n_true_pairs"] - r["n_caught"]
+    if r["n_true_pairs"] > 0:
+        assert r["recall"] == r["n_caught"] / r["n_true_pairs"]
+    if r["n_candidates"] > 0:
+        assert r["precision"] == r["n_caught"] / r["n_candidates"]
+
+
+def test_e23_matches_duckdb_oracle(spark, sf_dir):
+    """e23 sequenced funnel is STAGED for round-14; four chained
+    conditional window minima over one user partitioning."""
+    from nlp_data_pipeline_spark.operators.events import (
+        E23_SQL,
+        e23_conversion_funnel,
+    )
+
+    got = [tuple(r) for r in e23_conversion_funnel(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(E23_SQL).fetchall()
+    ]
+    assert len(got) == 4 and got == want
+
+
+def test_e23_funnel_is_monotone(spark, sf_dir):
+    """A sequenced funnel can only narrow: stage counts are
+    non-increasing, stage 1 converts at exactly 1.0, and a user
+    counted at stage k implies the stage-(k-1) prerequisite."""
+    from nlp_data_pipeline_spark.operators.events import e23_conversion_funnel
+
+    rows = sorted(
+        e23_conversion_funnel(spark, sf_dir).collect(), key=lambda r: r["stage"]
+    )
+    assert [r["stage_name"] for r in rows] == ["signup", "view", "click", "purchase"]
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    if counts[0] > 0:
+        assert rows[0]["frac_of_signups"] == 1.0
+        for r in rows:
+            assert 0.0 <= r["frac_of_signups"] <= 1.0
+
+
+def test_e23_sequencing_beats_naive_first_ts(spark):
+    """Crafted corpus: a user whose purchase precedes every view must
+    NOT convert the purchase stage (the naive per-type first-timestamp
+    funnel would count it)."""
+    import datetime
+
+    from nlp_data_pipeline_spark.operators import events as ev
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: full in-order funnel
+        (1, t0, "signup"), (1, t0 + datetime.timedelta(minutes=1), "view"),
+        (1, t0 + datetime.timedelta(minutes=2), "click"),
+        (1, t0 + datetime.timedelta(minutes=3), "purchase"),
+        # user 2: purchase BEFORE any view — reaches only stage 2
+        (2, t0, "signup"), (2, t0 + datetime.timedelta(minutes=1), "purchase"),
+        (2, t0 + datetime.timedelta(minutes=2), "view"),
+        (2, t0 + datetime.timedelta(minutes=3), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    import unittest.mock as mock
+
+    with mock.patch.object(ev, "load_table", lambda *_args, **_kw: df):
+        got = {
+            r["stage_name"]: r["n_users"]
+            for r in ev.e23_conversion_funnel(spark, "unused").collect()
+        }
+    assert got == {"signup": 2, "view": 2, "click": 2, "purchase": 1}
+
+
+def test_r20_matches_duckdb_oracle(spark, sf_dir):
+    """r20 schema-evolution merge is STAGED for round-14; mergeSchema
+    widens legacy files with NULLs, audited per source."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        R20_SQL,
+        r20_schema_evolution_merge,
+    )
+
+    got = [tuple(r) for r in r20_schema_evolution_merge(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(R20_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_r20_widening_conserves_rows(spark, sf_dir):
+    """The merged read loses nothing: evolved+legacy = total per
+    source, and totals reconcile with the raw table."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        r20_schema_evolution_merge,
+    )
+
+    rows = r20_schema_evolution_merge(spark, sf_dir).collect()
+    n_docs = _duck(sf_dir).execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert sum(r["n_rows"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_evolved"] + r["n_legacy"] == r["n_rows"]
