@@ -854,15 +854,139 @@ ORDER BY doc_id, frame_id
 """
 
 
+# --------------------------------------------------------------------------
+# m12: WebDataset tar-shard index — STAGED FOR ROUND-14 DECLARATION
+# (gated on staged_ops_live(13)). Multimodal training corpora ship as
+# TAR shards (the WebDataset convention), and the first pipeline step
+# over a lake of shards is building the INDEX: per member, its name,
+# size, and the exact byte offsets that allow random access without
+# re-streaming the shard. Here a shard is built from the first 8
+# documents (USTAR, zeroed mtime/uid — byte-deterministic), staged to
+# scratch, read back through the binaryFile source, and indexed by a
+# tarfile-parsing mapInPandas kernel (binary-in, rows-out — the m05
+# expansion shape on a real container format). Content integrity is
+# declared as sha256 of the extracted member bytes.
+#
+# Oracle: TAR layout is closed-form — member i's header sits at
+# Σ_{j<i} (512 + ⌈size_j/512⌉·512), data 512 bytes later — so DuckDB
+# recomputes the whole index from `documents` with one running-sum
+# window plus sha256(text); the hash gate proves the kernel parses
+# the real bytes to the spec, not to itself. The 8-row driver
+# manifest builds the FIXTURE only; the operator under test (the
+# indexer) is scan-parallel: one Arrow batch of shard payloads in,
+# index rows out, no shuffle — at 100 TB each executor indexes its
+# own shards and the index table is orders of magnitude smaller than
+# the data.
+# --------------------------------------------------------------------------
+_M12_N_DOCS = 8
+
+
+def m12_webdataset_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import os
+    import shutil
+    import tarfile
+
+    from nlp_data_pipeline_spark.scratch import scratch_path
+
+    d = load_table(spark, sf_dir, "documents")
+    manifest = (
+        d.filter(F.col("doc_id") < _M12_N_DOCS)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for r in manifest:
+            data = r["text"].encode("utf-8")
+            ti = tarfile.TarInfo(name=f"{r['doc_id']:06d}.txt")
+            ti.size = len(data)
+            ti.mtime = 0
+            ti.mode = 0o644
+            tf.addfile(ti, io.BytesIO(data))
+    root = scratch_path(f"m12_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    with open(os.path.join(root, "shard-000000.tar"), "wb") as f:
+        f.write(buf.getvalue())
+
+    schema = (
+        "member_name string, size long, header_offset long, "
+        "data_offset long, content binary"
+    )
+
+    def index_kernel(batches):
+        for pdf in batches:
+            out = []
+            for payload in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(payload))) as shard:
+                    for ti in shard.getmembers():
+                        out.append(
+                            (
+                                ti.name,
+                                ti.size,
+                                ti.offset,
+                                ti.offset_data,
+                                shard.extractfile(ti).read(),
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "member_name", "size", "header_offset",
+                    "data_offset", "content",
+                ],
+            )
+
+    shards = spark.read.format("binaryFile").load(root)
+    return (
+        shards.select("content")
+        .mapInPandas(index_kernel, schema)
+        .select(
+            "member_name",
+            "size",
+            "header_offset",
+            "data_offset",
+            F.sha2("content", 256).alias("content_sha256"),
+        )
+        .orderBy("member_name")
+    )
+
+
+M12_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         printf('%06d.txt', doc_id) AS member_name,
+         CAST(strlen(text) AS BIGINT) AS size,
+         sha256(text) AS content_sha256,
+         CAST(512 + ((strlen(text) + 511) // 512) * 512 AS BIGINT) AS span
+  FROM documents WHERE doc_id < {_M12_N_DOCS}
+)
+SELECT member_name, size,
+       CAST(COALESCE(SUM(span) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS header_offset,
+       CAST(COALESCE(SUM(span) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 512
+            AS BIGINT) AS data_offset,
+       content_sha256
+FROM m
+ORDER BY member_name
+"""
+
+
 STAGED_QUERIES = {
     6: {"m08_image_dedup_phash": m08_image_dedup_phash},
     9: {"m09_wav_header_parse": m09_wav_header_parse},
     11: {"m10_image_patch_grid": m10_image_patch_grid},
     12: {"m11_pcm_frame_energy": m11_pcm_frame_energy},
+    13: {"m12_webdataset_tar_index": m12_webdataset_tar_index},
 }
 STAGED_ORACLES = {
     6: {"m08_image_dedup_phash": M08_SQL},
     9: {"m09_wav_header_parse": M09_SQL},
     11: {"m10_image_patch_grid": M10_SQL},
     12: {"m11_pcm_frame_energy": M11_SQL},
+    13: {"m12_webdataset_tar_index": M12_SQL},
 }

@@ -2884,6 +2884,99 @@ ORDER BY phase
 """
 
 
+# --------------------------------------------------------------------------
+# q57: running DISTINCT count over a window — STAGED FOR ROUND-14
+# DECLARATION (gated on staged_ops_live(13)). COUNT(DISTINCT x) OVER
+# (... ORDER BY ...) is unsupported in Spark (and most engines) for a
+# running frame; the canonical workaround is declared here as an
+# operator: flag each row that is the FIRST occurrence of its
+# (user_id, event_type) via one row_number window, then a running SUM
+# of flags over the event-time order gives the running distinct count
+# exactly. Declared per user: the behavioral-coverage audit — events
+# observed, distinct event types reached, and the exact event time the
+# user first exhibited the full catalog (NULL if never) — the
+# "time-to-full-coverage" table an activation analysis reads.
+#
+# Hash-gate discipline: counts are BIGINTs, timestamps exact
+# microseconds; ordering ties broken by event_id (a total order).
+# Scale: both windows and the final groupBy share ONE shuffle on
+# user_id; the global type-catalog count is a scalar broadcast. One
+# pass over events at any scale.
+# --------------------------------------------------------------------------
+def q57_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    first_w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "is_first", (F.row_number().over(first_w) == 1).cast("long")
+    ).withColumn("running_distinct", F.sum("is_first").over(run_w))
+    catalog = e.agg(F.countDistinct("event_type").alias("n_catalog"))
+    per_user = flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("running_distinct").alias("n_distinct_types"),
+    )
+    full_ts = (
+        flagged.crossJoin(F.broadcast(catalog))
+        .filter(F.col("running_distinct") == F.col("n_catalog"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("full_coverage_ts"))
+    )
+    return (
+        per_user.join(full_ts, "user_id", "left")
+        .crossJoin(F.broadcast(catalog))
+        .select(
+            "user_id",
+            "n_events",
+            "n_distinct_types",
+            "n_catalog",
+            "full_coverage_ts",
+            (F.col("n_distinct_types") == F.col("n_catalog")).alias("fully_covered"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q57_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events
+),
+run AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS running_distinct
+  FROM flagged
+),
+catalog AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_catalog FROM events),
+per_user AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         MAX(running_distinct) AS n_distinct_types
+  FROM run GROUP BY user_id
+),
+full_ts AS (
+  SELECT user_id, MIN(ts) AS full_coverage_ts
+  FROM run, catalog
+  WHERE running_distinct = n_catalog
+  GROUP BY user_id
+)
+SELECT p.user_id, p.n_events, p.n_distinct_types, c.n_catalog,
+       f.full_coverage_ts,
+       p.n_distinct_types = c.n_catalog AS fully_covered
+FROM per_user p
+LEFT JOIN full_ts f ON p.user_id = f.user_id
+CROSS JOIN catalog c
+ORDER BY p.user_id
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -2915,6 +3008,7 @@ STAGED_QUERIES = {
         "q55_effectivity_join": q55_effectivity_join,
         "q56_small_file_compaction": q56_small_file_compaction,
     },
+    13: {"q57_running_distinct": q57_running_distinct},
 }
 STAGED_ORACLES = {
     6: {"q42_collated_group": Q42_SQL},
@@ -2947,4 +3041,5 @@ STAGED_ORACLES = {
         "q55_effectivity_join": Q55_SQL,
         "q56_small_file_compaction": Q56_SQL,
     },
+    13: {"q57_running_distinct": Q57_SQL},
 }

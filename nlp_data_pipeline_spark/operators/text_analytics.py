@@ -3850,6 +3850,75 @@ ORDER BY labeled_lang, pred_lang
 """
 
 
+# --------------------------------------------------------------------------
+# t53: token-mass Gini coefficient per source — STAGED FOR ROUND-14
+# DECLARATION (gated on staged_ops_live(13)). t24 histograms lengths
+# and t51 reports the means; the curation decision ("is this source's
+# token mass concentrated in a few megadocs?") needs the inequality
+# SCALAR: the Gini coefficient of per-document token counts,
+# G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) with x sorted ascending —
+# sequence-packing efficiency and sampling-weight design both key off
+# it (a high-Gini source needs doc-length capping before mixing).
+#
+# Hash-gate discipline: Σx and Σ i·x₍ᵢ₎ are exact BIGINT sums (ranks
+# from one row_number window with the (tokens, doc_id) total order);
+# G is ONE IEEE division of two exact integers — never round().
+# Scale: one scan + one shuffle on source; the per-source sort is the
+# window's, bounded by the largest stratum. The identical rank-sum
+# runs as a partial-aggregable two-pass at 100 TB if a stratum ever
+# outgrows a task (sort-free percentile-binned Gini is the documented
+# approximation fallback; exact is fine at any per-source size that
+# fits a partition sort).
+# --------------------------------------------------------------------------
+def t53_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    x = d.select(
+        "source", "doc_id", word_count("text").cast("long").alias("x")
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    ranked = x.withColumn("i", F.row_number().over(w).cast("long"))
+    g = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").alias("total_tokens"),
+        F.sum(F.col("i") * F.col("x")).alias("rank_weighted_sum"),
+    )
+    gini = (
+        2 * F.col("rank_weighted_sum") - (F.col("n_docs") + 1) * F.col("total_tokens")
+    ).cast("double") / (F.col("n_docs") * F.col("total_tokens")).cast("double")
+    return g.select(
+        "source", "n_docs", "total_tokens", "rank_weighted_sum",
+        gini.alias("gini"),
+    ).orderBy("source")
+
+
+T53_SQL = """
+WITH x AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t != '')) AS BIGINT) AS x
+  FROM documents
+),
+ranked AS (
+  SELECT source, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id)
+              AS BIGINT) AS i
+  FROM x
+),
+g AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(x) AS BIGINT) AS total_tokens,
+         CAST(SUM(i * x) AS BIGINT) AS rank_weighted_sum
+  FROM ranked GROUP BY source
+)
+SELECT source, n_docs, total_tokens, rank_weighted_sum,
+       CAST(2 * rank_weighted_sum - (n_docs + 1) * total_tokens AS DOUBLE)
+         / CAST(n_docs * total_tokens AS DOUBLE) AS gini
+FROM g
+ORDER BY source
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -3879,6 +3948,7 @@ STAGED_QUERIES = {
     13: {
         "t51_token_fertility": t51_token_fertility,
         "t52_lang_confusion": t52_lang_confusion,
+        "t53_token_gini": t53_token_gini,
     },
 }
 STAGED_ORACLES = {
@@ -3910,5 +3980,6 @@ STAGED_ORACLES = {
     13: {
         "t51_token_fertility": T51_SQL,
         "t52_lang_confusion": T52_SQL,
+        "t53_token_gini": T53_SQL,
     },
 }

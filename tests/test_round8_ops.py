@@ -2208,3 +2208,101 @@ def test_r20_widening_conserves_rows(spark, sf_dir):
     assert sum(r["n_rows"] for r in rows) == n_docs
     for r in rows:
         assert r["n_evolved"] + r["n_legacy"] == r["n_rows"]
+
+
+def test_t53_matches_duckdb_oracle(spark, sf_dir):
+    """t53 token-mass Gini is STAGED for round-14; rank-weighted sums
+    are exact BIGINTs, G is one IEEE division."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T53_SQL,
+        t53_token_gini,
+    )
+
+    got = [tuple(r) for r in t53_token_gini(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T53_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_t53_gini_algebra(spark, sf_dir):
+    """For non-negative data the Gini lies in [0, 1), the declared
+    scalar is exactly the quotient of its declared integers, and the
+    rank-weighted sum is bounded by its algebraic extremes."""
+    from nlp_data_pipeline_spark.operators.text_analytics import t53_token_gini
+
+    rows = t53_token_gini(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        n, s, rws = r["n_docs"], r["total_tokens"], r["rank_weighted_sum"]
+        assert s <= rws <= n * s
+        assert r["gini"] == (2 * rws - (n + 1) * s) / (n * s)
+        assert 0.0 <= r["gini"] < 1.0
+
+
+def test_q57_matches_duckdb_oracle(spark, sf_dir):
+    """q57 running-distinct workaround is STAGED for round-14; the
+    first-occurrence-flag + running-sum trick must match DuckDB."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q57_SQL,
+        q57_running_distinct,
+    )
+
+    got = [tuple(r) for r in q57_running_distinct(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(Q57_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_q57_coverage_semantics(spark, sf_dir):
+    """Distinct counts are bounded by the catalog, full-coverage time
+    exists iff the user is fully covered, and per-user event counts
+    total the corpus."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        q57_running_distinct,
+    )
+
+    rows = q57_running_distinct(spark, sf_dir).collect()
+    n_events = _duck(sf_dir, views=("events",)).execute(
+        "SELECT COUNT(*) FROM events"
+    ).fetchone()[0]
+    assert sum(r["n_events"] for r in rows) == n_events
+    for r in rows:
+        assert 1 <= r["n_distinct_types"] <= r["n_catalog"]
+        assert r["fully_covered"] == (r["n_distinct_types"] == r["n_catalog"])
+        assert (r["full_coverage_ts"] is not None) == r["fully_covered"]
+
+
+def test_m12_matches_duckdb_oracle(spark, sf_dir):
+    """m12 WebDataset tar index is STAGED for round-14; the kernel's
+    parsed offsets must match the closed-form TAR layout recomputed by
+    DuckDB from the raw documents."""
+    from nlp_data_pipeline_spark.operators.multimodal import (
+        M12_SQL,
+        m12_webdataset_tar_index,
+    )
+
+    got = [tuple(r) for r in m12_webdataset_tar_index(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(M12_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_m12_tar_layout_invariants(spark, sf_dir):
+    """TAR structure: offsets are 512-aligned, data follows its header
+    by exactly one block, and members are non-overlapping in order."""
+    from nlp_data_pipeline_spark.operators.multimodal import (
+        _M12_N_DOCS,
+        m12_webdataset_tar_index,
+    )
+
+    rows = sorted(
+        m12_webdataset_tar_index(spark, sf_dir).collect(),
+        key=lambda r: r["header_offset"],
+    )
+    assert len(rows) == _M12_N_DOCS
+    prev_end = 0
+    for r in rows:
+        assert r["header_offset"] % 512 == 0
+        assert r["data_offset"] == r["header_offset"] + 512
+        assert r["header_offset"] == prev_end
+        prev_end = r["data_offset"] + ((r["size"] + 511) // 512) * 512
+        assert len(r["content_sha256"]) == 64
