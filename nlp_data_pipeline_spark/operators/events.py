@@ -1673,6 +1673,89 @@ ORDER BY stage
 """
 
 
+# --------------------------------------------------------------------------
+# e24: watermark-horizon late-data accounting — STAGED FOR ROUND-14
+# DECLARATION (gated on staged_ops_live(13)). Choosing a watermark is
+# a measurement problem: every streaming query in this suite (e02,
+# e05, e18...) takes a lateness horizon as given, but the horizon
+# should come from THIS table — replay the stream in arrival order
+# (event_id, the ingestion sequence) and count, for each candidate
+# horizon, the events that arrive later than `running-max(event time)
+# − horizon` and would therefore be DROPPED by the watermark. Lateness
+# is exact integer microseconds (unix_micros both engines); the drop
+# fraction is one IEEE division of BIGINTs.
+#
+# Scale: the running max over arrival order is inherently sequential,
+# so production computes it PER INGESTION SHARD (arrival order only
+# exists within a shard/partition anyway — Kafka guarantees order per
+# partition, not globally); the toy corpus is one shard, hence one
+# window task here. Everything after the running max is a scalar
+# aggregation.
+# --------------------------------------------------------------------------
+_E24_HORIZONS_S = (60, 300, 900)
+
+
+def e24_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    w = (
+        Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late_us = F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+    flags = e.select(late_us.alias("late_us"))
+    aggs = [F.count(F.lit(1)).alias("n_events")] + [
+        F.sum((F.col("late_us") > h * 1_000_000).cast("long")).alias(f"d{h}")
+        for h in _E24_HORIZONS_S
+    ]
+    row = flags.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({h} AS BIGINT), d{h}" for h in _E24_HORIZONS_S
+    )
+    return (
+        row.selectExpr(
+            f"stack({len(_E24_HORIZONS_S)}, {stack}) AS (horizon_s, n_dropped)",
+            "n_events",
+        )
+        .select(
+            "horizon_s",
+            "n_events",
+            "n_dropped",
+            (
+                F.col("n_dropped").cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("frac_dropped"),
+        )
+        .orderBy("horizon_s")
+    )
+
+
+E24_SQL = f"""
+WITH lates AS (
+  SELECT epoch_us(MAX(ts) OVER (ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         - epoch_us(ts) AS late_us
+  FROM events
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN late_us > {h} * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS d{h}"
+             for h in _E24_HORIZONS_S
+         )}
+  FROM lates
+)
+SELECT horizon_s, n_events, n_dropped,
+       CAST(n_dropped AS DOUBLE) / CAST(n_events AS DOUBLE) AS frac_dropped
+FROM (
+  {" UNION ALL ".join(
+      f"SELECT CAST({h} AS BIGINT) AS horizon_s, n_events, d{h} AS n_dropped FROM agg"
+      for h in _E24_HORIZONS_S
+  )}
+) u
+ORDER BY horizon_s
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "e18_dedup_within_watermark": e18_dedup_within_watermark,
@@ -1684,7 +1767,10 @@ STAGED_QUERIES = {
         "e21_admission_control": e21_admission_control,
         "e22_foreach_row_sink": e22_foreach_row_sink,
     },
-    13: {"e23_conversion_funnel": e23_conversion_funnel},
+    13: {
+        "e23_conversion_funnel": e23_conversion_funnel,
+        "e24_late_data_accounting": e24_late_data_accounting,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -1697,5 +1783,8 @@ STAGED_ORACLES = {
         "e21_admission_control": E21_SQL,
         "e22_foreach_row_sink": E22_SQL,
     },
-    13: {"e23_conversion_funnel": E23_SQL},
+    13: {
+        "e23_conversion_funnel": E23_SQL,
+        "e24_late_data_accounting": E24_SQL,
+    },
 }

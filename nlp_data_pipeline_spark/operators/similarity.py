@@ -3113,6 +3113,68 @@ ORDER BY s.query_id, s.nn_rank
 """
 
 
+# --------------------------------------------------------------------------
+# s29: binary-vs-float recall — STAGED FOR ROUND-14 DECLARATION
+# (gated on staged_ops_live(13)). s28 buys a 32× scan-cost reduction
+# by keeping only sign bits; this op declares what that costs in
+# QUALITY: per query, how many of the exact float top-5 (s01) survive
+# into the 1-bit Hamming top-10 (s28) — the recall@10 curve point
+# that decides whether binary quantization is a safe first tier for
+# this corpus or needs a wider re-rank window. The s08/s26 eval
+# pattern applied to the s28 index.
+#
+# Hash-gate discipline: hits are exact BIGINT counts from a semi-join
+# of two already-hash-green declared relations; recall is ONE IEEE
+# division. Oracle composes S01_SQL and S28_SQL verbatim as CTEs so
+# both sides inherit the deployed rules byte-identically.
+# Scale: both inputs are k-row-per-query relations; the eval itself
+# touches queries × k rows regardless of corpus size.
+# --------------------------------------------------------------------------
+def s29_binary_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = s01_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    ham = s28_binary_hamming_search(spark, sf_dir).select("query_id", "vec_id")
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hits = (
+        exact.join(ham, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_true").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+S29_SQL = f"""
+WITH exact AS ({S01_SQL}),
+ham AS ({S28_SQL}),
+base AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_true FROM exact GROUP BY query_id
+),
+hits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact e
+  WHERE EXISTS (SELECT 1 FROM ham h
+                WHERE h.query_id = e.query_id AND h.vec_id = e.vec_id)
+  GROUP BY e.query_id
+)
+SELECT b.query_id, b.n_true,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(b.n_true AS DOUBLE) AS recall
+FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
+ORDER BY b.query_id
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7
 # by __spark_entry__._collect, which evaluates staging.staged_ops_live
 # lazily per queries()/oracle_sql() call (not at import).
@@ -3144,7 +3206,10 @@ STAGED_QUERIES = {
         "s26_label_retrieval_eval": s26_label_retrieval_eval,
         "s27_ivfpq_search": s27_ivfpq_search,
     },
-    13: {"s28_binary_hamming_search": s28_binary_hamming_search},
+    13: {
+        "s28_binary_hamming_search": s28_binary_hamming_search,
+        "s29_binary_recall_eval": s29_binary_recall_eval,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -3174,5 +3239,8 @@ STAGED_ORACLES = {
         "s26_label_retrieval_eval": S26_SQL,
         "s27_ivfpq_search": S27_SQL,
     },
-    13: {"s28_binary_hamming_search": S28_SQL},
+    13: {
+        "s28_binary_hamming_search": S28_SQL,
+        "s29_binary_recall_eval": S29_SQL,
+    },
 }

@@ -1074,6 +1074,44 @@ FROM orders
 # Staged during round 6 (window at capacity); auto-declared from round 7.
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
+# --------------------------------------------------------------------------
+# v20: bag-semantics set operations — STAGED FOR ROUND-14 DECLARATION
+# (gated on staged_ops_live(13)). q14 covers DISTINCT set ops; the ALL
+# variants are a different operator family with different physical
+# plans (INTERSECT ALL / EXCEPT ALL keep multiplicities — Spark lowers
+# them to count-matching aggregations, not joins) and they are what
+# data-reconciliation actually needs: "how many rows of batch A
+# survive in batch B COUNTING DUPLICATES". One shared ANSI text runs
+# on both engines (the v18 battery pattern), grouped so the declared
+# rows are the per-type multiplicity accounting of A∩B, A∖B, B∖A.
+# Scale: each ALL-op is one aggregation on the compared key — no
+# pairwise join; exactly as shuffle-bound as a groupBy at 100 TB.
+# --------------------------------------------------------------------------
+_V20_TEXT = """
+WITH a AS (SELECT event_type FROM events WHERE value > 5),
+b AS (SELECT event_type FROM events WHERE user_id % 2 = 0),
+ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+eab AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+eba AS (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+SELECT op, event_type, n FROM (
+  SELECT 'intersect_all' AS op, event_type, COUNT(*) AS n FROM ia GROUP BY event_type
+  UNION ALL
+  SELECT 'except_a_minus_b' AS op, event_type, COUNT(*) AS n FROM eab GROUP BY event_type
+  UNION ALL
+  SELECT 'except_b_minus_a' AS op, event_type, COUNT(*) AS n FROM eba GROUP BY event_type
+) u
+ORDER BY op, event_type
+"""
+
+
+def v20_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_V20_TEXT)
+
+
+V20_SQL = _V20_TEXT
+
+
 STAGED_QUERIES = {
     6: {
         "v08_sql_scalar_udf": v08_sql_scalar_udf,
@@ -1091,6 +1129,7 @@ STAGED_QUERIES = {
     9: {"v17_udtf_table_argument": v17_udtf_table_argument},
     10: {"v18_null_semantics": v18_null_semantics},
     12: {"v19_try_functions": v19_try_functions},
+    13: {"v20_bag_set_ops": v20_bag_set_ops},
 }
 STAGED_ORACLES = {
     6: {
@@ -1109,4 +1148,5 @@ STAGED_ORACLES = {
     9: {"v17_udtf_table_argument": V17_SQL},
     10: {"v18_null_semantics": V18_SQL},
     12: {"v19_try_functions": V19_SQL},
+    13: {"v20_bag_set_ops": V20_SQL},
 }

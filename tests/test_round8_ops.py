@@ -2306,3 +2306,108 @@ def test_m12_tar_layout_invariants(spark, sf_dir):
         assert r["header_offset"] == prev_end
         prev_end = r["data_offset"] + ((r["size"] + 511) // 512) * 512
         assert len(r["content_sha256"]) == 64
+
+
+def test_v20_matches_duckdb_oracle(spark, sf_dir):
+    """v20 bag-semantics set ops are STAGED for round-14; one shared
+    ANSI text runs on both engines (the v18 battery pattern)."""
+    from nlp_data_pipeline_spark.operators.sql_api import (
+        V20_SQL,
+        v20_bag_set_ops,
+    )
+
+    got = [tuple(r) for r in v20_bag_set_ops(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(V20_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_v20_bag_identity(spark, sf_dir):
+    """Multiset algebra: per type, |A| = |A∩B|_bag + |A∖B|_bag and
+    |B| = |A∩B|_bag + |B∖A|_bag."""
+    from nlp_data_pipeline_spark.operators.sql_api import v20_bag_set_ops
+
+    rows = v20_bag_set_ops(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["event_type"], {})[r["op"]] = r["n"]
+    con = _duck(sf_dir, views=("events",))
+    n_a = dict(con.execute(
+        "SELECT event_type, COUNT(*) FROM events WHERE value > 5 GROUP BY 1"
+    ).fetchall())
+    n_b = dict(con.execute(
+        "SELECT event_type, COUNT(*) FROM events WHERE user_id % 2 = 0 GROUP BY 1"
+    ).fetchall())
+    types = set(n_a) | set(n_b)
+    assert types
+    for t in types:
+        ops = by.get(t, {})
+        inter = ops.get("intersect_all", 0)
+        assert n_a.get(t, 0) == inter + ops.get("except_a_minus_b", 0)
+        assert n_b.get(t, 0) == inter + ops.get("except_b_minus_a", 0)
+
+
+def test_e24_matches_duckdb_oracle(spark, sf_dir):
+    """e24 late-data accounting is STAGED for round-14; lateness is
+    exact integer microseconds against the arrival-order running max."""
+    from nlp_data_pipeline_spark.operators.events import (
+        E24_SQL,
+        e24_late_data_accounting,
+    )
+
+    got = [tuple(r) for r in e24_late_data_accounting(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(E24_SQL).fetchall()
+    ]
+    assert len(got) == 3 and got == want
+
+
+def test_e24_horizon_monotonicity(spark, sf_dir):
+    """A wider watermark can only drop fewer events: n_dropped is
+    non-increasing in the horizon, and each fraction is the exact
+    quotient of its declared integers."""
+    from nlp_data_pipeline_spark.operators.events import e24_late_data_accounting
+
+    rows = sorted(
+        e24_late_data_accounting(spark, sf_dir).collect(),
+        key=lambda r: r["horizon_s"],
+    )
+    drops = [r["n_dropped"] for r in rows]
+    assert drops == sorted(drops, reverse=True)
+    for r in rows:
+        assert 0 <= r["n_dropped"] <= r["n_events"]
+        assert r["frac_dropped"] == r["n_dropped"] / r["n_events"]
+
+
+def test_s29_matches_duckdb_oracle(spark, sf_dir):
+    """s29 binary-vs-float recall is STAGED for round-14; the oracle
+    composes S01_SQL and S28_SQL verbatim as CTEs."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S29_SQL,
+        s29_binary_recall_eval,
+    )
+
+    got = [tuple(r) for r in s29_binary_recall_eval(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("embeddings",)).execute(S29_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_s29_recall_bounds(spark, sf_dir):
+    """One row per s01 query; hits bounded by the exact top-k; recall
+    is the exact quotient."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        s29_binary_recall_eval,
+    )
+
+    rows = s29_binary_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert r["n_true"] == TOP_K
+        assert 0 <= r["n_hits"] <= r["n_true"]
+        assert r["recall"] == r["n_hits"] / r["n_true"]
