@@ -2363,6 +2363,119 @@ A09_SQL = _a09_sql()
 
 
 # --------------------------------------------------------------------------
+# a10: KMV accuracy-vs-K operating curve — STAGED FOR ROUND-14
+# DECLARATION (gated on staged_ops_live(13)). a06 fixes K=64; the
+# capacity-planning question is the CURVE: a KMV sketch costs K longs
+# per partition per group, so the K the pipeline deploys should be
+# the smallest one whose error is acceptable. One ranked relation
+# serves every K (the k-th order statistic for K=16/32/64 is just
+# rn∈{16,32,64} of the same window — the sweep costs nothing beyond
+# a06's plan, the d19/s20 one-pass-curve pattern). Estimates are the
+# same engine-exact md5 order statistics as a06; the within-50pct
+# audit boolean rides each row.
+# Scale: identical to a06 — the toy plan's distinct is the exact
+# twin's harness; production keeps max(K) longs per partition and
+# reads every smaller K out of the same sketch for free (a KMV of
+# size K contains every KMV of size K' < K — that containment is
+# what this curve exploits).
+# --------------------------------------------------------------------------
+_A10_KS = (16, 32, 64)
+
+
+def a10_kmv_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    base = d.select("source", toks.alias("t"))
+    pairs_expr = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 1),
+            F.slice("t", 2, F.size("t") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    bg = base.select("source", F.explode(pairs_expr).alias("bg")).distinct()
+    h = F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long")
+    ranked = bg.select("source", "bg", h.alias("h")).select(
+        "source",
+        "h",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("h", "bg"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("exact_distinct"),
+    )
+    est = lambda k: F.lit(float(k - 1)) * F.lit(_KMV_SCALE) / F.col("h").cast(
+        "double"
+    )
+    curves = [
+        ranked.filter(F.col("rn") == k).select(
+            "source",
+            F.lit(k).cast("long").alias("k"),
+            "exact_distinct",
+            F.col("h").alias("kth_hash"),
+            F.round(est(k), 4).alias("kmv_estimate"),
+            (
+                F.abs(est(k) - F.col("exact_distinct").cast("double"))
+                <= F.lit(0.5) * F.col("exact_distinct").cast("double")
+            ).alias("within_50pct"),
+        )
+        for k in _A10_KS
+    ]
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("source", "k")
+
+
+def _a10_sql() -> str:
+    from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL
+
+    arms = " UNION ALL ".join(
+        f"""
+SELECT source, CAST({k} AS BIGINT) AS k, exact_distinct, h AS kth_hash,
+       round({float(k - 1)} * {_KMV_SCALE} / CAST(h AS DOUBLE), 4)
+         AS kmv_estimate,
+       abs({float(k - 1)} * {_KMV_SCALE} / CAST(h AS DOUBLE)
+           - CAST(exact_distinct AS DOUBLE))
+         <= 0.5 * CAST(exact_distinct AS DOUBLE) AS within_50pct
+FROM ranked WHERE rn = {k}"""
+        for k in _A10_KS
+    )
+    return f"""
+WITH toks AS (
+  SELECT source, list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT source, bg FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+    FROM toks WHERE len(t) >= 2
+  ) u
+),
+ranked AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, bg) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS exact_distinct
+  FROM (
+    SELECT source, bg,
+           CAST(('0x' || substring(md5(bg), 1, 8)) AS BIGINT) AS h
+    FROM bg
+  ) hashed
+)
+SELECT * FROM ({arms}) curve
+ORDER BY source, k
+"""
+
+
+A10_SQL = _a10_sql()
+
+
+# --------------------------------------------------------------------------
 # r20: parquet schema-evolution merge — STAGED FOR ROUND-14
 # DECLARATION (gated on staged_ops_live(13)). Long-lived datasets
 # evolve: a column added mid-corpus means the lake holds files with
@@ -2442,6 +2555,7 @@ STAGED_QUERIES = {
     },
     13: {
         "a09_kmv_intersection": a09_kmv_intersection,
+        "a10_kmv_k_curve": a10_kmv_k_curve,
         "r20_schema_evolution_merge": r20_schema_evolution_merge,
     },
 }
@@ -2471,6 +2585,7 @@ STAGED_ORACLES = {
     },
     13: {
         "a09_kmv_intersection": A09_SQL,
+        "a10_kmv_k_curve": A10_SQL,
         "r20_schema_evolution_merge": R20_SQL,
     },
 }

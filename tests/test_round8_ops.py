@@ -2411,3 +2411,43 @@ def test_s29_recall_bounds(spark, sf_dir):
         assert r["n_true"] == TOP_K
         assert 0 <= r["n_hits"] <= r["n_true"]
         assert r["recall"] == r["n_hits"] / r["n_true"]
+
+
+def test_a10_matches_duckdb_oracle(spark, sf_dir):
+    """a10 KMV K-curve is STAGED for round-14; all three K arms read
+    the same ranked relation, engine-exact like a06."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        A10_SQL,
+        a10_kmv_k_curve,
+    )
+
+    got = [tuple(r) for r in a10_kmv_k_curve(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(A10_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_a10_contains_a06_and_orders_hashes(spark, sf_dir):
+    """Sketch containment: the K=64 arm must equal a06's declared
+    sketch row per source, and within a source the k-th order
+    statistics are strictly increasing in K."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        a06_kmv_distinct_sketch,
+        a10_kmv_k_curve,
+    )
+
+    curve = a10_kmv_k_curve(spark, sf_dir).collect()
+    a06 = {
+        r["source"]: (r["exact_distinct"], r["kth_hash"], r["kmv_estimate"])
+        for r in a06_kmv_distinct_sketch(spark, sf_dir).collect()
+    }
+    by_src = {}
+    for r in curve:
+        by_src.setdefault(r["source"], {})[r["k"]] = r
+    assert set(by_src) == set(a06)
+    for src, arms in by_src.items():
+        assert set(arms) == {16, 32, 64}
+        r64 = arms[64]
+        assert (
+            r64["exact_distinct"], r64["kth_hash"], r64["kmv_estimate"]
+        ) == a06[src]
+        assert arms[16]["kth_hash"] < arms[32]["kth_hash"] < arms[64]["kth_hash"]
