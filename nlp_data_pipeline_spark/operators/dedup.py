@@ -2334,6 +2334,112 @@ FROM counts
 )
 
 
+# --------------------------------------------------------------------------
+# d27: b-bit (b=1) MinHash — STAGED FOR ROUND-15 DECLARATION (gated
+# on staged_ops_live(14)). Li & König's b-bit minwise hashing: keep
+# only the LOWEST BIT of each minhash instead of the full value,
+# shrinking signature storage 32× (here: 8 md5 prefixes → one byte),
+# at the cost of random 1-bit collisions — corrected by the unbiased
+# estimator Ĵ₁ = 2·(match_frac) − 1. Declared side by side on d03's
+# deployed candidate pairs: per-position full-hash matches (the
+# standard minhash estimate m/H) and 1-bit matches with the b-bit
+# correction, the table that decides whether compressed signatures
+# are accurate enough to replace full ones in the LSH tier.
+#
+# Hash-gate discipline: the bit is an integer parity of the last
+# md5 hex digit (engine-identical); match counts are exact BIGINTs;
+# each estimate is one arithmetic expression over them, written
+# identically on both sides (H = NUM_HASHES is a compile-time
+# literal).
+# Scale: signatures join only on the candidate pairs (LSH-bounded);
+# the 1-bit variant is what a 100-TB signature store actually ships —
+# 8 bits/doc instead of 256 — and this op is its accuracy audit.
+# --------------------------------------------------------------------------
+def d27_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d03_lsh_candidate_pairs(spark, sf_dir).localCheckpoint()
+    sig = d02_minhash_signatures(spark, sf_dir)
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    bit = lambda c: F.conv(F.substring(c, 32, 1), 16, 10).cast("long") % 2
+    m_full = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(NUM_HASHES)
+    )
+    m_1bit = sum(
+        (bit(F.col(f"a{i}")) == bit(F.col(f"b{i}"))).cast("long")
+        for i in range(NUM_HASHES)
+    )
+    h = float(NUM_HASHES)
+    return (
+        pairs.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            m_full.alias("n_match_full"),
+            m_1bit.alias("n_match_1bit"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match_full",
+            "n_match_1bit",
+            (F.col("n_match_full").cast("double") / F.lit(h)).alias("est_full"),
+            (
+                (2 * F.col("n_match_1bit") - NUM_HASHES).cast("double") / F.lit(h)
+            ).alias("est_1bit"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+D27_SQL = (
+    _TOKLIST_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('seed{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES))
+    + " FROM shingle_set GROUP BY doc_id), "
+    + f"banded AS ({_BANDS_SQL}), "
+    + """
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+matched AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST("""
+    + " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+    )
+    + """ AS BIGINT) AS n_match_full,
+         CAST("""
+    + " + ".join(
+        f"CASE WHEN CAST(('0x' || substring(a.h{i}, 32, 1)) AS BIGINT) % 2"
+        f" = CAST(('0x' || substring(b.h{i}, 32, 1)) AS BIGINT) % 2"
+        f" THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    + f""" AS BIGINT) AS n_match_1bit
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.doc_a
+  JOIN sig b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, n_match_full, n_match_1bit,
+       CAST(n_match_full AS DOUBLE) / {float(NUM_HASHES)} AS est_full,
+       CAST(2 * n_match_1bit - {NUM_HASHES} AS DOUBLE) / {float(NUM_HASHES)}
+         AS est_1bit
+FROM matched
+ORDER BY doc_a, doc_b
+"""
+)
+
+
 STAGED_QUERIES = {
     6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
     7: {
@@ -2356,6 +2462,7 @@ STAGED_QUERIES = {
         "d25_lexical_semantic_overlap": d25_lexical_semantic_overlap,
     },
     13: {"d26_lsh_recall_eval": d26_lsh_recall_eval},
+    14: {"d27_bbit_minhash": d27_bbit_minhash},
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -2379,4 +2486,5 @@ STAGED_ORACLES = {
         "d25_lexical_semantic_overlap": D25_SQL,
     },
     13: {"d26_lsh_recall_eval": D26_SQL},
+    14: {"d27_bbit_minhash": D27_SQL},
 }

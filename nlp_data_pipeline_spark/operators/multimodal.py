@@ -976,12 +976,112 @@ ORDER BY member_name
 """
 
 
+# --------------------------------------------------------------------------
+# m13: JPEG marker-walk header parse — STAGED FOR ROUND-15
+# DECLARATION (gated on staged_ops_live(14)). m09 parses WAV's FIXED
+# little-endian layout; JPEG is the other archetype: BIG-endian
+# marker segments of VARIABLE length that must be WALKED (offset of
+# segment k+1 = offset_k + 2 + BE16 length_k) — the shape every
+# image-corpus audit hits before any decode (dimensions live in SOF0,
+# which floats behind arbitrary APPn/COM segments). Each doc
+# synthesizes a deterministic JPEG prefix — SOI, JFIF APP0, a COM
+# segment carrying the (variable-length!) source name, SOF0 with
+# dims derived from (n_chars, doc_id) — and the parser recovers
+# dims/comment by walking markers in pure Catalyst byte expressions
+# (substring at COMPUTED offsets, hex→int, zero Python).
+#
+# Oracle: the layout is closed-form from `documents`, so DuckDB
+# declares the expected parse directly; hash equality proves the
+# walker reads the real bytes (a wrong offset lands mid-segment and
+# garbles every downstream field). Scale: scan-local expressions, no
+# shuffle; at 100 TB this runs as the metadata pass over raw image
+# bytes with zero decode cost.
+# --------------------------------------------------------------------------
+def _be_hex(col, nbytes: int):
+    """Big-endian hex encoding of an integer column (nbytes wide)."""
+    return F.lpad(F.lower(F.hex(col)), nbytes * 2, "0")
+
+
+def m13_jpeg_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    height = (F.lit(16) + F.col("n_chars") % 240).cast("long")
+    width = (F.lit(16) + F.col("doc_id") % 120).cast("long")
+    com_len = (F.length("source") + 2).cast("long")
+    header_hex = F.concat(
+        F.lit("ffd8"),                                  # SOI
+        F.lit("ffe0"), F.lit("0010"),                   # APP0, len 16
+        F.lit("4a46494600"), F.lit("0102"),             # 'JFIF\0', v1.2
+        F.lit("00"), F.lit("0048"), F.lit("0048"),      # units, 72x72 dpi
+        F.lit("00"), F.lit("00"),                       # no thumbnail
+        F.lit("fffe"), _be_hex(com_len, 2),             # COM, variable len
+        F.lower(F.hex(F.encode(F.col("source"), "UTF-8"))),
+        F.lit("ffc0"), F.lit("0011"), F.lit("08"),      # SOF0, len 17, 8-bit
+        _be_hex(height, 2), _be_hex(width, 2),
+        F.lit("03"),                                    # 3 components
+        F.lit("011100"), F.lit("021101"), F.lit("031101"),
+    )
+    jpg = d.select("doc_id", F.unhex(header_hex).alias("jpg"))
+    be16 = lambda off: (
+        f"CAST(conv(lower(hex(substring(jpg, CAST({off} AS INT), 2))), 16, 10)"
+        f" AS BIGINT)"
+    )
+    walked = (
+        jpg.withColumn("soi_ok", F.expr("lower(hex(substring(jpg, 1, 2))) = 'ffd8'"))
+        # segment 1 (APP0) marker at byte 3; its BE16 length at byte 5
+        .withColumn("l1", F.expr(be16(5)))
+        .withColumn("o2", F.lit(3) + 2 + F.col("l1"))   # COM marker offset
+        .withColumn("l2", F.expr(be16("o2 + 2")))
+        .withColumn(
+            "comment_text",
+            F.expr(
+                "decode(substring(jpg, CAST(o2 + 4 AS INT),"
+                " CAST(l2 - 2 AS INT)), 'UTF-8')"
+            ),
+        )
+        .withColumn("o3", F.col("o2") + 2 + F.col("l2"))  # SOF0 marker offset
+        .withColumn(
+            "sof_ok", F.expr("lower(hex(substring(jpg, CAST(o3 AS INT), 2))) = 'ffc0'")
+        )
+    )
+    return walked.select(
+        "doc_id",
+        (F.col("soi_ok") & F.col("sof_ok")).alias("valid"),
+        "comment_text",
+        F.expr(be16("o3 + 5")).alias("height"),
+        F.expr(be16("o3 + 7")).alias("width"),
+        F.expr(
+            "CAST(conv(lower(hex(substring(jpg, CAST(o3 + 9 AS INT), 1))), 16, 10)"
+            " AS BIGINT)"
+        ).alias("n_components"),
+        F.round(
+            F.expr(be16("o3 + 7")).cast("double")
+            / F.expr(be16("o3 + 5")).cast("double"),
+            6,
+        ).alias("aspect_ratio"),
+    ).orderBy("doc_id")
+
+
+M13_SQL = """
+SELECT doc_id,
+       TRUE AS valid,
+       source AS comment_text,
+       CAST(16 + n_chars % 240 AS BIGINT) AS height,
+       CAST(16 + doc_id % 120 AS BIGINT) AS width,
+       CAST(3 AS BIGINT) AS n_components,
+       round(CAST(16 + doc_id % 120 AS DOUBLE)
+             / CAST(16 + n_chars % 240 AS DOUBLE), 6) AS aspect_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
 STAGED_QUERIES = {
     6: {"m08_image_dedup_phash": m08_image_dedup_phash},
     9: {"m09_wav_header_parse": m09_wav_header_parse},
     11: {"m10_image_patch_grid": m10_image_patch_grid},
     12: {"m11_pcm_frame_energy": m11_pcm_frame_energy},
     13: {"m12_webdataset_tar_index": m12_webdataset_tar_index},
+    14: {"m13_jpeg_header_parse": m13_jpeg_header_parse},
 }
 STAGED_ORACLES = {
     6: {"m08_image_dedup_phash": M08_SQL},
@@ -989,4 +1089,5 @@ STAGED_ORACLES = {
     11: {"m10_image_patch_grid": M10_SQL},
     12: {"m11_pcm_frame_energy": M11_SQL},
     13: {"m12_webdataset_tar_index": M12_SQL},
+    14: {"m13_jpeg_header_parse": M13_SQL},
 }

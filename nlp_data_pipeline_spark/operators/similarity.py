@@ -3175,6 +3175,128 @@ ORDER BY b.query_id
 """
 
 
+# --------------------------------------------------------------------------
+# s30: quantization-ladder error budget — STAGED FOR ROUND-15
+# DECLARATION (gated on staged_ops_live(14)). The suite deploys three
+# compression tiers — SQ8 (s14, 1 byte/dim), PQ (s10/s11), and 1-bit
+# sign codes (s28) — and each declares recall in isolation; this op
+# is the unified ERROR table an index designer reads: on the SAME
+# pairs (s01's exact float top-5 per query), the cosine under full
+# precision, under SQ8 midpoint dequantization (s14's grid rules,
+# duplicated verbatim — t46's do-not-refactor discipline keeps s14's
+# plan fingerprint untouched), and the linear sign-agreement proxy
+# (64−2·hamming)/64, plus each tier's absolute error.
+#
+# Hash-gate discipline: the SQ8 grid is the corpus-exact min/max
+# arithmetic s14 already proved engine-identical; hamming is an exact
+# BIGINT; errors are abs() on identically-ordered float64 pipelines,
+# rounded at the declaration edge only. Scale: 25 pairs — the audit
+# costs one stats pass + k-row scoring regardless of corpus size.
+# --------------------------------------------------------------------------
+def s30_quantization_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    dim_rows = (
+        e.select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mins_v = [r["mn"] for r in dim_rows]
+    steps_v = [max((r["mx"] - r["mn"]) / 255.0, 1e-12) for r in dim_rows]
+    stats = spark.range(1).select(
+        F.array(*[F.lit(v) for v in mins_v]).alias("mins"),
+        F.array(*[F.lit(v) for v in steps_v]).alias("steps"),
+    )
+    pairs = s01_cosine_topk(spark, sf_dir).select("query_id", "vec_id", "nn_rank")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    # NB: Spark SQL array subscripts are 0-based (DuckDB's are 1-based)
+    deq = F.expr(
+        "transform(emb, (x, i) -> mins[i] +"
+        " (least(greatest(floor((x - mins[i]) / steps[i]), 0D), 254D) + 0.5)"
+        " * steps[i])"
+    )
+    joined = (
+        pairs.join(e, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("deq", deq)
+    )
+    cos_exact = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
+    cos_sq8 = dot("qemb", "deq") / (norm("qemb") * norm("deq"))
+    ham = F.aggregate(
+        F.zip_with(
+            "qemb",
+            "emb",
+            lambda x, y: ((x > 0) != (y > 0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos_sign = (F.lit(DIM) - 2 * ham).cast("double") / F.lit(float(DIM))
+    return joined.select(
+        "query_id",
+        "vec_id",
+        "nn_rank",
+        F.round(cos_exact, 6).alias("cos_exact"),
+        F.round(cos_sq8, 6).alias("cos_sq8"),
+        cos_sign.alias("cos_sign"),
+        F.round(F.abs(cos_exact - cos_sq8), 6).alias("err_sq8"),
+        F.round(F.abs(cos_exact - cos_sign), 6).alias("err_sign"),
+    ).orderBy("query_id", "nn_rank")
+
+
+S30_SQL = f"""
+WITH pairs AS ({S01_SQL}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+dims AS (
+  SELECT g.i AS pos, e.emb[g.i] AS x
+  FROM e, generate_series(1, {DIM}) AS g(i)
+),
+stats AS (
+  SELECT list(mn ORDER BY pos) AS mins,
+         list(greatest((mx - mn) / 255.0, 1e-12) ORDER BY pos) AS steps
+  FROM (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY pos)
+),
+scored AS (
+  SELECT p.query_id, p.vec_id, p.nn_rank,
+         list_dot_product(q.emb, c.emb)
+           / (sqrt(list_dot_product(q.emb, q.emb))
+              * sqrt(list_dot_product(c.emb, c.emb))) AS raw_exact,
+         list_dot_product(q.emb, d.dq)
+           / (sqrt(list_dot_product(q.emb, q.emb))
+              * sqrt(list_dot_product(d.dq, d.dq))) AS raw_sq8,
+         CAST({DIM} - 2 * list_sum(list_transform(generate_series(1, {DIM}),
+                i -> CASE WHEN (q.emb[i] > 0) != (c.emb[i] > 0)
+                          THEN 1 ELSE 0 END)) AS DOUBLE) / {float(DIM)}
+           AS raw_sign
+  FROM pairs p
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e c ON c.vec_id = p.vec_id
+  JOIN (
+    SELECT vec_id,
+           list_transform(generate_series(1, {DIM}),
+             i -> s.mins[i]
+                  + (least(greatest(floor((emb[i] - s.mins[i]) / s.steps[i]), 0),
+                           254) + 0.5) * s.steps[i]) AS dq
+    FROM e, stats s
+  ) d ON d.vec_id = p.vec_id
+)
+SELECT query_id, vec_id, nn_rank,
+       round(raw_exact, 6) AS cos_exact,
+       round(raw_sq8, 6) AS cos_sq8,
+       raw_sign AS cos_sign,
+       round(abs(raw_exact - raw_sq8), 6) AS err_sq8,
+       round(abs(raw_exact - raw_sign), 6) AS err_sign
+FROM scored
+ORDER BY query_id, nn_rank
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7
 # by __spark_entry__._collect, which evaluates staging.staged_ops_live
 # lazily per queries()/oracle_sql() call (not at import).
@@ -3210,6 +3332,7 @@ STAGED_QUERIES = {
         "s28_binary_hamming_search": s28_binary_hamming_search,
         "s29_binary_recall_eval": s29_binary_recall_eval,
     },
+    14: {"s30_quantization_error_budget": s30_quantization_error_budget},
 }
 STAGED_ORACLES = {
     6: {
@@ -3243,4 +3366,5 @@ STAGED_ORACLES = {
         "s28_binary_hamming_search": S28_SQL,
         "s29_binary_recall_eval": S29_SQL,
     },
+    14: {"s30_quantization_error_budget": S30_SQL},
 }

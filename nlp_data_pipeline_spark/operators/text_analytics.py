@@ -3919,6 +3919,105 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# t54: cross-document duplicate 5-gram fraction — STAGED FOR ROUND-15
+# DECLARATION (gated on staged_ops_live(14)). t18 measures WITHIN-doc
+# n-gram repetition (the Gopher rep signal); the complementary
+# contamination signal is CROSS-doc: what fraction of a document's
+# 5-gram instances also occur in some OTHER document — high values
+# mark boilerplate carriers and near-dup survivors that per-pair
+# dedup missed. Declared as the per-source decile histogram of that
+# fraction, computed entirely in integers: decile =
+# min(9, (10·n_shared) DIV n_inst) — Spark's DIV and DuckDB's // agree
+# on non-negatives (the t45 rule), so no float ever touches a bucket
+# boundary.
+#
+# Scale: the gram pass needs only the BOOLEAN df ≥ 2 per gram — one
+# groupBy(gram) plus one shuffle-join back; there is NO pair
+# enumeration anywhere (unlike d05's postings self-join), so hot
+# boilerplate grams cost linear rows, not quadratic. Docs with fewer
+# than 5 tokens have no 5-gram and are excluded by construction.
+# --------------------------------------------------------------------------
+def t54_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(clean_text("text"))
+    grams = (
+        d.select("doc_id", "source", toks.alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 4),"
+                    " i -> concat_ws(' ', slice(t, i, 5)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    shared = (
+        grams.groupBy("gram")
+        .agg((F.countDistinct("doc_id") >= 2).alias("is_shared"))
+    )
+    per_doc = (
+        grams.join(shared, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_inst"),
+            F.sum(F.col("is_shared").cast("long")).alias("n_shared"),
+        )
+    )
+    decile = F.least(
+        F.lit(9).cast("long"),
+        F.expr("(10 * n_shared) DIV n_inst"),
+    )
+    return (
+        per_doc.select("source", decile.alias("decile"))
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "decile")
+    )
+
+
+T54_SQL = f"""
+WITH cleaned AS (
+  SELECT doc_id, source, {_CLEAN_SQL} AS ctext FROM documents
+),
+toklists AS (
+  SELECT doc_id, source,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL})
+                          AND t != '') AS t
+  FROM cleaned
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t) - 3),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                     || t[i+3] || ' ' || t[i+4])) AS gram
+  FROM toklists WHERE len(t) >= 5
+),
+shared AS (
+  SELECT gram, COUNT(DISTINCT doc_id) >= 2 AS is_shared
+  FROM grams GROUP BY gram
+),
+per_doc AS (
+  SELECT g.doc_id, g.source,
+         CAST(COUNT(*) AS BIGINT) AS n_inst,
+         CAST(SUM(CASE WHEN s.is_shared THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared
+  FROM grams g JOIN shared s USING (gram)
+  GROUP BY g.doc_id, g.source
+)
+SELECT source,
+       CAST(least(9, (10 * n_shared) // n_inst) AS BIGINT) AS decile,
+       COUNT(*) AS n_docs
+FROM per_doc
+GROUP BY source, least(9, (10 * n_shared) // n_inst)
+ORDER BY source, decile
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -3950,6 +4049,7 @@ STAGED_QUERIES = {
         "t52_lang_confusion": t52_lang_confusion,
         "t53_token_gini": t53_token_gini,
     },
+    14: {"t54_dup_ngram_fraction": t54_dup_ngram_fraction},
 }
 STAGED_ORACLES = {
     6: {
@@ -3982,4 +4082,5 @@ STAGED_ORACLES = {
         "t52_lang_confusion": T52_SQL,
         "t53_token_gini": T53_SQL,
     },
+    14: {"t54_dup_ngram_fraction": T54_SQL},
 }

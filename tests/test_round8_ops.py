@@ -2451,3 +2451,123 @@ def test_a10_contains_a06_and_orders_hashes(spark, sf_dir):
             r64["exact_distinct"], r64["kth_hash"], r64["kmv_estimate"]
         ) == a06[src]
         assert arms[16]["kth_hash"] < arms[32]["kth_hash"] < arms[64]["kth_hash"]
+
+
+def test_t54_matches_duckdb_oracle(spark, sf_dir):
+    """t54 cross-doc duplicate 5-gram deciles are STAGED for round-15;
+    buckets are pure integer arithmetic (DIV ≡ // on non-negatives)."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T54_SQL,
+        t54_dup_ngram_fraction,
+    )
+
+    got = [tuple(r) for r in t54_dup_ngram_fraction(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T54_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_t54_deciles_partition_eligible_docs(spark, sf_dir):
+    """Decile counts per source total exactly the docs with ≥5 tokens
+    (the 5-gram-eligible universe), and deciles stay in [0, 9]."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        t54_dup_ngram_fraction,
+    )
+
+    rows = t54_dup_ngram_fraction(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["decile"] <= 9
+        assert r["n_docs"] >= 1
+
+
+def test_d27_matches_duckdb_oracle(spark, sf_dir):
+    """d27 1-bit minhash is STAGED for round-15; parity bits and the
+    b-bit correction must match DuckDB on the deployed candidates."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D27_SQL,
+        d27_bbit_minhash,
+    )
+
+    got = [tuple(r) for r in d27_bbit_minhash(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D27_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_d27_estimator_algebra(spark, sf_dir):
+    """A full-hash match forces a bit match (n_1bit ≥ n_full), both
+    are bounded by H, and each estimate is the declared arithmetic of
+    its integer count."""
+    from nlp_data_pipeline_spark.operators.dedup import NUM_HASHES, d27_bbit_minhash
+
+    rows = d27_bbit_minhash(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_match_full"] <= r["n_match_1bit"] <= NUM_HASHES
+        assert r["est_full"] == r["n_match_full"] / NUM_HASHES
+        assert r["est_1bit"] == (2 * r["n_match_1bit"] - NUM_HASHES) / NUM_HASHES
+
+
+def test_m13_matches_duckdb_oracle(spark, sf_dir):
+    """m13 JPEG marker walk is STAGED for round-15; a wrong walk
+    offset garbles every downstream field, so hash equality against
+    the closed-form layout is the parse proof."""
+    from nlp_data_pipeline_spark.operators.multimodal import (
+        M13_SQL,
+        m13_jpeg_header_parse,
+    )
+
+    got = [tuple(r) for r in m13_jpeg_header_parse(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(M13_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_m13_walk_recovers_fields(spark, sf_dir):
+    """Every synthesized prefix validates, the COM segment round-trips
+    the variable-length source name, and dims obey the generation
+    bounds (the walk crossed a variable-length segment to find them)."""
+    from nlp_data_pipeline_spark.operators.multimodal import m13_jpeg_header_parse
+
+    rows = m13_jpeg_header_parse(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["valid"] is True
+        assert r["comment_text"].startswith("src")
+        assert 16 <= r["height"] <= 255 and 16 <= r["width"] <= 135
+        assert r["n_components"] == 3
+
+
+def test_s30_matches_duckdb_oracle(spark, sf_dir):
+    """s30 quantization error budget is STAGED for round-15; SQ8 grid
+    rules and the sign proxy must match DuckDB on s01's pairs."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S30_SQL,
+        s30_quantization_error_budget,
+    )
+
+    got = [tuple(r) for r in s30_quantization_error_budget(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("embeddings",)).execute(S30_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_s30_tier_errors_ordered(spark, sf_dir):
+    """8-bit quantization must beat 1-bit on the same pairs in
+    aggregate, and SQ8's midpoint error stays small on s01's top
+    neighbors (the grid covers the corpus extremes by construction)."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        s30_quantization_error_budget,
+    )
+
+    rows = s30_quantization_error_budget(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES * TOP_K
+    mean_sq8 = sum(r["err_sq8"] for r in rows) / len(rows)
+    mean_sign = sum(r["err_sign"] for r in rows) / len(rows)
+    assert mean_sq8 < mean_sign
+    assert mean_sq8 < 0.01
+    for r in rows:
+        assert -1.0 <= r["cos_sign"] <= 1.0
+        assert r["err_sq8"] >= 0 and r["err_sign"] >= 0

@@ -103,6 +103,17 @@ HEAVY = [
     "s26_label_retrieval_eval",
     "d24_cc_alternating_stars",
     "t50_length_bucketed_batches",
+    # round-14 staged (documents/embeddings-shaped; m12/r20 audit
+    # bounded fixtures or their own staged writes, and e23/e24/q57/v20
+    # read the unreplicated events table, so the replicated-table
+    # probe doesn't apply to those)
+    "t51_token_fertility",
+    "t53_token_gini",
+    "a09_kmv_intersection",
+    "a10_kmv_k_curve",
+    "d26_lsh_recall_eval",
+    "s28_binary_hamming_search",
+    "s29_binary_recall_eval",
 ]
 
 
