@@ -2529,6 +2529,80 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# r21: record-level malformed-CSV audit (PERMISSIVE mode) — STAGED
+# FOR ROUND-15 DECLARATION (gated on staged_ops_live(14)). r18 covers
+# FILE-level corruption (ignoreCorruptFiles); the other resilience
+# tier is RECORD-level: a feed where some rows fail the schema must
+# load the good rows and QUARANTINE the bad ones, not abort (FAILFAST)
+# or silently drop (DROPMALFORMED). Staged here: 1-in-5 rows carry a
+# non-numeric value in a BIGINT column; the PERMISSIVE read parses
+# what it can, nulls the failed field, and captures the raw line in
+# `_corrupt_record`. The declared audit proves the quarantine exactly:
+# row conservation, good/corrupt split on the generation rule, parsed
+# mass from good rows only.
+#
+# Oracle: the corpus-derived generation rule is closed-form, so DuckDB
+# declares the expected audit from `documents` directly. Spark quirk
+# encoded here: a query touching `_corrupt_record` must materialize
+# the parse first (Spark refuses corrupt-column-only filters on lazy
+# CSV) — the .cache() is load-bearing, not an optimization.
+# Scale: malformed handling is per-record and scan-local; the corrupt
+# column costs nothing on clean rows. Quarantine-table-then-alert is
+# the standard 100-TB feed contract.
+# --------------------------------------------------------------------------
+_R21_N_DOCS = 40
+
+
+def r21_permissive_csv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _tmp_stage("r21")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _R21_N_DOCS
+    )
+    lines = d.select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            "source",
+            F.when(F.col("doc_id") % 5 == 0, F.lit("oops")).otherwise(
+                F.col("n_chars").cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.write.text(root)
+    parsed = spark.read.csv(
+        root,
+        schema="id LONG, src STRING, nc LONG, _corrupt_record STRING",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_corrupt_record").isNull().cast("long")).alias("n_good"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias(
+            "n_corrupt"
+        ),
+        F.sum(F.coalesce(F.col("nc"), F.lit(0))).alias("parsed_char_mass"),
+        F.countDistinct(
+            F.when(F.col("_corrupt_record").isNull(), F.col("src"))
+        ).alias("n_good_sources"),
+    )
+
+
+R21_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id % 5 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN doc_id % 5 != 0 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS parsed_char_mass,
+       COUNT(DISTINCT CASE WHEN doc_id % 5 != 0 THEN source END)
+         AS n_good_sources
+FROM documents WHERE doc_id < {_R21_N_DOCS}
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "r12_xml_roundtrip": r12_xml_roundtrip,

@@ -2977,6 +2977,75 @@ ORDER BY p.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q58: NULL-skew outer join via null salting — STAGED FOR ROUND-15
+# DECLARATION (gated on staged_ops_live(14)). The production skew
+# case q25/q29/q50 do NOT cover: an outer join whose fact-side key is
+# NULL for a large fraction of rows (unenriched events, optional FKs).
+# Hash partitioning sends EVERY null to one reducer — the worst skew
+# there is — yet SQL semantics say a NULL key can never match, so the
+# null bucket's shuffle+probe work is 100% wasted. Remedy declared
+# here: rewrite the key as COALESCE(key, -1 − (event_id % 16)) —
+# deterministic NEGATIVE salts outside the dimension's key domain —
+# spreading the null rows across 16 reducers that each probe and miss
+# locally. The oracle is the PLAIN outer join's accounting (no
+# salting), so the hash gate is the semantics-preservation proof.
+#
+# Scale: one shuffle either way; the salted spelling bounds the
+# largest reducer at max(true-key skew, n_nulls/16) instead of
+# n_nulls. 1/3 of events carry a NULL key by construction.
+# --------------------------------------------------------------------------
+def q58_null_skew_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("user_id") % 3 != 0, F.col("user_id")).alias("k"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_events"))
+    )
+    salted = e.withColumn(
+        "k2", F.coalesce(F.col("k"), F.lit(-1) - F.col("event_id") % 16)
+    )
+    joined = salted.join(dim, salted["k2"] == dim["user_id"], "left")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("user_id").isNotNull().cast("long")).alias("n_matched"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_null_key"),
+            F.sum(F.coalesce(F.col("user_events"), F.lit(0))).alias(
+                "matched_event_mass"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q58_SQL = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CASE WHEN user_id % 3 != 0 THEN user_id END AS k
+  FROM events
+),
+dim AS (
+  SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id
+)
+SELECT e.event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(SUM(CASE WHEN e.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_key,
+       CAST(SUM(COALESCE(d.user_events, 0)) AS BIGINT) AS matched_event_mass
+FROM e LEFT JOIN dim d ON e.k = d.user_id
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -3009,6 +3078,7 @@ STAGED_QUERIES = {
         "q56_small_file_compaction": q56_small_file_compaction,
     },
     13: {"q57_running_distinct": q57_running_distinct},
+    14: {"q58_null_skew_outer_join": q58_null_skew_outer_join},
 }
 STAGED_ORACLES = {
     6: {"q42_collated_group": Q42_SQL},
@@ -3042,4 +3112,5 @@ STAGED_ORACLES = {
         "q56_small_file_compaction": Q56_SQL,
     },
     13: {"q57_running_distinct": Q57_SQL},
+    14: {"q58_null_skew_outer_join": Q58_SQL},
 }

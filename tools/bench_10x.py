@@ -114,6 +114,11 @@ HEAVY = [
     "d26_lsh_recall_eval",
     "s28_binary_hamming_search",
     "s29_binary_recall_eval",
+    # round-15 staged (documents/embeddings-shaped)
+    "t54_dup_ngram_fraction",
+    "d27_bbit_minhash",
+    "m13_jpeg_header_parse",
+    "s30_quantization_error_budget",
 ]
 
 
