@@ -2440,6 +2440,88 @@ ORDER BY doc_a, doc_b
 )
 
 
+# --------------------------------------------------------------------------
+# d28: edit-distance verification tier — STAGED FOR ROUND-15
+# DECLARATION (gated on staged_ops_live(14)). The d-series verifies
+# candidates with set measures (Jaccard d05, containment d17,
+# signature agreement d27); the measure those all miss is ORDER:
+# two documents sharing every shingle in different arrangements are
+# set-identical but edit-distant. Declared here: exact Levenshtein
+# over the first 200 raw characters of each d03 candidate pair — the
+# standard bounded-prefix trick that keeps the O(len²) DP constant
+# per pair (full-text DP on megadoc pairs is the classic dedup-job
+# OOM) — plus the length-normalized similarity 1 − dist/max(len).
+#
+# Hash-gate discipline: Levenshtein is a uniquely-defined integer
+# (both engines implement the same DP); lengths are BIGINTs; the
+# normalization is one division, NULL-guarded. Scale: cost is
+# candidates × (200×200 DP) — candidate-bounded like every verify
+# tier, and the prefix cap makes the per-pair constant independent
+# of document size.
+# --------------------------------------------------------------------------
+_D28_PREFIX = 200
+
+
+def d28_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d03_lsh_candidate_pairs(spark, sf_dir).localCheckpoint()
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _D28_PREFIX).alias("prefix")
+    )
+    pa = d.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    pb = d.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    joined = pairs.join(pa, "doc_a").join(pb, "doc_b")
+    dist = F.levenshtein("pa", "pb").cast("long")
+    maxlen = F.greatest(F.length("pa"), F.length("pb")).cast("long")
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.length("pa").cast("long").alias("len_a"),
+            F.length("pb").cast("long").alias("len_b"),
+            dist.alias("edit_distance"),
+            F.when(
+                maxlen > 0,
+                F.lit(1.0) - dist.cast("double") / maxlen.cast("double"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("norm_similarity"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+D28_SQL = (
+    _TOKLIST_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('seed{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES))
+    + " FROM shingle_set GROUP BY doc_id), "
+    + f"banded AS ({_BANDS_SQL}), "
+    + f"""
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+prefixed AS (
+  SELECT doc_id, substring(text, 1, {_D28_PREFIX}) AS prefix FROM documents
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(length(x.prefix) AS BIGINT) AS len_a,
+       CAST(length(y.prefix) AS BIGINT) AS len_b,
+       CAST(levenshtein(x.prefix, y.prefix) AS BIGINT) AS edit_distance,
+       CASE WHEN greatest(length(x.prefix), length(y.prefix)) > 0
+            THEN 1.0 - CAST(levenshtein(x.prefix, y.prefix) AS DOUBLE)
+                 / CAST(greatest(length(x.prefix), length(y.prefix)) AS DOUBLE)
+            ELSE 1.0 END AS norm_similarity
+FROM pairs p
+JOIN prefixed x ON x.doc_id = p.doc_a
+JOIN prefixed y ON y.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+)
+
+
 STAGED_QUERIES = {
     6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
     7: {
@@ -2462,7 +2544,10 @@ STAGED_QUERIES = {
         "d25_lexical_semantic_overlap": d25_lexical_semantic_overlap,
     },
     13: {"d26_lsh_recall_eval": d26_lsh_recall_eval},
-    14: {"d27_bbit_minhash": d27_bbit_minhash},
+    14: {
+        "d27_bbit_minhash": d27_bbit_minhash,
+        "d28_edit_distance_verify": d28_edit_distance_verify,
+    },
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -2486,5 +2571,8 @@ STAGED_ORACLES = {
         "d25_lexical_semantic_overlap": D25_SQL,
     },
     13: {"d26_lsh_recall_eval": D26_SQL},
-    14: {"d27_bbit_minhash": D27_SQL},
+    14: {
+        "d27_bbit_minhash": D27_SQL,
+        "d28_edit_distance_verify": D28_SQL,
+    },
 }

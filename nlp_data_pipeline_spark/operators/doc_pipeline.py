@@ -2632,6 +2632,7 @@ STAGED_QUERIES = {
         "a10_kmv_k_curve": a10_kmv_k_curve,
         "r20_schema_evolution_merge": r20_schema_evolution_merge,
     },
+    14: {"r21_permissive_csv_audit": r21_permissive_csv_audit},
 }
 STAGED_ORACLES = {
     6: {
@@ -2662,4 +2663,5 @@ STAGED_ORACLES = {
         "a10_kmv_k_curve": A10_SQL,
         "r20_schema_evolution_merge": R20_SQL,
     },
+    14: {"r21_permissive_csv_audit": R21_SQL},
 }

@@ -2571,3 +2571,96 @@ def test_s30_tier_errors_ordered(spark, sf_dir):
     for r in rows:
         assert -1.0 <= r["cos_sign"] <= 1.0
         assert r["err_sq8"] >= 0 and r["err_sign"] >= 0
+
+
+def test_q58_matches_duckdb_oracle(spark, sf_dir):
+    """q58 null-skew salting is STAGED for round-15; the oracle is the
+    PLAIN outer join, so the hash gate proves salting preserved
+    semantics exactly."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q58_SQL,
+        q58_null_skew_outer_join,
+    )
+
+    got = [tuple(r) for r in q58_null_skew_outer_join(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(Q58_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_q58_null_keys_never_match(spark, sf_dir):
+    """Salted nulls land outside the dimension's key domain: matched +
+    null-key rows can overlap with nothing, so n_matched + n_null_key
+    ≤ n_rows with equality iff every non-null key resolves."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        q58_null_skew_outer_join,
+    )
+
+    rows = q58_null_skew_outer_join(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_matched"] + r["n_null_key"] <= r["n_rows"]
+        # every user_id in events exists in the self-derived dim, so
+        # all non-null keys must match
+        assert r["n_matched"] == r["n_rows"] - r["n_null_key"]
+
+
+def test_r21_matches_duckdb_oracle(spark, sf_dir):
+    """r21 PERMISSIVE malformed-CSV audit is STAGED for round-15; the
+    quarantine split must equal the closed-form generation rule."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        R21_SQL,
+        r21_permissive_csv_audit,
+    )
+
+    got = [tuple(r) for r in r21_permissive_csv_audit(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(R21_SQL).fetchall()]
+    assert len(got) == 1 and got == want
+
+
+def test_r21_quarantine_conserves_rows(spark, sf_dir):
+    """PERMISSIVE mode loses nothing: good + corrupt = all staged
+    lines, and exactly the 1-in-5 malformed rows are quarantined."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        _R21_N_DOCS,
+        r21_permissive_csv_audit,
+    )
+
+    r = r21_permissive_csv_audit(spark, sf_dir).collect()[0]
+    n_staged = _duck(sf_dir).execute(
+        f"SELECT COUNT(*) FROM documents WHERE doc_id < {_R21_N_DOCS}"
+    ).fetchone()[0]
+    assert r["n_rows"] == n_staged
+    assert r["n_good"] + r["n_corrupt"] == r["n_rows"]
+    assert r["n_corrupt"] == sum(
+        1 for i in range(min(_R21_N_DOCS, n_staged)) if i % 5 == 0
+    )
+
+
+def test_d28_matches_duckdb_oracle(spark, sf_dir):
+    """d28 edit-distance verify is STAGED for round-15; Levenshtein is
+    a uniquely-defined integer so the tier is oracle-exact."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D28_SQL,
+        d28_edit_distance_verify,
+    )
+
+    got = [tuple(r) for r in d28_edit_distance_verify(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D28_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_d28_metric_properties(spark, sf_dir):
+    """Levenshtein bounds: |len_a − len_b| ≤ dist ≤ max(len), and the
+    normalized similarity is the declared quotient in [0, 1]."""
+    from nlp_data_pipeline_spark.operators.dedup import d28_edit_distance_verify
+
+    rows = d28_edit_distance_verify(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        mx = max(r["len_a"], r["len_b"])
+        assert abs(r["len_a"] - r["len_b"]) <= r["edit_distance"] <= mx
+        if mx > 0:
+            assert r["norm_similarity"] == 1.0 - r["edit_distance"] / mx
+        assert 0.0 <= r["norm_similarity"] <= 1.0
