@@ -2476,6 +2476,146 @@ A10_SQL = _a10_sql()
 
 
 # --------------------------------------------------------------------------
+# a11: Bloom-filter FPR operating curve — STAGED FOR ROUND-15
+# DECLARATION (gated on staged_ops_live(14)). a05 deploys Spark's
+# built-in Bloom semijoin at one size; the sizing decision it hides
+# is THE Bloom question: bits-per-key vs false-positive rate. This op
+# measures it from first principles with a portable two-hash Bloom
+# (k=2, h_i = md5('b_i|'·x) prefix mod m) built over src0's distinct
+# bigrams and probed with src1's true negatives, at m ∈ {256, 1024,
+# 4096} — the measured FPR curve next to the load factor that
+# explains it. Every piece is md5 integer arithmetic, so the filter
+# state AND the measured FPR are engine-exact (the a06 discipline —
+# no engine-internal sketch bits are compared, unlike a01–a03's
+# tolerance booleans).
+#
+# Scale: the curve costs |members| + |probes| hash rows per arm —
+# the whole audit is sketch-sized. Production reads this table to
+# pick bits-per-key BEFORE building a 100-TB-side Bloom pushdown;
+# the d20 decontamination tier and a05 pruning join are the
+# consumers of that choice.
+# --------------------------------------------------------------------------
+_A11_MS = (256, 1024, 4096)
+
+
+def a11_bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    base = d.select("source", toks.alias("t"))
+    pairs_expr = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 1),
+            F.slice("t", 2, F.size("t") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    bg = base.select("source", F.explode(pairs_expr).alias("bg")).distinct()
+    members = bg.filter(F.col("source") == "src0").select("bg").localCheckpoint()
+    probes = (
+        bg.filter(F.col("source") == "src1")
+        .select("bg")
+        .join(members, "bg", "left_anti")
+        .localCheckpoint()
+    )
+    h = lambda seed, m: F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), F.col("bg"))), 1, 8), 16, 10
+    ).cast("long") % m
+    arms = []
+    for m in _A11_MS:
+        bits = (
+            members.select(h("b1", m).alias("bit"))
+            .union(members.select(h("b2", m).alias("bit")))
+            .distinct()
+        )
+        hashed_probes = probes.select(
+            "bg", h("b1", m).alias("h1"), h("b2", m).alias("h2")
+        )
+        fps = hashed_probes.join(
+            bits.withColumnRenamed("bit", "h1"), "h1", "left_semi"
+        ).join(bits.withColumnRenamed("bit", "h2"), "h2", "left_semi")
+        arm = (
+            members.agg(F.count(F.lit(1)).alias("n_members"))
+            .crossJoin(bits.agg(F.count(F.lit(1)).alias("n_bits_set")))
+            .crossJoin(probes.agg(F.count(F.lit(1)).alias("n_probes")))
+            .crossJoin(fps.agg(F.count(F.lit(1)).alias("n_false_pos")))
+            .select(
+                F.lit(m).cast("long").alias("m_bits"),
+                "n_members",
+                "n_bits_set",
+                "n_probes",
+                "n_false_pos",
+                (
+                    F.col("n_false_pos").cast("double")
+                    / F.col("n_probes").cast("double")
+                ).alias("fpr"),
+            )
+        )
+        arms.append(arm)
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("m_bits")
+
+
+def _a11_sql() -> str:
+    from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL
+
+    arm = """
+SELECT CAST({m} AS BIGINT) AS m_bits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+       (SELECT CAST(COUNT(DISTINCT bit) AS BIGINT) FROM (
+          SELECT CAST(('0x' || substring(md5('b1|' || bg), 1, 8)) AS BIGINT)
+                 % {m} AS bit FROM members
+          UNION ALL
+          SELECT CAST(('0x' || substring(md5('b2|' || bg), 1, 8)) AS BIGINT)
+                 % {m} AS bit FROM members
+        ) b) AS n_bits_set,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM probes p
+        WHERE CAST(('0x' || substring(md5('b1|' || p.bg), 1, 8)) AS BIGINT) % {m}
+              IN (SELECT CAST(('0x' || substring(md5('b1|' || bg), 1, 8))
+                       AS BIGINT) % {m} FROM members
+                  UNION
+                  SELECT CAST(('0x' || substring(md5('b2|' || bg), 1, 8))
+                       AS BIGINT) % {m} FROM members)
+          AND CAST(('0x' || substring(md5('b2|' || p.bg), 1, 8)) AS BIGINT) % {m}
+              IN (SELECT CAST(('0x' || substring(md5('b1|' || bg), 1, 8))
+                       AS BIGINT) % {m} FROM members
+                  UNION
+                  SELECT CAST(('0x' || substring(md5('b2|' || bg), 1, 8))
+                       AS BIGINT) % {m} FROM members)
+       ) AS n_false_pos
+"""
+    arms = " UNION ALL ".join(arm.format(m=m) for m in _A11_MS)
+    return f"""
+WITH toks AS (
+  SELECT source, list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT source, bg FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+    FROM toks WHERE len(t) >= 2
+  ) u
+),
+members AS (SELECT bg FROM bg WHERE source = 'src0'),
+probes AS (
+  SELECT bg FROM bg WHERE source = 'src1'
+  AND bg NOT IN (SELECT bg FROM members)
+)
+SELECT m_bits, n_members, n_bits_set, n_probes, n_false_pos,
+       CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE) AS fpr
+FROM ({arms}) curve
+ORDER BY m_bits
+"""
+
+
+A11_SQL = _a11_sql()
+
+
+# --------------------------------------------------------------------------
 # r20: parquet schema-evolution merge — STAGED FOR ROUND-14
 # DECLARATION (gated on staged_ops_live(13)). Long-lived datasets
 # evolve: a column added mid-corpus means the lake holds files with
@@ -2603,6 +2743,70 @@ FROM documents WHERE doc_id < {_R21_N_DOCS}
 """
 
 
+# --------------------------------------------------------------------------
+# p08: curation waterfall — STAGED FOR ROUND-15 DECLARATION (gated on
+# staged_ops_live(14)). p04 verdicts every document with its FIRST
+# failing filter (exact_dup → too_short → repetitive → boilerplate →
+# kept); this is the report a curation run publishes from those
+# verdicts: per pipeline stage, how many documents that stage dropped
+# and how many survived past it — the cumulative funnel that shows
+# which filter does the work and where a threshold change would bite.
+# Because p04 assigns first-failure reasons, the waterfall is exact
+# set arithmetic: surviving_after_k = total − Σ_{j≤k} dropped_j.
+#
+# Hash-gate discipline: pure BIGINT conditional sums off p04's
+# already-green verdict relation; the oracle composes P04_SQL
+# verbatim as a CTE (the t52 pattern) so both sides inherit identical
+# verdict rules. Scale: rides p04's one-pass plan; the report itself
+# is a scalar aggregate + a 5-row stack.
+# --------------------------------------------------------------------------
+_P08_STAGES = ("exact_dup", "too_short", "repetitive", "boilerplate")
+
+
+def p08_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = p04_curation_pipeline(spark, sf_dir).select("drop_reason")
+    aggs = [F.count(F.lit(1)).alias("total")] + [
+        F.sum((F.col("drop_reason") == s).cast("long")).alias(f"d{i}")
+        for i, s in enumerate(_P08_STAGES, start=1)
+    ]
+    row = v.agg(*aggs)
+    cum = {i: " + ".join(f"d{j}" for j in range(1, i + 1)) for i in range(1, 5)}
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), '{s}', d{i}, total - ({cum[i]})"
+        for i, s in enumerate(_P08_STAGES, start=1)
+    )
+    return row.selectExpr(
+        f"stack({len(_P08_STAGES)}, {stack_args})"
+        " AS (stage, stage_name, n_dropped, n_surviving)"
+    ).orderBy("stage")
+
+
+def _p08_sql() -> str:
+    conds = {
+        i: " + ".join(
+            f"SUM(CASE WHEN drop_reason = '{_P08_STAGES[j - 1]}' THEN 1 ELSE 0 END)"
+            for j in range(1, i + 1)
+        )
+        for i in range(1, 5)
+    }
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS stage, '{s}' AS stage_name,"
+        f" CAST(SUM(CASE WHEN drop_reason = '{s}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_dropped,"
+        f" CAST(COUNT(*) - ({conds[i]}) AS BIGINT) AS n_surviving"
+        f" FROM p04_out"
+        for i, s in enumerate(_P08_STAGES, start=1)
+    )
+    return f"""
+WITH p04_out AS ({P04_SQL})
+SELECT * FROM ({arms}) w
+ORDER BY stage
+"""
+
+
+P08_SQL = _p08_sql()
+
+
 STAGED_QUERIES = {
     6: {
         "r12_xml_roundtrip": r12_xml_roundtrip,
@@ -2632,7 +2836,11 @@ STAGED_QUERIES = {
         "a10_kmv_k_curve": a10_kmv_k_curve,
         "r20_schema_evolution_merge": r20_schema_evolution_merge,
     },
-    14: {"r21_permissive_csv_audit": r21_permissive_csv_audit},
+    14: {
+        "r21_permissive_csv_audit": r21_permissive_csv_audit,
+        "p08_curation_waterfall": p08_curation_waterfall,
+        "a11_bloom_fpr_curve": a11_bloom_fpr_curve,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -2663,5 +2871,9 @@ STAGED_ORACLES = {
         "a10_kmv_k_curve": A10_SQL,
         "r20_schema_evolution_merge": R20_SQL,
     },
-    14: {"r21_permissive_csv_audit": R21_SQL},
+    14: {
+        "r21_permissive_csv_audit": R21_SQL,
+        "p08_curation_waterfall": P08_SQL,
+        "a11_bloom_fpr_curve": A11_SQL,
+    },
 }

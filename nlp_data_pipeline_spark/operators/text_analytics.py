@@ -4018,6 +4018,94 @@ ORDER BY source, decile
 """
 
 
+# --------------------------------------------------------------------------
+# t55: character-class composition audit — STAGED FOR ROUND-15
+# DECLARATION (gated on staged_ops_live(14)). t51's all_ascii bit
+# answers "is this source plain ASCII"; the curation follow-up needs
+# the COMPOSITION: per source, the exact character masses by class
+# (lower/upper/digit/whitespace/other) — the table that catches a
+# source whose "text" is mostly digits (tables/logs), screaming-caps
+# boilerplate, or markup debris, before any tokenizer sees it.
+# Class counting is length-after-class-strip (regexp_replace with
+# plain ASCII classes — deliberately no shorthand classes like \w,
+# whose Unicode semantics diverge between regex engines; the
+# oracle-parity lesson applied).
+#
+# Hash-gate discipline: all masses are exact BIGINT sums; `other` is
+# closed-form subtraction; frac_alpha is ONE IEEE division.
+# Scale: pure scan-local string expressions, map-side combined to one
+# row per source — the same one-pass profile shape as t51.
+# --------------------------------------------------------------------------
+def t55_char_class_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = lambda cls: F.length(
+        F.regexp_replace("text", f"[^{cls}]", "")
+    ).cast("long")
+    per_doc = d.select(
+        "source",
+        F.length("text").cast("long").alias("c"),
+        n("a-z").alias("lo"),
+        n("A-Z").alias("up"),
+        n("0-9").alias("dg"),
+        n(" \\t\\n").alias("ws"),
+    )
+    g = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("c").alias("total_chars"),
+        F.sum("lo").alias("n_lower"),
+        F.sum("up").alias("n_upper"),
+        F.sum("dg").alias("n_digit"),
+        F.sum("ws").alias("n_space"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "n_lower",
+        "n_upper",
+        "n_digit",
+        "n_space",
+        (
+            F.col("total_chars")
+            - F.col("n_lower")
+            - F.col("n_upper")
+            - F.col("n_digit")
+            - F.col("n_space")
+        ).alias("n_other"),
+        (
+            (F.col("n_lower") + F.col("n_upper")).cast("double")
+            / F.col("total_chars").cast("double")
+        ).alias("frac_alpha"),
+    ).orderBy("source")
+
+
+T55_SQL = r"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS c,
+         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS lo,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS up,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS dg,
+         CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS BIGINT) AS ws
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(c) AS BIGINT) AS total_chars,
+       CAST(SUM(lo) AS BIGINT) AS n_lower,
+       CAST(SUM(up) AS BIGINT) AS n_upper,
+       CAST(SUM(dg) AS BIGINT) AS n_digit,
+       CAST(SUM(ws) AS BIGINT) AS n_space,
+       CAST(SUM(c) - SUM(lo) - SUM(up) - SUM(dg) - SUM(ws) AS BIGINT)
+         AS n_other,
+       CAST(SUM(lo) + SUM(up) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         AS frac_alpha
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -4049,7 +4137,10 @@ STAGED_QUERIES = {
         "t52_lang_confusion": t52_lang_confusion,
         "t53_token_gini": t53_token_gini,
     },
-    14: {"t54_dup_ngram_fraction": t54_dup_ngram_fraction},
+    14: {
+        "t54_dup_ngram_fraction": t54_dup_ngram_fraction,
+        "t55_char_class_mix": t55_char_class_mix,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -4082,5 +4173,8 @@ STAGED_ORACLES = {
         "t52_lang_confusion": T52_SQL,
         "t53_token_gini": T53_SQL,
     },
-    14: {"t54_dup_ngram_fraction": T54_SQL},
+    14: {
+        "t54_dup_ngram_fraction": T54_SQL,
+        "t55_char_class_mix": T55_SQL,
+    },
 }

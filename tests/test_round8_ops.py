@@ -2664,3 +2664,94 @@ def test_d28_metric_properties(spark, sf_dir):
         if mx > 0:
             assert r["norm_similarity"] == 1.0 - r["edit_distance"] / mx
         assert 0.0 <= r["norm_similarity"] <= 1.0
+
+
+def test_t55_matches_duckdb_oracle(spark, sf_dir):
+    """t55 character-class mix is STAGED for round-15; explicit ASCII
+    classes only (no \\w-style shorthands — the regex-parity rule)."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T55_SQL,
+        t55_char_class_mix,
+    )
+
+    got = [tuple(r) for r in t55_char_class_mix(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T55_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_t55_masses_partition_chars(spark, sf_dir):
+    """Class masses are non-negative, sum to the total (other is the
+    exact remainder), and frac_alpha is the declared quotient."""
+    from nlp_data_pipeline_spark.operators.text_analytics import t55_char_class_mix
+
+    rows = t55_char_class_mix(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        parts = [r["n_lower"], r["n_upper"], r["n_digit"], r["n_space"], r["n_other"]]
+        assert all(p >= 0 for p in parts)
+        assert sum(parts) == r["total_chars"]
+        assert r["frac_alpha"] == (r["n_lower"] + r["n_upper"]) / r["total_chars"]
+
+
+def test_p08_matches_duckdb_oracle(spark, sf_dir):
+    """p08 curation waterfall is STAGED for round-15; the oracle
+    composes P04_SQL verbatim so both sides share verdict rules."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        P08_SQL,
+        p08_curation_waterfall,
+    )
+
+    got = [tuple(r) for r in p08_curation_waterfall(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(P08_SQL).fetchall()]
+    assert len(got) == 4 and got == want
+
+
+def test_p08_waterfall_reconciles_with_p04(spark, sf_dir):
+    """Cumulative arithmetic: surviving after each stage decreases by
+    exactly that stage's drops, and the final survivors equal p04's
+    kept count."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        p04_curation_pipeline,
+        p08_curation_waterfall,
+    )
+
+    rows = sorted(
+        p08_curation_waterfall(spark, sf_dir).collect(), key=lambda r: r["stage"]
+    )
+    verdicts = p04_curation_pipeline(spark, sf_dir).collect()
+    total = len(verdicts)
+    kept = sum(1 for v in verdicts if v["keep"])
+    surviving = total
+    for r in rows:
+        surviving -= r["n_dropped"]
+        assert r["n_surviving"] == surviving
+    assert rows[-1]["n_surviving"] == kept
+
+
+def test_a11_matches_duckdb_oracle(spark, sf_dir):
+    """a11 Bloom FPR curve is STAGED for round-15; filter state and
+    measured FPR are md5 integer arithmetic, engine-exact."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        A11_SQL,
+        a11_bloom_fpr_curve,
+    )
+
+    got = [tuple(r) for r in a11_bloom_fpr_curve(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(A11_SQL).fetchall()]
+    assert len(got) == 3 and got == want
+
+
+def test_a11_fpr_decreases_with_bits(spark, sf_dir):
+    """More bits can only help: FPR is non-increasing in m, bits set
+    are bounded by both 2·members and m, and fpr is the declared
+    quotient."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import a11_bloom_fpr_curve
+
+    rows = sorted(
+        a11_bloom_fpr_curve(spark, sf_dir).collect(), key=lambda r: r["m_bits"]
+    )
+    fprs = [r["fpr"] for r in rows]
+    assert fprs == sorted(fprs, reverse=True)
+    for r in rows:
+        assert 0 < r["n_bits_set"] <= min(2 * r["n_members"], r["m_bits"])
+        assert r["fpr"] == r["n_false_pos"] / r["n_probes"]
