@@ -1756,6 +1756,71 @@ ORDER BY horizon_s
 """
 
 
+# --------------------------------------------------------------------------
+# e25: event-type transition matrix — STAGED FOR ROUND-15 DECLARATION
+# (gated on staged_ops_live(14)). The first-order Markov model of user
+# behavior: for every consecutive event pair within a user's
+# timeline, count (from_type → to_type) and row-normalize into the
+# transition probability — the matrix behind next-action prediction,
+# anomaly scoring (improbable transitions), and funnel design (e23
+# picks its stage ORDER from this table). Consecutive = lag over the
+# exact (ts, event_id) total order per user.
+#
+# Hash-gate discipline: transition counts and row totals are exact
+# BIGINTs from one lag window + one groupBy; the probability is ONE
+# IEEE division of those integers. Scale: the lag window and the
+# groupBy both key on user/from_type — one shuffle on user_id for the
+# lag, one map-combined aggregation to the |types|² ≤ 25-row matrix.
+# --------------------------------------------------------------------------
+def e25_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_w = Window.partitionBy("from_type")
+    return (
+        trans.withColumn("from_total", F.sum("n_transitions").over(row_w))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            "from_total",
+            (
+                F.col("n_transitions").cast("double")
+                / F.col("from_total").cast("double")
+            ).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+E25_SQL = """
+WITH trans AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counted AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM trans WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+         AS from_total,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+         AS prob
+FROM counted
+ORDER BY from_type, to_type
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "e18_dedup_within_watermark": e18_dedup_within_watermark,
@@ -1771,6 +1836,7 @@ STAGED_QUERIES = {
         "e23_conversion_funnel": e23_conversion_funnel,
         "e24_late_data_accounting": e24_late_data_accounting,
     },
+    14: {"e25_transition_matrix": e25_transition_matrix},
 }
 STAGED_ORACLES = {
     6: {
@@ -1787,4 +1853,5 @@ STAGED_ORACLES = {
         "e23_conversion_funnel": E23_SQL,
         "e24_late_data_accounting": E24_SQL,
     },
+    14: {"e25_transition_matrix": E25_SQL},
 }

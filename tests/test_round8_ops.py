@@ -2755,3 +2755,39 @@ def test_a11_fpr_decreases_with_bits(spark, sf_dir):
     for r in rows:
         assert 0 < r["n_bits_set"] <= min(2 * r["n_members"], r["m_bits"])
         assert r["fpr"] == r["n_false_pos"] / r["n_probes"]
+
+
+def test_e25_matches_duckdb_oracle(spark, sf_dir):
+    """e25 transition matrix is STAGED for round-15; lag over the
+    exact (ts, event_id) total order, integer counts, one division."""
+    from nlp_data_pipeline_spark.operators.events import (
+        E25_SQL,
+        e25_transition_matrix,
+    )
+
+    got = [tuple(r) for r in e25_transition_matrix(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(E25_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_e25_rows_are_distributions(spark, sf_dir):
+    """Each from_type's probabilities sum to 1, transitions total
+    events minus one per user, and every prob is the declared
+    quotient."""
+    from nlp_data_pipeline_spark.operators.events import e25_transition_matrix
+
+    rows = e25_transition_matrix(spark, sf_dir).collect()
+    con = _duck(sf_dir, views=("events",))
+    n_events, n_users = con.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT user_id) FROM events"
+    ).fetchone()
+    assert sum(r["n_transitions"] for r in rows) == n_events - n_users
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+        assert r["prob"] == r["n_transitions"] / r["from_total"]
+    for cells in by_from.values():
+        assert cells[0]["from_total"] == sum(c["n_transitions"] for c in cells)
+        assert abs(sum(c["prob"] for c in cells) - 1.0) < 1e-9
