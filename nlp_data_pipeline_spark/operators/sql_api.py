@@ -1075,6 +1075,75 @@ FROM orders
 # Staged while the declaring round's window was at capacity; auto-
 # declared the round after by __spark_entry__._collect (lazy gate).
 # --------------------------------------------------------------------------
+# v21: observe() / Observation metrics — STAGED FOR ROUND-15
+# DECLARATION (gated on staged_ops_live(14)). The API every
+# production pipeline needs and almost nobody declares: named metrics
+# accumulated DURING a real pass (df.observe(Observation, aggs...)) —
+# row counts, value masses, null tallies — collected at zero extra
+# cost (no second scan, no count() re-run) as the job's own action
+# executes. Staged here: an events pass whose action is a parquet
+# write to scratch (a realistic sink), with the observation riding
+# it; the declared row IS the observed metrics. The oracle computes
+# the same aggregates with plain SQL — equality proves the
+# observation saw every row exactly once (a re-scan or partial scan
+# would double or drop).
+#
+# Hash-gate discipline: counts are BIGINTs; the value mass goes
+# through DECIMAL(18,2) (the money rule). Scale: observe() is the
+# 100-TB answer to "how many rows did this job actually write" —
+# accumulator-based, zero extra passes; never run count() after an
+# action you could have observed.
+# --------------------------------------------------------------------------
+def v21_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from nlp_data_pipeline_spark.scratch import scratch_path
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    obs = Observation("v21")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("value_mass"),
+        F.sum((F.col("event_type") == "signup").cast("long")).alias("n_signups"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+    )
+    root = scratch_path(f"v21_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    observed.write.parquet(root)  # the real action the metrics ride
+    m = obs.get
+    # decimal-exact inside the pass, declared as DOUBLE at the edge
+    # (the V01 money rule — the driver compares float64 kinds)
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(m["value_mass"]),
+                int(m["n_signups"]),
+                int(m["n_null_value"]),
+            )
+        ],
+        "n_rows long, value_mass double, n_signups long, n_null_value long",
+    )
+
+
+V21_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_mass,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_signups,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_value
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
 # v20: bag-semantics set operations — STAGED FOR ROUND-14 DECLARATION
 # (gated on staged_ops_live(13)). q14 covers DISTINCT set ops; the ALL
 # variants are a different operator family with different physical
@@ -1130,6 +1199,7 @@ STAGED_QUERIES = {
     10: {"v18_null_semantics": v18_null_semantics},
     12: {"v19_try_functions": v19_try_functions},
     13: {"v20_bag_set_ops": v20_bag_set_ops},
+    14: {"v21_observe_metrics": v21_observe_metrics},
 }
 STAGED_ORACLES = {
     6: {
@@ -1149,4 +1219,5 @@ STAGED_ORACLES = {
     10: {"v18_null_semantics": V18_SQL},
     12: {"v19_try_functions": V19_SQL},
     13: {"v20_bag_set_ops": V20_SQL},
+    14: {"v21_observe_metrics": V21_SQL},
 }

@@ -2791,3 +2791,33 @@ def test_e25_rows_are_distributions(spark, sf_dir):
     for cells in by_from.values():
         assert cells[0]["from_total"] == sum(c["n_transitions"] for c in cells)
         assert abs(sum(c["prob"] for c in cells) - 1.0) < 1e-9
+
+
+def test_v21_matches_duckdb_oracle(spark, sf_dir):
+    """v21 observe() metrics are STAGED for round-15; equality with
+    the plain-SQL aggregates proves the observation saw every row of
+    the write exactly once."""
+    from nlp_data_pipeline_spark.operators.sql_api import (
+        V21_SQL,
+        v21_observe_metrics,
+    )
+
+    got = [tuple(r) for r in v21_observe_metrics(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(V21_SQL).fetchall()
+    ]
+    assert len(got) == 1 and got == want
+
+
+def test_v21_observation_rides_the_write(spark, sf_dir):
+    """The observed row count equals the rows actually landed by the
+    action the observation rode (read the staged parquet back)."""
+    import os
+
+    from nlp_data_pipeline_spark.operators.sql_api import v21_observe_metrics
+    from nlp_data_pipeline_spark.scratch import scratch_path
+
+    r = v21_observe_metrics(spark, sf_dir).collect()[0]
+    landed = spark.read.parquet(scratch_path(f"v21_{os.getpid()}")).count()
+    assert r["n_rows"] == landed
+    assert r["n_signups"] <= r["n_rows"]
