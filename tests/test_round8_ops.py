@@ -2821,3 +2821,57 @@ def test_v21_observation_rides_the_write(spark, sf_dir):
     landed = spark.read.parquet(scratch_path(f"v21_{os.getpid()}")).count()
     assert r["n_rows"] == landed
     assert r["n_signups"] <= r["n_rows"]
+
+
+def test_new_staged_hot_paths_are_python_free(spark, sf_dir):
+    """The new quantization/dedup/profile operators stay entirely in
+    JVM expressions: no Python evaluation stage, no cartesian product
+    anywhere in their plans (m12's tarfile kernel is the documented
+    exception and is not in this list)."""
+    from nlp_data_pipeline_spark.plans.explain import formatted_plan
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d26_lsh_recall_eval,
+        d27_bbit_minhash,
+        d28_edit_distance_verify,
+    )
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        a09_kmv_intersection,
+        a11_bloom_fpr_curve,
+    )
+    from nlp_data_pipeline_spark.operators.similarity import (
+        s28_binary_hamming_search,
+        s30_quantization_error_budget,
+    )
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        t54_dup_ngram_fraction,
+        t55_char_class_mix,
+    )
+
+    for op in (
+        s28_binary_hamming_search,
+        s30_quantization_error_budget,
+        d26_lsh_recall_eval,
+        d27_bbit_minhash,
+        d28_edit_distance_verify,
+        a09_kmv_intersection,
+        a11_bloom_fpr_curve,
+        t54_dup_ngram_fraction,
+        t55_char_class_mix,
+    ):
+        plan = formatted_plan(op(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, op.__name__
+        assert "ArrowEvalPython" not in plan, op.__name__
+        assert "CartesianProduct" not in plan, op.__name__
+
+
+def test_s28_scan_projects_only_needed_columns(spark, sf_dir):
+    """The binary-search corpus scan must not drag the label column:
+    ReadSchema carries vec_id + embedding only (column pruning reached
+    the parquet scan)."""
+    from nlp_data_pipeline_spark.plans.explain import formatted_plan
+    from nlp_data_pipeline_spark.operators.similarity import (
+        s28_binary_hamming_search,
+    )
+
+    plan = formatted_plan(s28_binary_hamming_search(spark, sf_dir))
+    assert "label" not in plan
