@@ -3046,6 +3046,77 @@ ORDER BY e.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q59: relative-rank analytic battery — STAGED FOR ROUND-15
+# DECLARATION (gated on staged_ops_live(14)). q22/q24/q33 cover
+# rank/lag/frames; the RELATIVE-rank family was the remaining
+# analytic-window gap: percent_rank() (= (rank−1)/(n−1)),
+# cume_dist() (= rows ≤ current / n), and ntile(4) (equal-height
+# quartile assignment) — the functions behind percentile badges,
+# "top X% of segment" flags, and quartile-bucketed reporting. All
+# three over one window: customers ranked within market segment by
+# exact DECIMAL lifetime spend, tie-broken by custkey so the order
+# (hence every rank) is total.
+#
+# Hash-gate discipline: ANSI defines all three identically in both
+# engines given a total order; percent_rank/cume_dist are single
+# divisions of exact integers, ntile is an integer. Spend declares as
+# DOUBLE of the DECIMAL(18,2) sum (the money rule).
+# Scale: one shuffle on the customer key for the spend rollup, one on
+# segment for the window — the window state is a counter, not a
+# buffer, so segment size only bounds the sort.
+# --------------------------------------------------------------------------
+def q59_analytic_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(D182)).alias("spend_dec")
+        )
+        .join(
+            c.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("spend_dec", "o_custkey")
+    return (
+        spend.filter(F.col("o_custkey") < 200)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("spend_dec").cast("double").alias("spend"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("segment", "custkey")
+    )
+
+
+Q59_SQL = """
+WITH spend AS (
+  SELECT o.o_custkey AS custkey, c.c_mktsegment AS segment,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS spend_dec
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY o.o_custkey, c.c_mktsegment
+)
+SELECT custkey, segment,
+       CAST(spend_dec AS DOUBLE) AS spend,
+       percent_rank() OVER (PARTITION BY segment
+                            ORDER BY spend_dec, custkey) AS pct_rank,
+       cume_dist() OVER (PARTITION BY segment
+                         ORDER BY spend_dec, custkey) AS cume,
+       CAST(ntile(4) OVER (PARTITION BY segment
+                           ORDER BY spend_dec, custkey) AS BIGINT) AS quartile
+FROM spend
+WHERE custkey < 200
+ORDER BY segment, custkey
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -3078,7 +3149,10 @@ STAGED_QUERIES = {
         "q56_small_file_compaction": q56_small_file_compaction,
     },
     13: {"q57_running_distinct": q57_running_distinct},
-    14: {"q58_null_skew_outer_join": q58_null_skew_outer_join},
+    14: {
+        "q58_null_skew_outer_join": q58_null_skew_outer_join,
+        "q59_analytic_rank_battery": q59_analytic_rank_battery,
+    },
 }
 STAGED_ORACLES = {
     6: {"q42_collated_group": Q42_SQL},
@@ -3112,5 +3186,8 @@ STAGED_ORACLES = {
         "q56_small_file_compaction": Q56_SQL,
     },
     13: {"q57_running_distinct": Q57_SQL},
-    14: {"q58_null_skew_outer_join": Q58_SQL},
+    14: {
+        "q58_null_skew_outer_join": Q58_SQL,
+        "q59_analytic_rank_battery": Q59_SQL,
+    },
 }

@@ -2875,3 +2875,45 @@ def test_s28_scan_projects_only_needed_columns(spark, sf_dir):
 
     plan = formatted_plan(s28_binary_hamming_search(spark, sf_dir))
     assert "label" not in plan
+
+
+def test_q59_matches_duckdb_oracle(spark, sf_dir):
+    """q59 relative-rank battery is STAGED for round-15; all three
+    functions are ANSI-identical given the declared total order."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q59_SQL,
+        q59_analytic_rank_battery,
+    )
+
+    got = [tuple(r) for r in q59_analytic_rank_battery(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("orders", "customer"))
+        .execute(Q59_SQL)
+        .fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_q59_relative_rank_algebra(spark, sf_dir):
+    """Within each segment: pct_rank and cume are in [0,1] and
+    non-decreasing along the spend order, quartiles are 1..4
+    non-decreasing, and the last row has cume exactly 1.0."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        q59_analytic_rank_battery,
+    )
+
+    rows = q59_analytic_rank_battery(spark, sf_dir).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append(r)
+    assert by_seg
+    for seg, cells in by_seg.items():
+        cells.sort(key=lambda r: (r["spend"], r["custkey"]))
+        for a, b in zip(cells, cells[1:]):
+            assert a["pct_rank"] <= b["pct_rank"]
+            assert a["cume"] <= b["cume"]
+            assert a["quartile"] <= b["quartile"]
+        assert cells[-1]["cume"] == 1.0
+        assert all(1 <= c["quartile"] <= 4 for c in cells)
+        assert all(0.0 <= c["pct_rank"] <= 1.0 for c in cells)
