@@ -2807,6 +2807,68 @@ ORDER BY stage
 P08_SQL = _p08_sql()
 
 
+# --------------------------------------------------------------------------
+# r22: whole-file text ingestion — STAGED FOR ROUND-15 DECLARATION
+# (gated on staged_ops_live(14)). Document corpora often land as ONE
+# FILE PER DOCUMENT (crawl dumps, OCR outputs, per-article exports);
+# line-oriented spark.read.text would shred every document at \n.
+# The `wholetext` option reads each file as a single row, and the
+# hidden `_metadata.file_path` column carries the identity that
+# one-doc-per-file layouts encode in the FILENAME. Staged: 10
+# documents written byte-exactly as individual .txt files, read back
+# wholetext, doc_id recovered from the filename, integrity declared
+# as exact length + sha256 per document against the source table.
+#
+# Scale: wholetext means a file must fit a single row buffer — the
+# right reader for document-sized files, never for multi-GB ones
+# (those go through binaryFile + a splitting kernel). Small-file
+# count, not size, is the real 100-TB hazard here: ingest once, then
+# compact (q56) into row-grouped parquet.
+# --------------------------------------------------------------------------
+_R22_N_DOCS = 10
+
+
+def r22_wholetext_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _tmp_stage("r22")
+    os.makedirs(root)
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _R22_N_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:  # bounded per-file fixture write (the m12 pattern)
+        with open(
+            os.path.join(root, f"doc_{r['doc_id']:06d}.txt"),
+            "w",
+            encoding="utf-8",
+        ) as f:
+            f.write(r["text"])
+    read = spark.read.option("wholetext", "true").text(root)
+    return (
+        read.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"doc_(\d+)\.txt$", 1
+            )
+            .cast("long")
+            .alias("doc_id"),
+            F.length("value").cast("long").alias("n_chars"),
+            F.sha2(F.col("value").cast("binary"), 256).alias("content_sha256"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+R22_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       sha256(text) AS content_sha256
+FROM documents
+WHERE doc_id < {_R22_N_DOCS}
+ORDER BY doc_id
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "r12_xml_roundtrip": r12_xml_roundtrip,
@@ -2838,6 +2900,7 @@ STAGED_QUERIES = {
     },
     14: {
         "r21_permissive_csv_audit": r21_permissive_csv_audit,
+        "r22_wholetext_ingest": r22_wholetext_ingest,
         "p08_curation_waterfall": p08_curation_waterfall,
         "a11_bloom_fpr_curve": a11_bloom_fpr_curve,
     },
@@ -2873,6 +2936,7 @@ STAGED_ORACLES = {
     },
     14: {
         "r21_permissive_csv_audit": R21_SQL,
+        "r22_wholetext_ingest": R22_SQL,
         "p08_curation_waterfall": P08_SQL,
         "a11_bloom_fpr_curve": A11_SQL,
     },

@@ -2917,3 +2917,37 @@ def test_q59_relative_rank_algebra(spark, sf_dir):
         assert cells[-1]["cume"] == 1.0
         assert all(1 <= c["quartile"] <= 4 for c in cells)
         assert all(0.0 <= c["pct_rank"] <= 1.0 for c in cells)
+
+
+def test_r22_matches_duckdb_oracle(spark, sf_dir):
+    """r22 wholetext ingestion is STAGED for round-15; per-file sha256
+    against the source table is the byte-exact round-trip proof."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        R22_SQL,
+        r22_wholetext_ingest,
+    )
+
+    got = [tuple(r) for r in r22_wholetext_ingest(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(R22_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_r22_one_row_per_file(spark, sf_dir):
+    """wholetext yields exactly one row per staged file, with the
+    filename-recovered doc_id dense over the staged range."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        _R22_N_DOCS,
+        r22_wholetext_ingest,
+    )
+
+    rows = r22_wholetext_ingest(spark, sf_dir).collect()
+    n_staged = _duck(sf_dir).execute(
+        f"SELECT COUNT(*) FROM documents WHERE doc_id < {_R22_N_DOCS}"
+    ).fetchone()[0]
+    assert len(rows) == n_staged
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r0[0]
+        for r0 in _duck(sf_dir).execute(
+            f"SELECT doc_id FROM documents WHERE doc_id < {_R22_N_DOCS}"
+        ).fetchall()
+    )
