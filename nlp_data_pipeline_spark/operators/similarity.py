@@ -3297,6 +3297,68 @@ ORDER BY query_id, nn_rank
 """
 
 
+# --------------------------------------------------------------------------
+# s31: IVF list-balance audit — STAGED FOR ROUND-16 DECLARATION
+# (gated on staged_ops_live(15)). IVF probe cost is per-LIST, so an
+# imbalanced assignment silently breaks the nprobe math: a hot list
+# holding 10× its share makes every probe touching it 10× the
+# budget, and s20's operating curve is computed assuming near-equal
+# lists. Declared: per inverted list, its exact member count, share,
+# and load factor (n·nlist/total — 1.0 is perfectly balanced), off
+# s04's deployed assignment. Read max(load_factor) before trusting
+# any nprobe latency estimate; persistent imbalance means re-seeding
+# centroids (s17) or splitting hot lists.
+#
+# Hash-gate discipline: counts are BIGINTs off the composed
+# already-green S04 assignment (oracle composes S04_SQL verbatim);
+# share and load factor are single divisions. Scale: one groupBy on
+# centroid_id over the assignment relation — audit cost is one
+# map-combined pass, nlist output rows.
+# --------------------------------------------------------------------------
+def s31_ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = s04_ivf_assign(spark, sf_dir).select("centroid_id")
+    lists = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    total = assigned.agg(F.count(F.lit(1)).alias("total_vecs"))
+    nlist = lists.agg(F.count(F.lit(1)).alias("n_lists"))
+    return (
+        lists.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(nlist))
+        .select(
+            "centroid_id",
+            "n_vecs",
+            "total_vecs",
+            "n_lists",
+            (
+                F.col("n_vecs").cast("double") / F.col("total_vecs").cast("double")
+            ).alias("share"),
+            (
+                (F.col("n_vecs") * F.col("n_lists")).cast("double")
+                / F.col("total_vecs").cast("double")
+            ).alias("load_factor"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+S31_SQL = f"""
+WITH assigned AS ({S04_SQL}),
+lists AS (
+  SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM assigned GROUP BY centroid_id
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_vecs FROM assigned),
+nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lists FROM lists)
+SELECT centroid_id, n_vecs, total_vecs, n_lists,
+       CAST(n_vecs AS DOUBLE) / CAST(total_vecs AS DOUBLE) AS share,
+       CAST(n_vecs * n_lists AS DOUBLE) / CAST(total_vecs AS DOUBLE)
+         AS load_factor
+FROM lists, tot, nl
+ORDER BY centroid_id
+"""
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7
 # by __spark_entry__._collect, which evaluates staging.staged_ops_live
 # lazily per queries()/oracle_sql() call (not at import).
@@ -3333,6 +3395,7 @@ STAGED_QUERIES = {
         "s29_binary_recall_eval": s29_binary_recall_eval,
     },
     14: {"s30_quantization_error_budget": s30_quantization_error_budget},
+    15: {"s31_ivf_list_balance": s31_ivf_list_balance},
 }
 STAGED_ORACLES = {
     6: {
@@ -3367,4 +3430,5 @@ STAGED_ORACLES = {
         "s29_binary_recall_eval": S29_SQL,
     },
     14: {"s30_quantization_error_budget": S30_SQL},
+    15: {"s31_ivf_list_balance": S31_SQL},
 }

@@ -4106,6 +4106,114 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# t56: quality-signal correlation — STAGED FOR ROUND-16 DECLARATION
+# (gated on staged_ops_live(15)). Quality filters stack (t08, t20,
+# t43); whether stacking helps depends on whether the signals are
+# CORRELATED — two filters keyed on near-identical signals buy no
+# extra precision. Declared: exact Pearson r between integer-valued
+# signal pairs (bytes, whitespace tokens, distinct tokens), computed
+# the t40 way — ONE scan accumulates the exact BIGINT sufficient
+# statistics (Σx, Σy, Σxy, Σx², Σy², n), and r is a single float
+# expression over them. Never avg()/stddev() of floats: float-sum
+# order is partition-dependent; integer sums are exact in any order.
+#
+# Signal choice note: sentence count is NOT a usable signal here (the
+# t40 lesson — constant 1 on this corpus makes moments singular);
+# distinct-token count varies and is the vocabulary-richness proxy.
+# Scale: at 100-TB row counts the n·Σx² products outgrow BIGINT —
+# production widens the sufficient stats to DECIMAL(38,0); the
+# algebra is unchanged.
+# --------------------------------------------------------------------------
+_T56_PAIRS = (("bytes", "tokens"), ("bytes", "distinct_tokens"),
+              ("tokens", "distinct_tokens"))
+
+
+def t56_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    sig = d.select(
+        F.octet_length("text").cast("long").alias("bytes"),
+        F.size(toks).cast("long").alias("tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for x, y in _T56_PAIRS:
+        aggs += [
+            F.sum(F.col(x)).alias(f"sx_{x}_{y}"),
+            F.sum(F.col(y)).alias(f"sy_{x}_{y}"),
+            F.sum(F.col(x) * F.col(y)).alias(f"sxy_{x}_{y}"),
+            F.sum(F.col(x) * F.col(x)).alias(f"sx2_{x}_{y}"),
+            F.sum(F.col(y) * F.col(y)).alias(f"sy2_{x}_{y}"),
+        ]
+    row = sig.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{x}~{y}', sx_{x}_{y}, sy_{x}_{y}, sxy_{x}_{y}, sx2_{x}_{y}, sy2_{x}_{y}"
+        for x, y in _T56_PAIRS
+    )
+    arms = row.selectExpr(
+        f"stack({len(_T56_PAIRS)}, {stack_args})"
+        " AS (pair, sum_x, sum_y, sum_xy, sum_x2, sum_y2)",
+        "n",
+    )
+    num = F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    d1 = F.col("n") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")
+    d2 = F.col("n") * F.col("sum_y2") - F.col("sum_y") * F.col("sum_y")
+    return arms.select(
+        "pair",
+        "n",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_x2",
+        "sum_y2",
+        (
+            num.cast("double")
+            / F.sqrt(d1.cast("double") * d2.cast("double"))
+        ).alias("pearson_r"),
+    ).orderBy("pair")
+
+
+def _t56_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"""
+SELECT '{x}~{y}' AS pair, n,
+       sx_{x}_{y} AS sum_x, sy_{x}_{y} AS sum_y, sxy_{x}_{y} AS sum_xy,
+       sx2_{x}_{y} AS sum_x2, sy2_{x}_{y} AS sum_y2
+FROM s"""
+        for x, y in _T56_PAIRS
+    )
+    sums = ", ".join(
+        f"CAST(SUM({x}) AS BIGINT) AS sx_{x}_{y},"
+        f" CAST(SUM({y}) AS BIGINT) AS sy_{x}_{y},"
+        f" CAST(SUM({x} * {y}) AS BIGINT) AS sxy_{x}_{y},"
+        f" CAST(SUM({x} * {x}) AS BIGINT) AS sx2_{x}_{y},"
+        f" CAST(SUM({y} * {y}) AS BIGINT) AS sy2_{x}_{y}"
+        for x, y in _T56_PAIRS
+    )
+    return f"""
+WITH sig AS (
+  SELECT CAST(strlen(text) AS BIGINT) AS bytes,
+         CAST(len(list_filter(string_split(text, ' '), t -> t != ''))
+              AS BIGINT) AS tokens,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                            t -> t != '')))
+              AS BIGINT) AS distinct_tokens
+  FROM documents
+),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums} FROM sig)
+SELECT pair, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+       CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+         / sqrt(CAST(n * sum_x2 - sum_x * sum_x AS DOUBLE)
+                * CAST(n * sum_y2 - sum_y * sum_y AS DOUBLE)) AS pearson_r
+FROM ({arms}) u
+ORDER BY pair
+"""
+
+
+T56_SQL = _t56_sql()
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -4141,6 +4249,7 @@ STAGED_QUERIES = {
         "t54_dup_ngram_fraction": t54_dup_ngram_fraction,
         "t55_char_class_mix": t55_char_class_mix,
     },
+    15: {"t56_signal_correlation": t56_signal_correlation},
 }
 STAGED_ORACLES = {
     6: {
@@ -4177,4 +4286,5 @@ STAGED_ORACLES = {
         "t54_dup_ngram_fraction": T54_SQL,
         "t55_char_class_mix": T55_SQL,
     },
+    15: {"t56_signal_correlation": T56_SQL},
 }

@@ -2951,3 +2951,66 @@ def test_r22_one_row_per_file(spark, sf_dir):
             f"SELECT doc_id FROM documents WHERE doc_id < {_R22_N_DOCS}"
         ).fetchall()
     )
+
+
+def test_t56_matches_duckdb_oracle(spark, sf_dir):
+    """t56 signal correlation is STAGED for round-16; exact BIGINT
+    sufficient statistics, one float expression per pair."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T56_SQL,
+        t56_signal_correlation,
+    )
+
+    got = [tuple(r) for r in t56_signal_correlation(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T56_SQL).fetchall()]
+    assert len(got) == 3 and got == want
+
+
+def test_t56_pearson_properties(spark, sf_dir):
+    """r ∈ [−1, 1], equals the declared closed form of the declared
+    integers, and byte↔token correlation is strongly positive on any
+    natural-language corpus (longer docs have more tokens)."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        t56_signal_correlation,
+    )
+
+    rows = {r["pair"]: r for r in t56_signal_correlation(spark, sf_dir).collect()}
+    import math
+
+    for r in rows.values():
+        num = r["n"] * r["sum_xy"] - r["sum_x"] * r["sum_y"]
+        d1 = r["n"] * r["sum_x2"] - r["sum_x"] ** 2
+        d2 = r["n"] * r["sum_y2"] - r["sum_y"] ** 2
+        assert r["pearson_r"] == num / math.sqrt(d1 * d2)
+        assert -1.0 <= r["pearson_r"] <= 1.0
+    assert rows["bytes~tokens"]["pearson_r"] > 0.9
+
+
+def test_s31_matches_duckdb_oracle(spark, sf_dir):
+    """s31 IVF list balance is STAGED for round-16; the oracle
+    composes S04_SQL verbatim."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S31_SQL,
+        s31_ivf_list_balance,
+    )
+
+    got = [tuple(r) for r in s31_ivf_list_balance(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("embeddings",)).execute(S31_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_s31_lists_partition_the_corpus(spark, sf_dir):
+    """Every vector lands in exactly one list: member counts total the
+    corpus, shares sum to 1, and load factors average exactly 1."""
+    from nlp_data_pipeline_spark.operators.similarity import s31_ivf_list_balance
+
+    rows = s31_ivf_list_balance(spark, sf_dir).collect()
+    total = rows[0]["total_vecs"]
+    assert sum(r["n_vecs"] for r in rows) == total
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["load_factor"] for r in rows) / len(rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r["load_factor"] == r["n_vecs"] * r["n_lists"] / total
