@@ -2522,6 +2522,72 @@ ORDER BY p.doc_a, p.doc_b
 )
 
 
+# --------------------------------------------------------------------------
+# d29: near-dup cluster purity — STAGED FOR ROUND-16 DECLARATION
+# (gated on staged_ops_live(15)). d13 asks "do sources share content"
+# at the shingle level; this asks it at the CLUSTER level: for each
+# d06 near-dup cluster, how many sources contribute members and what
+# fraction belongs to the majority source. A corpus whose clusters
+# are pure (one source each) can dedup per-source in parallel; mixed
+# clusters force the global pass — this table IS that decision, and
+# it is also the provenance report for where duplicated content is
+# leaking between feeds.
+#
+# Hash-gate discipline: integer counts off the composed already-green
+# D06 clustering (the oracle nests D06_SQL — its WITH RECURSIVE —
+# as a CTE body); purity is one division. Scale: one join of the
+# cluster relation (near-dup subset, ≪ corpus) to the source column
+# + two map-combined aggregations.
+# --------------------------------------------------------------------------
+def d29_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = d06_neardup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = (
+        clusters.join(d, "doc_id")
+        .groupBy("cluster_id", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_src.groupBy("cluster_id")
+        .agg(
+            F.sum("n").alias("cluster_size"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.max("n").alias("n_majority"),
+        )
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "n_sources",
+            "n_majority",
+            (
+                F.col("n_majority").cast("double")
+                / F.col("cluster_size").cast("double")
+            ).alias("purity"),
+            (F.col("n_sources") == 1).alias("is_pure"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+D29_SQL = f"""
+WITH clusters AS ({D06_SQL}),
+per_src AS (
+  SELECT c.cluster_id, d.source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM clusters c JOIN documents d USING (doc_id)
+  GROUP BY c.cluster_id, d.source
+)
+SELECT cluster_id,
+       CAST(SUM(n) AS BIGINT) AS cluster_size,
+       COUNT(*) AS n_sources,
+       CAST(MAX(n) AS BIGINT) AS n_majority,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS purity,
+       COUNT(*) = 1 AS is_pure
+FROM per_src
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
 STAGED_QUERIES = {
     6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
     7: {
@@ -2548,6 +2614,7 @@ STAGED_QUERIES = {
         "d27_bbit_minhash": d27_bbit_minhash,
         "d28_edit_distance_verify": d28_edit_distance_verify,
     },
+    15: {"d29_cluster_purity": d29_cluster_purity},
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -2575,4 +2642,5 @@ STAGED_ORACLES = {
         "d27_bbit_minhash": D27_SQL,
         "d28_edit_distance_verify": D28_SQL,
     },
+    15: {"d29_cluster_purity": D29_SQL},
 }

@@ -3014,3 +3014,39 @@ def test_s31_lists_partition_the_corpus(spark, sf_dir):
     assert abs(sum(r["load_factor"] for r in rows) / len(rows) - 1.0) < 1e-9
     for r in rows:
         assert r["load_factor"] == r["n_vecs"] * r["n_lists"] / total
+
+
+def test_d29_matches_duckdb_oracle(spark, sf_dir):
+    """d29 cluster purity is STAGED for round-16; the oracle nests
+    D06_SQL's recursive closure as a CTE body."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D29_SQL,
+        d29_cluster_purity,
+    )
+
+    got = [tuple(r) for r in d29_cluster_purity(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D29_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_d29_purity_algebra(spark, sf_dir):
+    """Majority bounded by size, purity the declared quotient in
+    (0, 1], pure ⟺ one source ⟺ purity 1, and cluster sizes reconcile
+    with d06's declared clustering."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d06_neardup_clusters,
+        d29_cluster_purity,
+    )
+
+    rows = d29_cluster_purity(spark, sf_dir).collect()
+    assert rows
+    d06_sizes = {}
+    for r in d06_neardup_clusters(spark, sf_dir).collect():
+        d06_sizes[r["cluster_id"]] = r["cluster_size"]
+    for r in rows:
+        assert 1 <= r["n_majority"] <= r["cluster_size"]
+        assert r["purity"] == r["n_majority"] / r["cluster_size"]
+        assert r["is_pure"] == (r["n_sources"] == 1)
+        if r["is_pure"]:
+            assert r["purity"] == 1.0
+        assert d06_sizes[r["cluster_id"]] == r["cluster_size"]
