@@ -1821,6 +1821,61 @@ ORDER BY from_type, to_type
 """
 
 
+# --------------------------------------------------------------------------
+# e26: hour-of-day seasonality profile — STAGED FOR ROUND-16
+# DECLARATION (gated on staged_ops_live(15)). Capacity planning and
+# anomaly baselines start from the diurnal profile: per event type,
+# the event mass by hour of day and each hour's share of the type's
+# total. hour() on a session-tz timestamp is engine-identical for
+# this UTC corpus; counts are BIGINTs, the share is one division.
+# Scale: one map-combined groupBy to a ≤ types×24-row relation — the
+# profile is recomputable per day at any corpus size, and at 100 TB
+# the day-partitioned layout (this module's header) makes the scan
+# prunable to the profiling window.
+# --------------------------------------------------------------------------
+def e26_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    )
+    counts = e.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        counts.withColumn("type_total", F.sum("n_events").over(w))
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n_events",
+            "type_total",
+            (
+                F.col("n_events").cast("double")
+                / F.col("type_total").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
+
+
+E26_SQL = """
+WITH counts AS (
+  SELECT event_type,
+         CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY event_type, date_part('hour', ts)
+)
+SELECT event_type, hour_of_day, n_events,
+       CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+         AS type_total,
+       CAST(n_events AS DOUBLE)
+         / CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+         AS share
+FROM counts
+ORDER BY event_type, hour_of_day
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "e18_dedup_within_watermark": e18_dedup_within_watermark,
@@ -1837,6 +1892,7 @@ STAGED_QUERIES = {
         "e24_late_data_accounting": e24_late_data_accounting,
     },
     14: {"e25_transition_matrix": e25_transition_matrix},
+    15: {"e26_hourly_profile": e26_hourly_profile},
 }
 STAGED_ORACLES = {
     6: {
@@ -1854,4 +1910,5 @@ STAGED_ORACLES = {
         "e24_late_data_accounting": E24_SQL,
     },
     14: {"e25_transition_matrix": E25_SQL},
+    15: {"e26_hourly_profile": E26_SQL},
 }

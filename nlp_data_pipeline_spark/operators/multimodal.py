@@ -1075,6 +1075,163 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# m14: NumPy .npy container parse — STAGED FOR ROUND-16 DECLARATION
+# (gated on staged_ops_live(14 + 1)). Tensor artifacts (embeddings,
+# logits, features) ship between ML jobs as .npy — magic '\\x93NUMPY',
+# version, an LE16 header length, an ASCII dict ('descr',
+# 'fortran_order', 'shape') padded so data starts 64-aligned, then
+# raw little-endian elements. Each doc synthesizes a valid v1.0 .npy
+# of N = 1 + doc_id%5 int64s (value j+1 times n_chars), and the
+# parser recovers dtype, shape, and the PAYLOAD (every element summed
+# through a dynamic-offset substring walk inside one aggregate
+# lambda) in pure Catalyst byte expressions — m09's fixed-layout LE
+# parse plus m13's computed offsets, applied to the format every
+# Python ML stack emits.
+#
+# Oracle: the layout is closed-form from `documents` (Gauss sum for
+# the payload), so hash equality proves header arithmetic AND element
+# decoding. Scale: scan-local, no shuffle, no decode library.
+# --------------------------------------------------------------------------
+def _m14_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized (doc_id, npy) relation — exposed so tests can
+    np.load the engine-built bytes (format conformance, not just
+    self-consistency)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select(
+            "doc_id",
+            "n_chars",
+            (F.lit(1) + F.col("doc_id") % 5).cast("long").alias("n"),
+        )
+        .withColumn(
+            "head_txt",
+            F.concat(
+                F.lit("{'descr': '<i8', 'fortran_order': False, 'shape': ("),
+                F.col("n").cast("string"),
+                F.lit(",), }"),
+            ),
+        )
+        # pad so 10 (magic+ver+hlen) + hlen is a multiple of 64, '\n' last
+        .withColumn(
+            "hlen",
+            F.expr(
+                "CAST((length(head_txt) + 1 + 10 + 63) / 64 AS BIGINT)"
+                " * 64 - 10"
+            ),
+        )
+        .withColumn(
+            "padded",
+            F.expr(
+                "concat(rpad(head_txt, CAST(hlen - 1 AS INT), ' '), chr(10))"
+            ),
+        )
+        .withColumn(
+            "elems_hex",
+            F.expr(
+                "array_join(transform(sequence(1, CAST(n AS INT)), "
+                "j -> concat("  # little-endian int64 of n_chars * j
+                "  substring(lpad(lower(hex(n_chars * j)), 16, '0'), 15, 2),"
+                "  substring(lpad(lower(hex(n_chars * j)), 16, '0'), 13, 2),"
+                "  substring(lpad(lower(hex(n_chars * j)), 16, '0'), 11, 2),"
+                "  substring(lpad(lower(hex(n_chars * j)), 16, '0'), 9, 2),"
+                "  substring(lpad(lower(hex(n_chars * j)), 16, '0'), 7, 2),"
+                "  substring(lpad(lower(hex(n_chars * j)), 16, '0'), 5, 2),"
+                "  substring(lpad(lower(hex(n_chars * j)), 16, '0'), 3, 2),"
+                "  substring(lpad(lower(hex(n_chars * j)), 16, '0'), 1, 2))), '')"
+            ),
+        )
+    )
+    npy_hex = F.concat(
+        F.lit("934e554d5059" + "0100"),  # magic + v1.0
+        _le_hex(F.col("hlen"), 2),
+        F.lower(F.hex(F.encode(F.col("padded"), "UTF-8"))),
+        F.col("elems_hex"),
+    )
+    return base.select("doc_id", F.unhex(npy_hex).alias("npy"))
+
+
+def m14_npy_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    built = _m14_build(spark, sf_dir)
+    parsed = (
+        built.withColumn(
+            "valid",
+            F.expr("lower(hex(substring(npy, 1, 6))) = '934e554d5059'")
+            & F.expr("lower(hex(substring(npy, 7, 2))) = '0100'"),
+        )
+        .withColumn("hlen", _parse_le("npy", 9, 2))
+        .withColumn(
+            "header_txt",
+            F.expr("decode(substring(npy, 11, CAST(hlen AS INT)), 'UTF-8')"),
+        )
+        .withColumn(
+            "descr", F.regexp_extract("header_txt", r"'descr': '([^']+)'", 1)
+        )
+        .withColumn(
+            "n_elems",
+            F.regexp_extract("header_txt", r"'shape': \((\d+),", 1).cast("long"),
+        )
+        .withColumn(
+            "payload_bytes",
+            F.octet_length("npy").cast("long") - 10 - F.col("hlen"),
+        )
+        .withColumn(
+            "first_elem",
+            F.expr(
+                "CAST(conv(concat("
+                " substring(lower(hex(substring(npy, CAST(11 + hlen AS INT), 8))), 15, 2),"
+                " substring(lower(hex(substring(npy, CAST(11 + hlen AS INT), 8))), 13, 2),"
+                " substring(lower(hex(substring(npy, CAST(11 + hlen AS INT), 8))), 11, 2),"
+                " substring(lower(hex(substring(npy, CAST(11 + hlen AS INT), 8))), 9, 2),"
+                " substring(lower(hex(substring(npy, CAST(11 + hlen AS INT), 8))), 7, 2),"
+                " substring(lower(hex(substring(npy, CAST(11 + hlen AS INT), 8))), 5, 2),"
+                " substring(lower(hex(substring(npy, CAST(11 + hlen AS INT), 8))), 3, 2),"
+                " substring(lower(hex(substring(npy, CAST(11 + hlen AS INT), 8))), 1, 2)"
+                "), 16, 10) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "elem_sum",
+            F.expr(
+                "aggregate(transform(sequence(0, CAST(n_elems - 1 AS INT)), "
+                "j -> CAST(conv(concat("
+                " substring(lower(hex(substring(npy, CAST(11 + hlen + 8*j AS INT), 8))), 15, 2),"
+                " substring(lower(hex(substring(npy, CAST(11 + hlen + 8*j AS INT), 8))), 13, 2),"
+                " substring(lower(hex(substring(npy, CAST(11 + hlen + 8*j AS INT), 8))), 11, 2),"
+                " substring(lower(hex(substring(npy, CAST(11 + hlen + 8*j AS INT), 8))), 9, 2),"
+                " substring(lower(hex(substring(npy, CAST(11 + hlen + 8*j AS INT), 8))), 7, 2),"
+                " substring(lower(hex(substring(npy, CAST(11 + hlen + 8*j AS INT), 8))), 5, 2),"
+                " substring(lower(hex(substring(npy, CAST(11 + hlen + 8*j AS INT), 8))), 3, 2),"
+                " substring(lower(hex(substring(npy, CAST(11 + hlen + 8*j AS INT), 8))), 1, 2)"
+                "), 16, 10) AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b)"
+            ),
+        )
+    )
+    return parsed.select(
+        "doc_id",
+        "valid",
+        "descr",
+        "n_elems",
+        "payload_bytes",
+        "first_elem",
+        "elem_sum",
+    ).orderBy("doc_id")
+
+
+M14_SQL = """
+SELECT doc_id,
+       TRUE AS valid,
+       '<i8' AS descr,
+       CAST(1 + doc_id % 5 AS BIGINT) AS n_elems,
+       CAST((1 + doc_id % 5) * 8 AS BIGINT) AS payload_bytes,
+       CAST(n_chars AS BIGINT) AS first_elem,
+       CAST(n_chars * (1 + doc_id % 5) * (2 + doc_id % 5) / 2 AS BIGINT)
+         AS elem_sum
+FROM documents
+ORDER BY doc_id
+"""
+
+
 STAGED_QUERIES = {
     6: {"m08_image_dedup_phash": m08_image_dedup_phash},
     9: {"m09_wav_header_parse": m09_wav_header_parse},
@@ -1082,6 +1239,7 @@ STAGED_QUERIES = {
     12: {"m11_pcm_frame_energy": m11_pcm_frame_energy},
     13: {"m12_webdataset_tar_index": m12_webdataset_tar_index},
     14: {"m13_jpeg_header_parse": m13_jpeg_header_parse},
+    15: {"m14_npy_header_parse": m14_npy_header_parse},
 }
 STAGED_ORACLES = {
     6: {"m08_image_dedup_phash": M08_SQL},
@@ -1090,4 +1248,5 @@ STAGED_ORACLES = {
     12: {"m11_pcm_frame_energy": M11_SQL},
     13: {"m12_webdataset_tar_index": M12_SQL},
     14: {"m13_jpeg_header_parse": M13_SQL},
+    15: {"m14_npy_header_parse": M14_SQL},
 }

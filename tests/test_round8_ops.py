@@ -3050,3 +3050,68 @@ def test_d29_purity_algebra(spark, sf_dir):
         if r["is_pure"]:
             assert r["purity"] == 1.0
         assert d06_sizes[r["cluster_id"]] == r["cluster_size"]
+
+
+def test_e26_matches_duckdb_oracle(spark, sf_dir):
+    """e26 hour-of-day profile is STAGED for round-16."""
+    from nlp_data_pipeline_spark.operators.events import (
+        E26_SQL,
+        e26_hourly_profile,
+    )
+
+    got = [tuple(r) for r in e26_hourly_profile(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(E26_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_e26_shares_are_distributions(spark, sf_dir):
+    """Per type: hour counts total the type mass, shares sum to 1,
+    hours stay in [0, 23]."""
+    from nlp_data_pipeline_spark.operators.events import e26_hourly_profile
+
+    rows = e26_hourly_profile(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        assert 0 <= r["hour_of_day"] <= 23
+        by_type.setdefault(r["event_type"], []).append(r)
+    for cells in by_type.values():
+        assert cells[0]["type_total"] == sum(c["n_events"] for c in cells)
+        assert abs(sum(c["share"] for c in cells) - 1.0) < 1e-9
+
+
+def test_m14_matches_duckdb_oracle(spark, sf_dir):
+    """m14 .npy parse is STAGED for round-16; header arithmetic and
+    the element walk must match the closed-form layout."""
+    from nlp_data_pipeline_spark.operators.multimodal import (
+        M14_SQL,
+        m14_npy_header_parse,
+    )
+
+    got = [tuple(r) for r in m14_npy_header_parse(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(M14_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_m14_bytes_are_real_npy(spark, sf_dir):
+    """Format conformance: numpy itself must np.load the engine-built
+    bytes and agree on dtype, shape, and values."""
+    import io
+
+    import numpy as np
+
+    from nlp_data_pipeline_spark.operators.multimodal import _m14_build
+
+    rows = _m14_build(spark, sf_dir).filter("doc_id < 10").collect()
+    assert rows
+    n_chars = dict(
+        _duck(sf_dir).execute(
+            "SELECT doc_id, n_chars FROM documents WHERE doc_id < 10"
+        ).fetchall()
+    )
+    for r in rows:
+        arr = np.load(io.BytesIO(bytes(r["npy"])))
+        n = 1 + r["doc_id"] % 5
+        assert arr.dtype == np.int64 and arr.shape == (n,)
+        assert arr.tolist() == [n_chars[r["doc_id"]] * j for j in range(1, n + 1)]
