@@ -1144,6 +1144,43 @@ FROM events
 
 
 # --------------------------------------------------------------------------
+# v22: argmax/conditional aggregate battery — STAGED FOR ROUND-16
+# DECLARATION (gated on staged_ops_live(15)). The modern aggregate
+# family the classic suite never touches: count_if (predicate count
+# without CASE), bool_and/bool_or (universal/existential per group),
+# and max_by/min_by (argmax/argmin — "the event type of the user's
+# LAST event" in one aggregate, no self-join, no window). One shared
+# ANSI text runs on both engines (the v18/v20 battery pattern).
+# Determinism note: max_by/min_by are only deterministic when the
+# ordering key is UNIQUE within the group — keyed here on the
+# globally-unique event_id, never on a timestamp that could tie.
+# Scale: all five are ordinary partial-aggregable functions — one
+# shuffle on the group key; max_by replaces the rank-1-window
+# anti-pattern (sort per group) with a running argmax (O(1) state).
+# --------------------------------------------------------------------------
+_V22_TEXT = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(count_if(value > 5) AS BIGINT) AS n_high_value,
+       bool_and(value IS NOT NULL) AS all_valued,
+       bool_or(event_type = 'purchase') AS ever_purchased,
+       max_by(event_type, event_id) AS last_event_type,
+       min_by(event_type, event_id) AS first_event_type
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def v22_aggregate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_V22_TEXT)
+
+
+V22_SQL = _V22_TEXT
+
+
+# --------------------------------------------------------------------------
 # v20: bag-semantics set operations — STAGED FOR ROUND-14 DECLARATION
 # (gated on staged_ops_live(13)). q14 covers DISTINCT set ops; the ALL
 # variants are a different operator family with different physical
@@ -1200,6 +1237,7 @@ STAGED_QUERIES = {
     12: {"v19_try_functions": v19_try_functions},
     13: {"v20_bag_set_ops": v20_bag_set_ops},
     14: {"v21_observe_metrics": v21_observe_metrics},
+    15: {"v22_aggregate_battery": v22_aggregate_battery},
 }
 STAGED_ORACLES = {
     6: {
@@ -1220,4 +1258,5 @@ STAGED_ORACLES = {
     12: {"v19_try_functions": V19_SQL},
     13: {"v20_bag_set_ops": V20_SQL},
     14: {"v21_observe_metrics": V21_SQL},
+    15: {"v22_aggregate_battery": V22_SQL},
 }

@@ -3115,3 +3115,42 @@ def test_m14_bytes_are_real_npy(spark, sf_dir):
         n = 1 + r["doc_id"] % 5
         assert arr.dtype == np.int64 and arr.shape == (n,)
         assert arr.tolist() == [n_chars[r["doc_id"]] * j for j in range(1, n + 1)]
+
+
+def test_v22_matches_duckdb_oracle(spark, sf_dir):
+    """v22 argmax/conditional aggregate battery is STAGED for
+    round-16; one shared ANSI text on both engines."""
+    from nlp_data_pipeline_spark.operators.sql_api import (
+        V22_SQL,
+        v22_aggregate_battery,
+    )
+
+    got = [tuple(r) for r in v22_aggregate_battery(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(V22_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_v22_argmax_agrees_with_window_spelling(spark, sf_dir):
+    """max_by(event_type, event_id) must equal the rank-1-window
+    spelling it replaces (the determinism claim, checked end to
+    end)."""
+    from nlp_data_pipeline_spark.operators.sql_api import v22_aggregate_battery
+
+    got = {
+        r["user_id"]: (r["first_event_type"], r["last_event_type"])
+        for r in v22_aggregate_battery(spark, sf_dir).collect()
+    }
+    want = dict(
+        (u, (f, l))
+        for u, f, l in _duck(sf_dir, views=("events",)).execute(
+            """
+            SELECT user_id,
+                   arg_min(event_type, event_id),
+                   arg_max(event_type, event_id)
+            FROM events GROUP BY user_id
+            """
+        ).fetchall()
+    )
+    assert got == want
