@@ -1876,6 +1876,73 @@ ORDER BY event_type, hour_of_day
 """
 
 
+# --------------------------------------------------------------------------
+# e27: error-burst detector — STAGED FOR ROUND-16 DECLARATION (gated
+# on staged_ops_live(15)). The ops-alerting primitive: per tumbling
+# hour, the error rate vs the corpus-wide mean, flagging hours whose
+# rate exceeds 2× the baseline. The flag is evaluated as the INTEGER
+# cross-multiplication n_err·total_events > 2·total_err·n_events —
+# never a float-vs-float threshold (an hour landing exactly on the
+# boundary would hash-diverge if the two engines' division noise
+# differed; integers cannot).
+# Scale: one map-combined groupBy on the hour bucket + one broadcast
+# scalar; the streaming twin is e02's tumbling window with this
+# flag expression — the batch table is the backfill/baseline side.
+# --------------------------------------------------------------------------
+def e27_error_burst_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        (F.col("event_type") == "error").cast("long").alias("is_err"),
+    )
+    hours = e.groupBy("hour_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_err").alias("n_errors"),
+    )
+    totals = e.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.sum("is_err").alias("total_errors"),
+    )
+    return (
+        hours.crossJoin(F.broadcast(totals))
+        .select(
+            "hour_start",
+            "n_events",
+            "n_errors",
+            (
+                F.col("n_errors").cast("double") / F.col("n_events").cast("double")
+            ).alias("error_rate"),
+            (
+                F.col("n_errors") * F.col("total_events")
+                > 2 * F.col("total_errors") * F.col("n_events")
+            ).alias("is_burst"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+E27_SQL = """
+WITH e AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+),
+hours AS (
+  SELECT hour_start, COUNT(*) AS n_events,
+         CAST(SUM(is_err) AS BIGINT) AS n_errors
+  FROM e GROUP BY hour_start
+),
+totals AS (
+  SELECT COUNT(*) AS total_events, CAST(SUM(is_err) AS BIGINT) AS total_errors
+  FROM e
+)
+SELECT hour_start, n_events, n_errors,
+       CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS error_rate,
+       n_errors * total_events > 2 * total_errors * n_events AS is_burst
+FROM hours, totals
+ORDER BY hour_start
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "e18_dedup_within_watermark": e18_dedup_within_watermark,
@@ -1892,7 +1959,10 @@ STAGED_QUERIES = {
         "e24_late_data_accounting": e24_late_data_accounting,
     },
     14: {"e25_transition_matrix": e25_transition_matrix},
-    15: {"e26_hourly_profile": e26_hourly_profile},
+    15: {
+        "e26_hourly_profile": e26_hourly_profile,
+        "e27_error_burst_detector": e27_error_burst_detector,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -1910,5 +1980,8 @@ STAGED_ORACLES = {
         "e24_late_data_accounting": E24_SQL,
     },
     14: {"e25_transition_matrix": E25_SQL},
-    15: {"e26_hourly_profile": E26_SQL},
+    15: {
+        "e26_hourly_profile": E26_SQL,
+        "e27_error_burst_detector": E27_SQL,
+    },
 }

@@ -4214,6 +4214,85 @@ ORDER BY pair
 T56_SQL = _t56_sql()
 
 
+# --------------------------------------------------------------------------
+# t57: pattern-flag curation profile — STAGED FOR ROUND-16
+# DECLARATION (gated on staged_ops_live(15)). The boilerplate/
+# provenance flags every web-corpus curation sweep tags before
+# filtering: per source, how many documents carry URLs, copyright
+# marks, email-ish text, or emphatic punctuation runs. Patterns are
+# LITERAL substrings through contains() — deliberately not regex
+# (the cross-engine regex-dialect hazard) — so both engines evaluate
+# byte-identical tests; the per-pattern doc counts and the
+# any-flag share are the declared audit.
+# Scale: scan-local substring scans, map-side combined per source —
+# a free rider on any other corpus pass via observe()-style
+# conditional sums.
+# --------------------------------------------------------------------------
+_T57_PATTERNS = (
+    ("url", "http"),
+    ("www", "www."),
+    ("copyright", "copyright"),
+    ("email_at", "@"),
+    ("emphasis", "!!"),
+)
+
+
+def t57_pattern_flag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower("text")
+    flags = d.select(
+        "source",
+        *[
+            F.contains(low, F.lit(pat)).cast("long").alias(f"f_{name}")
+            for name, pat in _T57_PATTERNS
+        ],
+    )
+    any_flag = sum(F.col(f"f_{name}") for name, _ in _T57_PATTERNS) > 0
+    g = flags.withColumn("any_flag", any_flag.cast("long")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(f"f_{name}").alias(f"n_{name}") for name, _ in _T57_PATTERNS],
+        F.sum("any_flag").alias("n_any"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        *[f"n_{name}" for name, _ in _T57_PATTERNS],
+        "n_any",
+        (F.col("n_any").cast("double") / F.col("n_docs").cast("double")).alias(
+            "frac_flagged"
+        ),
+    ).orderBy("source")
+
+
+def _t57_sql() -> str:
+    flag_cols = ", ".join(
+        f"CASE WHEN contains(lower(text), '{pat}') THEN 1 ELSE 0 END AS f_{name}"
+        for name, pat in _T57_PATTERNS
+    )
+    any_expr = " + ".join(f"f_{name}" for name, _ in _T57_PATTERNS)
+    sums = ", ".join(
+        f"CAST(SUM(f_{name}) AS BIGINT) AS n_{name}" for name, _ in _T57_PATTERNS
+    )
+    return f"""
+WITH flags AS (
+  SELECT source, {flag_cols} FROM documents
+),
+withany AS (
+  SELECT *, CASE WHEN {any_expr} > 0 THEN 1 ELSE 0 END AS any_flag FROM flags
+)
+SELECT source, COUNT(*) AS n_docs, {sums},
+       CAST(SUM(any_flag) AS BIGINT) AS n_any,
+       CAST(SUM(any_flag) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS frac_flagged
+FROM withany
+GROUP BY source
+ORDER BY source
+"""
+
+
+T57_SQL = _t57_sql()
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -4249,7 +4328,10 @@ STAGED_QUERIES = {
         "t54_dup_ngram_fraction": t54_dup_ngram_fraction,
         "t55_char_class_mix": t55_char_class_mix,
     },
-    15: {"t56_signal_correlation": t56_signal_correlation},
+    15: {
+        "t56_signal_correlation": t56_signal_correlation,
+        "t57_pattern_flag_profile": t57_pattern_flag_profile,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -4286,5 +4368,8 @@ STAGED_ORACLES = {
         "t54_dup_ngram_fraction": T54_SQL,
         "t55_char_class_mix": T55_SQL,
     },
-    15: {"t56_signal_correlation": T56_SQL},
+    15: {
+        "t56_signal_correlation": T56_SQL,
+        "t57_pattern_flag_profile": T57_SQL,
+    },
 }

@@ -3154,3 +3154,65 @@ def test_v22_argmax_agrees_with_window_spelling(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_e27_matches_duckdb_oracle(spark, sf_dir):
+    """e27 error-burst detector is STAGED for round-16; the burst
+    flag is an integer cross-multiplication, boundary-safe."""
+    from nlp_data_pipeline_spark.operators.events import (
+        E27_SQL,
+        e27_error_burst_detector,
+    )
+
+    got = [tuple(r) for r in e27_error_burst_detector(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(E27_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_e27_burst_flag_is_exact_threshold(spark, sf_dir):
+    """The flag equals the declared integer inequality recomputed
+    from the declared counts, and hour masses total the corpus."""
+    from nlp_data_pipeline_spark.operators.events import e27_error_burst_detector
+
+    rows = e27_error_burst_detector(spark, sf_dir).collect()
+    con = _duck(sf_dir, views=("events",))
+    total, errs = con.execute(
+        "SELECT COUNT(*), SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END)"
+        " FROM events"
+    ).fetchone()
+    assert sum(r["n_events"] for r in rows) == total
+    for r in rows:
+        assert r["is_burst"] == (r["n_errors"] * total > 2 * errs * r["n_events"])
+        assert r["error_rate"] == r["n_errors"] / r["n_events"]
+
+
+def test_t57_matches_duckdb_oracle(spark, sf_dir):
+    """t57 pattern-flag profile is STAGED for round-16; literal
+    contains() only — no cross-engine regex surface."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T57_SQL,
+        t57_pattern_flag_profile,
+    )
+
+    got = [tuple(r) for r in t57_pattern_flag_profile(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T57_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_t57_any_flag_bounds(spark, sf_dir):
+    """n_any is at least the largest single flag and at most the sum
+    of all flags (inclusion-exclusion sanity), and frac is the exact
+    quotient."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        _T57_PATTERNS,
+        t57_pattern_flag_profile,
+    )
+
+    rows = t57_pattern_flag_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        singles = [r[f"n_{name}"] for name, _ in _T57_PATTERNS]
+        assert max(singles) <= r["n_any"] <= min(sum(singles), r["n_docs"])
+        assert r["frac_flagged"] == r["n_any"] / r["n_docs"]
