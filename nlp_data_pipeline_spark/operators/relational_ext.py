@@ -3117,6 +3117,142 @@ ORDER BY segment, custkey
 """
 
 
+# --------------------------------------------------------------------------
+# u10: grouped applyInArrow — STAGED FOR ROUND-16 DECLARATION (gated
+# on staged_ops_live(15)). Completes the Arrow surface matrix: u03/u08
+# scalar pandas UDFs, u02 applyInPandas, u06 cogrouped pandas, u07
+# mapInArrow (scan shape) — this is the GROUPED map on raw pyarrow
+# (Spark 4 `groupBy().applyInArrow`): whole per-group RecordBatches
+# in, one summary batch out, no pandas conversion layer at all. The
+# kernel computes integer-only per-user facts (counts, event-id
+# extremes and mass, exact µs span from the timestamp column cast to
+# int64), so the oracle is hash-exact plain SQL — the proof that the
+# Arrow group boundary delivered every row of every group exactly
+# once. API-surface entry: aggregations this simple belong in native
+# aggregates; applyInArrow is for kernels that need numpy/arrow
+# compute over a whole group (the u02/m10 class) at Arrow speed.
+# Scale: one shuffle on the group key; per-group memory is the
+# group's batch — the same bound as any grouped-map API.
+# --------------------------------------------------------------------------
+def u10_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+
+    def per_user(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        uid = table.column("user_id")[0].as_py()
+        eid = table.column("event_id")
+        ts_us = table.column("ts").cast(pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_events": pa.array([len(table)], pa.int64()),
+                "min_event_id": pa.array([pc.min(eid).as_py()], pa.int64()),
+                "max_event_id": pa.array([pc.max(eid).as_py()], pa.int64()),
+                "event_id_sum": pa.array([pc.sum(eid).as_py()], pa.int64()),
+                "span_us": pa.array(
+                    [pc.max(ts_us).as_py() - pc.min(ts_us).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .applyInArrow(
+            per_user,
+            "user_id long, n_events long, min_event_id long, "
+            "max_event_id long, event_id_sum long, span_us long",
+        )
+        .orderBy("user_id")
+    )
+
+
+U10_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id,
+       CAST(SUM(event_id) AS BIGINT) AS event_id_sum,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q60: time-weighted average (TWAP) — STAGED FOR ROUND-16 DECLARATION
+# (gated on staged_ops_live(15)). Irregularly-sampled series (prices,
+# gauges, sensor values) average by HOLDING TIME, not by row count:
+# each observation weighs by the interval until the next one. The
+# float-discipline trap here is the weighted sum — Σ value·duration
+# over doubles is partition-order-dependent; the exact spelling
+# quantizes value to cents through DECIMAL(18,2) and weighs by exact
+# integer microseconds, so the accumulating sum is a BIGINT (any
+# order) and the TWAP is ONE final division. Users with a single
+# event have zero holding time and are excluded by construction.
+#
+# Scale: one lead window per user (one shuffle) + a map-combined
+# rollup. At 100-TB row counts the cents·µs products outgrow BIGINT
+# for year-long spans — production widens the accumulator to
+# DECIMAL(38,0), same algebra.
+# --------------------------------------------------------------------------
+def q60_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast(D182) * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.withColumn(
+        "dur_us",
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").alias("span_us"),
+            F.sum(F.col("cents") * F.col("dur_us")).alias("weighted_cents_us"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "span_us",
+            "weighted_cents_us",
+            (
+                F.col("weighted_cents_us").cast("double")
+                / F.col("span_us").cast("double")
+                / F.lit(100.0)
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q60_SQL = """
+WITH stepped AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS span_us,
+       CAST(SUM(cents * dur_us) AS BIGINT) AS weighted_cents_us,
+       CAST(SUM(cents * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE)
+         / 100.0 AS twap
+FROM stepped
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 STAGED_QUERIES = {
     6: {"q42_collated_group": q42_collated_group},
     7: {"q43_grouping_sets": q43_grouping_sets},
@@ -3152,6 +3288,10 @@ STAGED_QUERIES = {
     14: {
         "q58_null_skew_outer_join": q58_null_skew_outer_join,
         "q59_analytic_rank_battery": q59_analytic_rank_battery,
+    },
+    15: {
+        "q60_time_weighted_average": q60_time_weighted_average,
+        "u10_apply_in_arrow": u10_apply_in_arrow,
     },
 }
 STAGED_ORACLES = {
@@ -3189,5 +3329,9 @@ STAGED_ORACLES = {
     14: {
         "q58_null_skew_outer_join": Q58_SQL,
         "q59_analytic_rank_battery": Q59_SQL,
+    },
+    15: {
+        "q60_time_weighted_average": Q60_SQL,
+        "u10_apply_in_arrow": U10_SQL,
     },
 }

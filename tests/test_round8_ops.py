@@ -3216,3 +3216,71 @@ def test_t57_any_flag_bounds(spark, sf_dir):
         singles = [r[f"n_{name}"] for name, _ in _T57_PATTERNS]
         assert max(singles) <= r["n_any"] <= min(sum(singles), r["n_docs"])
         assert r["frac_flagged"] == r["n_any"] / r["n_docs"]
+
+
+def test_q60_matches_duckdb_oracle(spark, sf_dir):
+    """q60 TWAP is STAGED for round-16; exact cents×µs BIGINT
+    accumulation, one final division."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q60_SQL,
+        q60_time_weighted_average,
+    )
+
+    got = [tuple(r) for r in q60_time_weighted_average(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(Q60_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_q60_twap_within_value_range(spark, sf_dir):
+    """A holding-time average must lie within the user's observed
+    value range (excluding the unweighted last event), and spans and
+    interval counts reconcile: intervals = events − 1 per user."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        q60_time_weighted_average,
+    )
+
+    rows = q60_time_weighted_average(spark, sf_dir).collect()
+    con = _duck(sf_dir, views=("events",))
+    per_user = dict(con.execute(
+        "SELECT user_id, COUNT(*) FROM events GROUP BY user_id HAVING COUNT(*) > 1"
+    ).fetchall())
+    bounds = {
+        u: (lo, hi)
+        for u, lo, hi in con.execute(
+            """
+            WITH held AS (
+              SELECT user_id, value,
+                     LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) nxt
+              FROM events
+            )
+            SELECT user_id, MIN(value), MAX(value) FROM held
+            WHERE nxt IS NOT NULL GROUP BY user_id
+            """
+        ).fetchall()
+    }
+    assert len(rows) == len(per_user)
+    for r in rows:
+        assert r["n_intervals"] == per_user[r["user_id"]] - 1
+        lo, hi = bounds[r["user_id"]]
+        assert lo - 0.01 <= r["twap"] <= hi + 0.01
+        # float() first: the engines CAST the >2^53 BIGINT to double
+        # before dividing; Python's int/int would divide exactly
+        assert r["twap"] == float(r["weighted_cents_us"]) / float(r["span_us"]) / 100.0
+
+
+def test_u10_matches_duckdb_oracle(spark, sf_dir):
+    """u10 applyInArrow is STAGED for round-16; hash equality with
+    plain SQL proves the Arrow group boundary delivered every row of
+    every group exactly once."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        U10_SQL,
+        u10_apply_in_arrow,
+    )
+
+    got = [tuple(r) for r in u10_apply_in_arrow(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(U10_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
