@@ -4293,6 +4293,74 @@ ORDER BY source
 T57_SQL = _t57_sql()
 
 
+# --------------------------------------------------------------------------
+# t58: dedup-aware token budget — STAGED FOR ROUND-16 DECLARATION
+# (gated on staged_ops_live(15)). "How many tokens do we have" is the
+# question every training plan starts from, and the raw sum
+# overstates it: exact duplicates contribute their tokens once.
+# Declared per source: raw token mass, the mass surviving d01's
+# keeper rule (min doc_id per sha256 — the deployed exact-dedup
+# policy, restated verbatim), and the duplicated fraction — the
+# number that converts a corpus inventory into an effective token
+# budget (t45's water-filling consumes THIS, not the raw sum).
+#
+# Hash-gate discipline: masses are exact BIGINTs; the keeper rule is
+# the same min-over-hash window both engines already agree on (d01/
+# p04 green); the fraction is ONE division. Scale: one window on the
+# content hash + one map-combined rollup — rides the same shuffle
+# d01 already pays.
+# --------------------------------------------------------------------------
+def t58_dedup_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256))
+    flagged = d.select(
+        "source",
+        word_count("text").cast("long").alias("t"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+    )
+    g = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_keeper").cast("long")).alias("n_keepers"),
+        F.sum("t").alias("raw_tokens"),
+        F.sum(F.when(F.col("is_keeper"), F.col("t")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_keepers",
+        "raw_tokens",
+        "kept_tokens",
+        (
+            (F.col("raw_tokens") - F.col("kept_tokens")).cast("double")
+            / F.col("raw_tokens").cast("double")
+        ).alias("dup_token_frac"),
+    ).orderBy("source")
+
+
+T58_SQL = """
+WITH flagged AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t != '')) AS BIGINT) AS t,
+         doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text)) AS is_keeper
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+       CAST(SUM(t) AS BIGINT) AS raw_tokens,
+       CAST(SUM(CASE WHEN is_keeper THEN t ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(SUM(t) - SUM(CASE WHEN is_keeper THEN t ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(t) AS DOUBLE) AS dup_token_frac
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -4331,6 +4399,7 @@ STAGED_QUERIES = {
     15: {
         "t56_signal_correlation": t56_signal_correlation,
         "t57_pattern_flag_profile": t57_pattern_flag_profile,
+        "t58_dedup_token_budget": t58_dedup_token_budget,
     },
 }
 STAGED_ORACLES = {
@@ -4371,5 +4440,6 @@ STAGED_ORACLES = {
     15: {
         "t56_signal_correlation": T56_SQL,
         "t57_pattern_flag_profile": T57_SQL,
+        "t58_dedup_token_budget": T58_SQL,
     },
 }

@@ -3284,3 +3284,32 @@ def test_u10_matches_duckdb_oracle(spark, sf_dir):
         tuple(r) for r in _duck(sf_dir, views=("events",)).execute(U10_SQL).fetchall()
     ]
     assert len(got) >= 1 and got == want
+
+
+def test_t58_matches_duckdb_oracle(spark, sf_dir):
+    """t58 dedup-aware token budget is STAGED for round-16; the
+    keeper rule is d01's, restated verbatim."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T58_SQL,
+        t58_dedup_token_budget,
+    )
+
+    got = [tuple(r) for r in t58_dedup_token_budget(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T58_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_t58_reconciles_with_d01(spark, sf_dir):
+    """Keeper counts must total d01's cluster count, kept ≤ raw per
+    source, and the corpus has real duplication to account for."""
+    from nlp_data_pipeline_spark.operators.dedup import d01_exact_dedup
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        t58_dedup_token_budget,
+    )
+
+    rows = t58_dedup_token_budget(spark, sf_dir).collect()
+    n_hashes = d01_exact_dedup(spark, sf_dir).count()
+    assert sum(r["n_keepers"] for r in rows) == n_hashes
+    for r in rows:
+        assert 0 < r["kept_tokens"] <= r["raw_tokens"]
+        assert 0.0 <= r["dup_token_frac"] < 1.0
