@@ -2616,6 +2616,117 @@ A11_SQL = _a11_sql()
 
 
 # --------------------------------------------------------------------------
+# a12: sketch cross-validation (HLL vs KMV vs exact) — STAGED FOR
+# ROUND-16 DECLARATION (gated on staged_ops_live(15)). The suite
+# carries two distinct-count sketches with opposite trade-offs:
+# engine-native HLL++ (a01-a03 — fastest, but its state is
+# JVM-internal so only tolerance booleans can be declared) and the
+# portable md5 KMV (a06-a10 — engine-exact, mergeable, but needs K
+# longs per group). This table puts all three on one row per source
+# so the sketch-choice decision is read, not argued: exact distinct
+# (hash-exact), the KMV estimate (hash-exact), and HLL's
+# within-15%-of-exact audit boolean (the a01 tolerance pattern — the
+# oracle declares the claim, Spark's row verifies it against its own
+# exact column).
+# Scale: all three ride ONE distinct-bigram relation; HLL and exact
+# are one aggregation, KMV is the a06 window. At 100 TB only the
+# sketches run (exact is the verification harness) — pick HLL for
+# cheapest state, KMV when merge/auditability matters.
+# --------------------------------------------------------------------------
+def a12_sketch_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
+    base = d.select("source", toks.alias("t"))
+    pairs_expr = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 1),
+            F.slice("t", 2, F.size("t") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    bg = base.select("source", F.explode(pairs_expr).alias("bg")).distinct()
+    h = F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long")
+    ranked = bg.select("source", "bg", h.alias("h")).select(
+        "source",
+        "h",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("h", "bg"))
+        .alias("rn"),
+    )
+    kmv = ranked.filter(F.col("rn") == KMV_K).select(
+        "source",
+        F.round(
+            F.lit(float(KMV_K - 1)) * F.lit(_KMV_SCALE) / F.col("h").cast("double"),
+            4,
+        ).alias("kmv_estimate"),
+    )
+    agg = bg.groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct"),
+        F.approx_count_distinct("bg").alias("hll"),
+    )
+    return (
+        agg.join(kmv, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            "kmv_estimate",
+            (
+                F.abs(F.col("hll").cast("double") - F.col("exact_distinct").cast("double"))
+                <= F.lit(0.15) * F.col("exact_distinct").cast("double")
+            ).alias("hll_within_15pct"),
+        )
+        .orderBy("source")
+    )
+
+
+def _a12_sql() -> str:
+    from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL
+
+    return f"""
+WITH toks AS (
+  SELECT source, list_filter(string_split({_CLEAN_SQL}, ' '), x -> x != '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT source, bg FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+    FROM toks WHERE len(t) >= 2
+  ) u
+),
+ranked AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, bg) AS rn
+  FROM (
+    SELECT source, bg,
+           CAST(('0x' || substring(md5(bg), 1, 8)) AS BIGINT) AS h
+    FROM bg
+  ) hashed
+),
+kmv AS (
+  SELECT source,
+         round({float(KMV_K - 1)} * {_KMV_SCALE} / CAST(h AS DOUBLE), 4)
+           AS kmv_estimate
+  FROM ranked WHERE rn = {KMV_K}
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM bg
+  GROUP BY source
+)
+SELECT a.source, a.exact_distinct, k.kmv_estimate,
+       TRUE AS hll_within_15pct
+FROM agg a JOIN kmv k USING (source)
+ORDER BY a.source
+"""
+
+
+A12_SQL = _a12_sql()
+
+
+# --------------------------------------------------------------------------
 # r20: parquet schema-evolution merge — STAGED FOR ROUND-14
 # DECLARATION (gated on staged_ops_live(13)). Long-lived datasets
 # evolve: a column added mid-corpus means the lake holds files with
@@ -2904,6 +3015,7 @@ STAGED_QUERIES = {
         "p08_curation_waterfall": p08_curation_waterfall,
         "a11_bloom_fpr_curve": a11_bloom_fpr_curve,
     },
+    15: {"a12_sketch_crosscheck": a12_sketch_crosscheck},
 }
 STAGED_ORACLES = {
     6: {
@@ -2940,4 +3052,5 @@ STAGED_ORACLES = {
         "p08_curation_waterfall": P08_SQL,
         "a11_bloom_fpr_curve": A11_SQL,
     },
+    15: {"a12_sketch_crosscheck": A12_SQL},
 }

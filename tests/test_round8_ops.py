@@ -3313,3 +3313,33 @@ def test_t58_reconciles_with_d01(spark, sf_dir):
     for r in rows:
         assert 0 < r["kept_tokens"] <= r["raw_tokens"]
         assert 0.0 <= r["dup_token_frac"] < 1.0
+
+
+def test_a12_matches_duckdb_oracle(spark, sf_dir):
+    """a12 sketch cross-validation is STAGED for round-16; exact and
+    KMV columns hash-exact, HLL as the a01-style tolerance boolean."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        A12_SQL,
+        a12_sketch_crosscheck,
+    )
+
+    got = [tuple(r) for r in a12_sketch_crosscheck(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(A12_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_a12_agrees_with_a06(spark, sf_dir):
+    """The KMV column must equal a06's declared estimate per source
+    (one sketch, two consumers), and HLL's audit holds everywhere."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        a06_kmv_distinct_sketch,
+        a12_sketch_crosscheck,
+    )
+
+    got = {r["source"]: r for r in a12_sketch_crosscheck(spark, sf_dir).collect()}
+    a06 = {r["source"]: r for r in a06_kmv_distinct_sketch(spark, sf_dir).collect()}
+    assert set(got) == set(a06)
+    for src, r in got.items():
+        assert r["kmv_estimate"] == a06[src]["kmv_estimate"]
+        assert r["exact_distinct"] == a06[src]["exact_distinct"]
+        assert r["hll_within_15pct"] is True
