@@ -2588,6 +2588,69 @@ ORDER BY cluster_id
 """
 
 
+# --------------------------------------------------------------------------
+# d30: LSH index MERGE proof — STAGED FOR ROUND-16 DECLARATION
+# (gated on staged_ops_live(15)). The property that makes
+# incremental near-dup indexing viable at 100 TB: MinHash band keys
+# are PER-DOCUMENT functions (seeded md5 over the doc's own
+# shingles), so an index built over shard A unioned with one built
+# over shard B IS the index of A∪B — no rebuild, no global pass.
+# Contrast s04/s31's IVF, whose centroids are corpus-dependent:
+# merging two IVF indexes is NOT assignment-preserving, which is why
+# vector stores re-train centroids on merge while dedup stores just
+# concatenate postings. The Spark side computes candidate pairs ONLY
+# through the merge path (banded postings built separately per
+# doc_id-parity half, then unioned); the oracle is D03's full-build
+# pair set — driver hash equality IS the mergeability proof (the
+# a08/d24 declared-algebra pattern).
+# Scale: each half's build touches only its shard; the merged join
+# is the same band equi-join d03 pays. Incremental ingest = build
+# the new batch's postings, union, join against the delta only.
+# --------------------------------------------------------------------------
+def d30_lsh_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = d02_minhash_signatures(spark, sf_dir)
+    n_bands = NUM_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded_full = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    # the MERGE PATH: per-half index builds, then a plain union —
+    # never a postings relation computed over the whole corpus at once
+    half_a = banded_full.filter(F.col("doc_id") % 2 == 0).localCheckpoint()
+    half_b = banded_full.filter(F.col("doc_id") % 2 == 1).localCheckpoint()
+    merged = half_a.union(half_b)
+    a, b = merged.alias("a"), merged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+D30_SQL = D03_SQL + " ORDER BY doc_a, doc_b"
+
+
 STAGED_QUERIES = {
     6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
     7: {
@@ -2614,7 +2677,10 @@ STAGED_QUERIES = {
         "d27_bbit_minhash": d27_bbit_minhash,
         "d28_edit_distance_verify": d28_edit_distance_verify,
     },
-    15: {"d29_cluster_purity": d29_cluster_purity},
+    15: {
+        "d29_cluster_purity": d29_cluster_purity,
+        "d30_lsh_index_merge": d30_lsh_index_merge,
+    },
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -2642,5 +2708,8 @@ STAGED_ORACLES = {
         "d27_bbit_minhash": D27_SQL,
         "d28_edit_distance_verify": D28_SQL,
     },
-    15: {"d29_cluster_purity": D29_SQL},
+    15: {
+        "d29_cluster_purity": D29_SQL,
+        "d30_lsh_index_merge": D30_SQL,
+    },
 }

@@ -2616,6 +2616,66 @@ A11_SQL = _a11_sql()
 
 
 # --------------------------------------------------------------------------
+# r23: custom record-separator ingestion — STAGED FOR ROUND-16
+# DECLARATION (gated on staged_ops_live(15)). Concatenated-document
+# exports can't use '\n' as the record boundary (documents contain
+# newlines); the convention is a control character — here ASCII 0x1E
+# (record separator) — and Spark's text reader takes it via the
+# `lineSep` option. Staged: 12 documents concatenated into ONE file
+# with 0x1E boundaries, read back with lineSep, and each recovered
+# record re-identified by CONTENT (sha256 joined to the source table
+# — the filename identity of r22 doesn't exist inside one file).
+# Declared: per-record doc_id, exact length, sha — the byte-exact
+# split proof. Scale: lineSep text is splittable on the separator
+# scan like any text source; the single-file fixture is the
+# bounded-manifest pattern (m12/r22).
+# --------------------------------------------------------------------------
+_R23_N_DOCS = 12
+
+
+def r23_linesep_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _tmp_stage("r23")
+    os.makedirs(root)
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _R23_N_DOCS)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    with open(os.path.join(root, "records.txt"), "w", encoding="utf-8") as f:
+        f.write("\x1e".join(r["text"] for r in rows))
+    read = spark.read.option("lineSep", "\x1e").text(root)
+    # identity side scoped to the staged docs: content-sha join is
+    # 1:1 here (verified unique at every SF; a wider dim could fan out
+    # on corpus-level exact duplicates)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _R23_N_DOCS)
+        .select("doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("sha"))
+    )
+    return (
+        read.select(
+            F.sha2(F.col("value").cast("binary"), 256).alias("sha"),
+            F.length("value").cast("long").alias("n_chars"),
+        )
+        .join(d, "sha")
+        .select("doc_id", "n_chars", F.col("sha").alias("content_sha256"))
+        .orderBy("doc_id")
+    )
+
+
+R23_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       sha256(text) AS content_sha256
+FROM documents
+WHERE doc_id < {_R23_N_DOCS}
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # a12: sketch cross-validation (HLL vs KMV vs exact) — STAGED FOR
 # ROUND-16 DECLARATION (gated on staged_ops_live(15)). The suite
 # carries two distinct-count sketches with opposite trade-offs:
@@ -3015,7 +3075,10 @@ STAGED_QUERIES = {
         "p08_curation_waterfall": p08_curation_waterfall,
         "a11_bloom_fpr_curve": a11_bloom_fpr_curve,
     },
-    15: {"a12_sketch_crosscheck": a12_sketch_crosscheck},
+    15: {
+        "a12_sketch_crosscheck": a12_sketch_crosscheck,
+        "r23_linesep_ingest": r23_linesep_ingest,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -3052,5 +3115,8 @@ STAGED_ORACLES = {
         "p08_curation_waterfall": P08_SQL,
         "a11_bloom_fpr_curve": A11_SQL,
     },
-    15: {"a12_sketch_crosscheck": A12_SQL},
+    15: {
+        "a12_sketch_crosscheck": A12_SQL,
+        "r23_linesep_ingest": R23_SQL,
+    },
 }

@@ -3343,3 +3343,60 @@ def test_a12_agrees_with_a06(spark, sf_dir):
         assert r["kmv_estimate"] == a06[src]["kmv_estimate"]
         assert r["exact_distinct"] == a06[src]["exact_distinct"]
         assert r["hll_within_15pct"] is True
+
+
+def test_r23_matches_duckdb_oracle(spark, sf_dir):
+    """r23 record-separator ingestion is STAGED for round-16; content
+    shas re-identify each recovered record byte-exactly."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        R23_SQL,
+        r23_linesep_ingest,
+    )
+
+    got = [tuple(r) for r in r23_linesep_ingest(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(R23_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_r23_recovers_every_record_once(spark, sf_dir):
+    """The 0x1E split yields exactly the staged records, each once."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        _R23_N_DOCS,
+        r23_linesep_ingest,
+    )
+
+    rows = r23_linesep_ingest(spark, sf_dir).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert sorted(ids) == sorted(set(ids))
+    assert len(rows) == _duck(sf_dir).execute(
+        f"SELECT COUNT(*) FROM documents WHERE doc_id < {_R23_N_DOCS}"
+    ).fetchone()[0]
+
+
+def test_d30_matches_duckdb_oracle(spark, sf_dir):
+    """d30's merge-path candidates must hash-equal D03's full-build
+    pair set — the LSH index mergeability proof."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D30_SQL,
+        d30_lsh_index_merge,
+    )
+
+    got = [tuple(r) for r in d30_lsh_index_merge(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D30_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_d30_equals_full_build_in_engine(spark, sf_dir):
+    """Engine-internal cross-check: the merged two-half index yields
+    exactly d03's candidate pairs (no pair gained or lost across the
+    shard boundary)."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d03_lsh_candidate_pairs,
+        d30_lsh_index_merge,
+    )
+
+    merged = {(r["doc_a"], r["doc_b"]) for r in d30_lsh_index_merge(spark, sf_dir).collect()}
+    full = {(r["doc_a"], r["doc_b"]) for r in d03_lsh_candidate_pairs(spark, sf_dir).collect()}
+    assert merged == full
+    # cross-half pairs exist, so the union genuinely crossed shards
+    assert any(a % 2 != b % 2 for a, b in merged)
