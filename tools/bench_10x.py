@@ -119,13 +119,17 @@ HEAVY = [
     "d27_bbit_minhash",
     "m13_jpeg_header_parse",
     "s30_quantization_error_budget",
-    # round-16 staged (documents/embeddings-shaped; e26/v22 read the
-    # unreplicated events table, r21/r22/v21/p08/q58/q59 read
-    # unreplicated or self-staged relations)
+    # round-16 staged (documents/embeddings-shaped; e26/e27/v22/q60/
+    # u10 read the unreplicated events table, r21/r22/r23/v21/p08/
+    # q58/q59 read unreplicated or self-staged relations)
     "t56_signal_correlation",
     "s31_ivf_list_balance",
     "d29_cluster_purity",
     "m14_npy_header_parse",
+    "t57_pattern_flag_profile",
+    "t58_dedup_token_budget",
+    "a12_sketch_crosscheck",
+    "d30_lsh_index_merge",
 ]
 
 
