@@ -287,6 +287,83 @@ SELECT vocab_rank, term, tf, df FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# n05: MLlib IDF model, oracle-exact — STAGED FOR ROUND-17
+# DECLARATION (gated on staged_ops_live(16)). n01–n03 are rows-only
+# because LDA's fitted state is stochastic-iterative; IDF is the
+# MLlib fit whose state is CLOSED-FORM — idf_j = ln((m+1)/(df_j+1))
+# with m = fitted row count and df_j the term's document frequency —
+# so a REAL pyspark.ml fit (CountVectorizerModel over n04's declared
+# vocabulary → IDF().fit) can face a plain-SQL oracle value-for-value:
+# the strongest kind of MLlib verification this driver supports, and
+# the declared proof that the featurization layer's model path
+# produces exactly the statistics the SQL layer says it should.
+#
+# Hash-gate discipline: df/m are exact ints inside the JVM fit; ln of
+# identical doubles agrees across engines at the declared 6 dp (the
+# t04 precedent). The model's vocab-sized state is the only driver
+# materialization (the s14 pattern). Scale: the fit is one corpus
+# pass; the model ships as a broadcastable vocab-length vector.
+# --------------------------------------------------------------------------
+def n05_idf_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import IDF, CountVectorizerModel
+
+    from nlp_data_pipeline_spark.functions.text import ngrams, tokenize
+
+    vocab = [
+        r["term"]
+        for r in n04_count_vectorize(spark, sf_dir).orderBy("vocab_rank").collect()
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokenize(clean_text("text")).alias("t"))
+    terms = base.select(
+        "doc_id", F.concat(F.col("t"), ngrams(F.col("t"), 2)).alias("terms")
+    )
+    cvm = CountVectorizerModel.from_vocabulary(
+        vocab, inputCol="terms", outputCol="vec"
+    )
+    model = IDF(inputCol="vec", outputCol="tfidf").fit(cvm.transform(terms))
+    idf = model.idf.toArray()
+    rows = [(i + 1, term, float(v)) for i, (term, v) in enumerate(zip(vocab, idf))]
+    return (
+        spark.createDataFrame(rows, "vocab_rank int, term string, idf_raw double")
+        .select("vocab_rank", "term", F.round("idf_raw", 6).alias("idf"))
+        .orderBy("vocab_rank")
+    )
+
+
+def _n05_sql() -> str:
+    from nlp_data_pipeline_spark.operators.text_analytics import _CLEAN_SQL, _STOP_SQL
+
+    return f"""
+WITH cleaned AS (SELECT doc_id, {_CLEAN_SQL} AS ctext FROM documents),
+toklists AS (
+  SELECT doc_id,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL}) AND t != '') AS t
+  FROM cleaned
+),
+terms AS (
+  SELECT doc_id, unnest(t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS term
+  FROM toklists
+),
+stats AS (SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+vocab AS (
+  SELECT vocab_rank, term, df, n_docs FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) AS vocab_rank,
+           term, tf, df, n_docs
+    FROM stats, nd WHERE df * 5 <= n_docs * 4
+  ) z WHERE vocab_rank <= {DEFAULT_CONFIG.vocab_size}
+)
+SELECT CAST(vocab_rank AS INT) AS vocab_rank, term,
+       round(ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)), 6)
+         AS idf
+FROM vocab
+ORDER BY vocab_rank
+"""
+
+
 QUERIES = {
     "n01_lda_topics": n01_lda_topics,
     "n02_doc_tags": n02_doc_tags,
@@ -296,5 +373,9 @@ QUERIES = {
 
 # n01–n03 are model-dependent (MLlib LDA): rows-only driver checks by
 # design — see module docstring and README "verification story". n04 is
-# the deterministic oracle surface for the featurization layer.
+# the deterministic oracle surface for the featurization layer; n05
+# (staged) extends it to a REAL MLlib fit with closed-form state.
 ORACLES: dict[str, str] = {"n04_count_vectorize": _n04_sql()}
+
+STAGED_QUERIES = {16: {"n05_idf_model": n05_idf_model}}
+STAGED_ORACLES = {16: {"n05_idf_model": _n05_sql()}}

@@ -3400,3 +3400,37 @@ def test_d30_equals_full_build_in_engine(spark, sf_dir):
     assert merged == full
     # cross-half pairs exist, so the union genuinely crossed shards
     assert any(a % 2 != b % 2 for a, b in merged)
+
+
+def test_n05_matches_duckdb_oracle(spark, sf_dir):
+    """n05 is STAGED for round-17: a REAL pyspark.ml IDF fit whose
+    closed-form state faces a plain-SQL oracle value-for-value."""
+    from nlp_data_pipeline_spark.operators.nlp_model import (
+        _n05_sql,
+        n05_idf_model,
+    )
+
+    got = [tuple(r) for r in n05_idf_model(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(_n05_sql()).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_n05_idf_tracks_document_frequency(spark, sf_dir):
+    """The fitted idf equals ln((m+1)/(df+1)) recomputed from n04's
+    declared df per term (model state ≡ declared statistics), so
+    rarer terms always score higher."""
+    import math
+
+    from nlp_data_pipeline_spark.operators.nlp_model import (
+        n04_count_vectorize,
+        n05_idf_model,
+    )
+
+    dfs = {r["term"]: r["df"] for r in n04_count_vectorize(spark, sf_dir).collect()}
+    m = _duck(sf_dir).execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    rows = n05_idf_model(spark, sf_dir).collect()
+    assert len(rows) == len(dfs)
+    for r in rows:
+        expect = round(math.log((m + 1.0) / (dfs[r["term"]] + 1.0)), 6)
+        assert abs(r["idf"] - expect) < 2e-6
+        assert r["idf"] > 0
