@@ -2651,6 +2651,68 @@ def d30_lsh_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 D30_SQL = D03_SQL + " ORDER BY doc_a, doc_b"
 
 
+# --------------------------------------------------------------------------
+# d31: shingle document-frequency distribution — STAGED FOR ROUND-17
+# DECLARATION (gated on staged_ops_live(16)). _D05_MAX_DF = 256 is
+# the load-bearing constant of the whole capped-postings family
+# (d05/d13/d15/d17/d19/d26): it bounds the quadratic term of every
+# pair self-join. This is the table that JUSTIFIES the number: the
+# per-(source, shingle) df histogram in power-of-two buckets —
+# bucket = length(bin(df)) = ⌊log2 df⌋+1, the t50 integer-bucket
+# rule, never float log2 — with each bucket's shingle count, total
+# postings mass, and the postings mass its SELF-JOIN would generate
+# (Σ df² — the actual quadratic cost driver). Read the top buckets'
+# pair mass before moving the cap.
+#
+# Hash-gate discipline: all columns are exact BIGINT sums; df² stays
+# far inside BIGINT at any df the cap permits and the histogram
+# itself is what tells you when the uncapped tail would not.
+# Scale: one groupBy(source, shingle) + one map-combined histogram —
+# the audit costs a distinct-postings pass, no join anywhere.
+# --------------------------------------------------------------------------
+def d31_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ss = _shingle_set_df(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    dfreq = (
+        ss.join(d, "doc_id")
+        .groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    bucket = F.length(F.bin("df")).cast("long")
+    return (
+        dfreq.select(bucket.alias("df_bucket"), "df")
+        .groupBy("df_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("df").alias("n_postings"),
+            F.sum(F.col("df") * F.col("df")).alias("selfjoin_pairs_mass"),
+        )
+        .orderBy("df_bucket")
+    )
+
+
+D31_SQL = (
+    _TOKLIST_CTE
+    + """,
+with_src AS (
+  SELECT s.doc_id, d.source, s.shingle
+  FROM shingle_set s JOIN documents d USING (doc_id)
+),
+dfreq AS (
+  SELECT source, shingle, CAST(COUNT(*) AS BIGINT) AS df
+  FROM with_src GROUP BY source, shingle
+)
+SELECT CAST(length(bin(df)) AS BIGINT) AS df_bucket,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(df) AS BIGINT) AS n_postings,
+       CAST(SUM(df * df) AS BIGINT) AS selfjoin_pairs_mass
+FROM dfreq
+GROUP BY length(bin(df))
+ORDER BY df_bucket
+"""
+)
+
+
 STAGED_QUERIES = {
     6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
     7: {
@@ -2681,6 +2743,7 @@ STAGED_QUERIES = {
         "d29_cluster_purity": d29_cluster_purity,
         "d30_lsh_index_merge": d30_lsh_index_merge,
     },
+    16: {"d31_shingle_df_histogram": d31_shingle_df_histogram},
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -2712,4 +2775,5 @@ STAGED_ORACLES = {
         "d29_cluster_purity": D29_SQL,
         "d30_lsh_index_merge": D30_SQL,
     },
+    16: {"d31_shingle_df_histogram": D31_SQL},
 }

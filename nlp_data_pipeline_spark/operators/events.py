@@ -1943,6 +1943,80 @@ ORDER BY hour_start
 """
 
 
+# --------------------------------------------------------------------------
+# e28: inter-arrival gap histogram — STAGED FOR ROUND-17 DECLARATION
+# (gated on staged_ops_live(16)). The sessionization gap (q53/e03's
+# parameter) and the watermark horizon (e24) should both be READ off
+# this table, not guessed: per-user consecutive event gaps in exact
+# integer microseconds, histogrammed in power-of-two buckets
+# (bucket = length(bin(gap_us)) — the t50/d31 integer rule, no float
+# log). A bimodal gap distribution IS the session structure; the
+# valley between modes is the gap parameter.
+#
+# Hash-gate discipline: gaps are exact µs; buckets, counts, and gap
+# mass are BIGINTs; the share is one division. Zero-gap pairs (exact
+# duplicate timestamps) get bucket 0 via the explicit CASE — bin(0)
+# has length 1, which would collide with gap=1µs.
+# Scale: one lag window per user (one shuffle) + a map-combined
+# ≤64-row histogram.
+# --------------------------------------------------------------------------
+def e28_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.withColumn(
+            "gap_us",
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    bucket = F.when(F.col("gap_us") == 0, F.lit(0)).otherwise(
+        F.length(F.bin("gap_us"))
+    ).cast("long")
+    hist = gaps.select(bucket.alias("gap_bucket"), "gap_us").groupBy(
+        "gap_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").alias("gap_mass_us"),
+    )
+    total = gaps.agg(F.count(F.lit(1)).alias("total_gaps"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "gap_bucket",
+            "n_gaps",
+            "gap_mass_us",
+            (
+                F.col("n_gaps").cast("double") / F.col("total_gaps").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("gap_bucket")
+    )
+
+
+E28_SQL = """
+WITH gaps AS (
+  SELECT epoch_us(ts)
+           - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS gap_us
+  FROM events
+),
+g AS (SELECT gap_us FROM gaps WHERE gap_us IS NOT NULL),
+hist AS (
+  SELECT CASE WHEN gap_us = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(length(bin(gap_us)) AS BIGINT) END AS gap_bucket,
+         COUNT(*) AS n_gaps,
+         CAST(SUM(gap_us) AS BIGINT) AS gap_mass_us
+  FROM g GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_gaps FROM g)
+SELECT gap_bucket, n_gaps, gap_mass_us,
+       CAST(n_gaps AS DOUBLE) / CAST(total_gaps AS DOUBLE) AS share
+FROM hist, tot
+ORDER BY gap_bucket
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "e18_dedup_within_watermark": e18_dedup_within_watermark,
@@ -1963,6 +2037,7 @@ STAGED_QUERIES = {
         "e26_hourly_profile": e26_hourly_profile,
         "e27_error_burst_detector": e27_error_burst_detector,
     },
+    16: {"e28_interarrival_histogram": e28_interarrival_histogram},
 }
 STAGED_ORACLES = {
     6: {
@@ -1984,4 +2059,5 @@ STAGED_ORACLES = {
         "e26_hourly_profile": E26_SQL,
         "e27_error_burst_detector": E27_SQL,
     },
+    16: {"e28_interarrival_histogram": E28_SQL},
 }

@@ -3434,3 +3434,63 @@ def test_n05_idf_tracks_document_frequency(spark, sf_dir):
         expect = round(math.log((m + 1.0) / (dfs[r["term"]] + 1.0)), 6)
         assert abs(r["idf"] - expect) < 2e-6
         assert r["idf"] > 0
+
+
+def test_d31_matches_duckdb_oracle(spark, sf_dir):
+    """d31 shingle-df histogram is STAGED for round-17; power-of-two
+    buckets via length(bin(df)) — the t50 integer rule."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D31_SQL,
+        d31_shingle_df_histogram,
+    )
+
+    got = [tuple(r) for r in d31_shingle_df_histogram(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D31_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_d31_masses_reconcile(spark, sf_dir):
+    """Bucket masses total the capped-family's postings relation, df²
+    mass dominates df mass, and buckets hold 2^(b-1) ≤ df < 2^b."""
+    from nlp_data_pipeline_spark.operators.dedup import d31_shingle_df_histogram
+
+    rows = d31_shingle_df_histogram(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        b = r["df_bucket"]
+        lo, hi = 2 ** (b - 1), 2 ** b - 1
+        assert lo * r["n_shingles"] <= r["n_postings"] <= hi * r["n_shingles"]
+        assert r["selfjoin_pairs_mass"] >= r["n_postings"]
+
+
+def test_e28_matches_duckdb_oracle(spark, sf_dir):
+    """e28 inter-arrival histogram is STAGED for round-17; gaps in
+    exact µs, integer buckets, zero-gap bucket pinned to 0."""
+    from nlp_data_pipeline_spark.operators.events import (
+        E28_SQL,
+        e28_interarrival_histogram,
+    )
+
+    got = [tuple(r) for r in e28_interarrival_histogram(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(E28_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_e28_gap_count_reconciles(spark, sf_dir):
+    """Total gaps = events − users (one lag NULL per user), shares sum
+    to 1, and bucket bounds hold for every positive bucket."""
+    from nlp_data_pipeline_spark.operators.events import e28_interarrival_histogram
+
+    rows = e28_interarrival_histogram(spark, sf_dir).collect()
+    con = _duck(sf_dir, views=("events",))
+    n_events, n_users = con.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT user_id) FROM events"
+    ).fetchone()
+    assert sum(r["n_gaps"] for r in rows) == n_events - n_users
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        if r["gap_bucket"] > 0:
+            lo, hi = 2 ** (r["gap_bucket"] - 1), 2 ** r["gap_bucket"] - 1
+            assert lo * r["n_gaps"] <= r["gap_mass_us"] <= hi * r["n_gaps"]
