@@ -3359,6 +3359,123 @@ ORDER BY centroid_id
 """
 
 
+# --------------------------------------------------------------------------
+# s32: binary re-rank window sweep — STAGED FOR ROUND-17 DECLARATION
+# (gated on staged_ops_live(16)). s29 scores ONE re-rank window
+# (Hamming top-10); the deployment decision is the CURVE: how much
+# exact-top-5 recall does each candidate-window size buy? One ranked
+# Hamming relation serves every window (the a10/d22 nested-prefix
+# rule: the top-5 set is a prefix of the top-10 is a prefix of the
+# top-20), so the sweep costs one scan + one window regardless of how
+# many K values are read off it. Aggregated across queries per K:
+# exact hits captured and the recall fraction — pick the smallest K
+# whose recall clears the product bar, because re-rank cost is
+# K exact-cosine evaluations per query.
+#
+# Hash-gate discipline: hits are BIGINTs from prefix-membership
+# conditional sums; recall is ONE division. Oracle composes S01_SQL
+# verbatim and restates the s28 packing rules.
+# --------------------------------------------------------------------------
+_S32_KS = (5, 10, 20)
+
+
+def s32_rerank_window_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    codes = e.select(
+        "vec_id",
+        F.expr(_pack_expr("emb", 1)).alias("w1"),
+        F.expr(_pack_expr("emb", 33)).alias("w2"),
+    )
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    ham = (
+        F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+        + F.bit_count(F.col("qw2").bitwiseXOR(F.col("w2")))
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    ranked = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ham.alias("hamming"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max(_S32_KS))
+    )
+    truth = s01_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = ranked.join(truth, ["query_id", "vec_id"], "left_semi")
+    total_true = truth.agg(F.count(F.lit(1)).alias("total_true"))
+    arms = [
+        hits.filter(F.col("rn") <= k)
+        .agg(F.count(F.lit(1)).alias("total_hits"))
+        .crossJoin(F.broadcast(total_true))
+        .select(
+            F.lit(k).cast("long").alias("window_k"),
+            F.lit(N_QUERIES).cast("long").alias("n_queries"),
+            "total_true",
+            F.col("total_hits").cast("long").alias("total_hits"),
+            (
+                F.col("total_hits").cast("double")
+                / F.col("total_true").cast("double")
+            ).alias("recall"),
+        )
+        for k in _S32_KS
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("window_k")
+
+
+def _s32_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"""
+SELECT CAST({k} AS BIGINT) AS window_k,
+       CAST({N_QUERIES} AS BIGINT) AS n_queries,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS total_true,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked r
+        JOIN truth t ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+        WHERE r.rn <= {k}) AS total_hits,
+       CAST((SELECT COUNT(*) FROM ranked r
+             JOIN truth t ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+             WHERE r.rn <= {k}) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS recall"""
+        for k in _S32_KS
+    )
+    return f"""
+WITH truth AS (SELECT query_id, vec_id FROM ({S01_SQL}) s01),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+codes AS (
+  SELECT vec_id,
+         {_S28_PACK_SQL.format(col="emb", off=1)} AS w1,
+         {_S28_PACK_SQL.format(col="emb", off=33)} AS w2
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, w1 AS qw1, w2 AS qw2 FROM codes
+      WHERE vec_id < {N_QUERIES}),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming, vec_id) AS rn
+  FROM (
+    SELECT q.query_id, c.vec_id,
+           CAST(bit_count(xor(q.qw1, c.w1)) + bit_count(xor(q.qw2, c.w2))
+                AS BIGINT) AS hamming
+    FROM codes c CROSS JOIN q
+    WHERE c.vec_id != q.query_id
+  ) scored
+  QUALIFY rn <= {max(_S32_KS)}
+)
+SELECT * FROM ({arms}) curve
+ORDER BY window_k
+"""
+
+
+S32_SQL = _s32_sql()
+
+
 # Staged during round 6 (window at capacity); auto-declared from round 7
 # by __spark_entry__._collect, which evaluates staging.staged_ops_live
 # lazily per queries()/oracle_sql() call (not at import).
@@ -3396,6 +3513,7 @@ STAGED_QUERIES = {
     },
     14: {"s30_quantization_error_budget": s30_quantization_error_budget},
     15: {"s31_ivf_list_balance": s31_ivf_list_balance},
+    16: {"s32_rerank_window_curve": s32_rerank_window_curve},
 }
 STAGED_ORACLES = {
     6: {
@@ -3431,4 +3549,5 @@ STAGED_ORACLES = {
     },
     14: {"s30_quantization_error_budget": S30_SQL},
     15: {"s31_ivf_list_balance": S31_SQL},
+    16: {"s32_rerank_window_curve": S32_SQL},
 }

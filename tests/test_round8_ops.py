@@ -3494,3 +3494,40 @@ def test_e28_gap_count_reconciles(spark, sf_dir):
         if r["gap_bucket"] > 0:
             lo, hi = 2 ** (r["gap_bucket"] - 1), 2 ** r["gap_bucket"] - 1
             assert lo * r["n_gaps"] <= r["gap_mass_us"] <= hi * r["n_gaps"]
+
+
+def test_s32_matches_duckdb_oracle(spark, sf_dir):
+    """s32 re-rank window curve is STAGED for round-17; one ranked
+    Hamming relation serves every window prefix."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S32_SQL,
+        s32_rerank_window_curve,
+    )
+
+    got = [tuple(r) for r in s32_rerank_window_curve(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("embeddings",)).execute(S32_SQL).fetchall()
+    ]
+    assert len(got) == 3 and got == want
+
+
+def test_s32_nests_and_contains_s29(spark, sf_dir):
+    """Recall is non-decreasing in the window (prefix nesting), and
+    the K=10 point equals s29's total hits (two consumers of one
+    definition)."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        s29_binary_recall_eval,
+        s32_rerank_window_curve,
+    )
+
+    rows = sorted(
+        s32_rerank_window_curve(spark, sf_dir).collect(), key=lambda r: r["window_k"]
+    )
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)
+    s29_hits = sum(r["n_hits"] for r in s29_binary_recall_eval(spark, sf_dir).collect())
+    k10 = next(r for r in rows if r["window_k"] == 10)
+    assert k10["total_hits"] == s29_hits
+    for r in rows:
+        assert r["recall"] == r["total_hits"] / r["total_true"]
