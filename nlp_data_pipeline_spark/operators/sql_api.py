@@ -1144,6 +1144,50 @@ FROM events
 
 
 # --------------------------------------------------------------------------
+# v23: explicit NULL-ordering battery — STAGED FOR ROUND-17
+# DECLARATION (gated on staged_ops_live(16)). The silent portability
+# trap in every ORDER BY: engines DISAGREE on default null placement
+# (Spark sorts NULLs FIRST ascending, DuckDB LAST), so any ranking
+# over a nullable key is engine-dependent unless NULLS FIRST/LAST is
+# spelled out. This battery nullifies a value column on a
+# deterministic rule, then declares rankings under BOTH explicit
+# placements from one shared ANSI text — green only because every
+# ORDER BY names its null placement; drop either clause and the two
+# engines produce different rank-1 rows.
+# Scale: ordinary window sorts; the lesson is the spelling, not the
+# plan.
+# --------------------------------------------------------------------------
+_V23_TEXT = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CASE WHEN user_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events
+  WHERE event_id < 200
+),
+ranked AS (
+  SELECT event_id, user_id, v,
+         ROW_NUMBER() OVER (ORDER BY v ASC NULLS FIRST, event_id)
+           AS rn_nulls_first,
+         ROW_NUMBER() OVER (ORDER BY v ASC NULLS LAST, event_id)
+           AS rn_nulls_last
+  FROM e
+)
+SELECT event_id, user_id, v, rn_nulls_first, rn_nulls_last,
+       v IS NULL AS is_null_key
+FROM ranked
+ORDER BY event_id
+"""
+
+
+def v23_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_V23_TEXT)
+
+
+V23_SQL = _V23_TEXT
+
+
+# --------------------------------------------------------------------------
 # v22: argmax/conditional aggregate battery — STAGED FOR ROUND-16
 # DECLARATION (gated on staged_ops_live(15)). The modern aggregate
 # family the classic suite never touches: count_if (predicate count
@@ -1238,6 +1282,7 @@ STAGED_QUERIES = {
     13: {"v20_bag_set_ops": v20_bag_set_ops},
     14: {"v21_observe_metrics": v21_observe_metrics},
     15: {"v22_aggregate_battery": v22_aggregate_battery},
+    16: {"v23_null_ordering": v23_null_ordering},
 }
 STAGED_ORACLES = {
     6: {
@@ -1259,4 +1304,5 @@ STAGED_ORACLES = {
     13: {"v20_bag_set_ops": V20_SQL},
     14: {"v21_observe_metrics": V21_SQL},
     15: {"v22_aggregate_battery": V22_SQL},
+    16: {"v23_null_ordering": V23_SQL},
 }

@@ -3531,3 +3531,35 @@ def test_s32_nests_and_contains_s29(spark, sf_dir):
     assert k10["total_hits"] == s29_hits
     for r in rows:
         assert r["recall"] == r["total_hits"] / r["total_true"]
+
+
+def test_v23_matches_duckdb_oracle(spark, sf_dir):
+    """v23 explicit NULL ordering is STAGED for round-17; green ONLY
+    because both ORDER BYs spell out their null placement."""
+    from nlp_data_pipeline_spark.operators.sql_api import (
+        V23_SQL,
+        v23_null_ordering,
+    )
+
+    got = [tuple(r) for r in v23_null_ordering(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(V23_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_v23_null_block_placement(spark, sf_dir):
+    """Under NULLS FIRST every null row ranks before every non-null
+    row; under NULLS LAST, after — and the non-null relative order is
+    identical in both rankings."""
+    from nlp_data_pipeline_spark.operators.sql_api import v23_null_ordering
+
+    rows = v23_null_ordering(spark, sf_dir).collect()
+    n_null = sum(1 for r in rows if r["is_null_key"])
+    assert 0 < n_null < len(rows)
+    for r in rows:
+        if r["is_null_key"]:
+            assert r["rn_nulls_first"] <= n_null
+            assert r["rn_nulls_last"] > len(rows) - n_null
+        else:
+            assert r["rn_nulls_last"] == r["rn_nulls_first"] - n_null
