@@ -4361,6 +4361,105 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# t59: shared-header boilerplate detection — STAGED FOR ROUND-17
+# DECLARATION (gated on staged_ops_live(16)). t22 finds boilerplate
+# by segment document-frequency anywhere in the doc; the cheaper,
+# position-aware signal every web pipeline also runs is the HEADER
+# key: documents in one source opening with the SAME first-k tokens
+# share a template (navigation bars, licence headers, OCR cover
+# pages). Declared: per source, the top-5 header keys (first 3
+# tokens) shared by ≥2 documents, with doc counts and the source's
+# templated-doc fraction — the strip-list a header-pruning pass
+# consumes.
+#
+# Hash-gate discipline: keys are deterministic strings, counts exact
+# BIGINTs, rank tie-broken (n_docs DESC, header ASC), the fraction
+# one division. Scale: one groupBy on (source, header) — header keys
+# are bounded 3-token strings, no postings blowup possible.
+# --------------------------------------------------------------------------
+_T59_K = 3
+_T59_TOP = 5
+
+
+def t59_shared_header_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(clean_text("text"))
+    keyed = d.select(
+        "source",
+        F.concat_ws(" ", F.slice(toks, 1, _T59_K)).alias("header"),
+    ).filter(F.col("header") != "")
+    counts = keyed.groupBy("source", "header").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    src_docs = keyed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("source_docs")
+    )
+    shared = counts.filter(F.col("n_docs") >= 2)
+    w = Window.partitionBy("source").orderBy(F.desc("n_docs"), F.asc("header"))
+    templated = shared.groupBy("source").agg(
+        F.sum("n_docs").alias("templated_docs")
+    )
+    return (
+        shared.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _T59_TOP)
+        .join(src_docs, "source")
+        .join(templated, "source")
+        .select(
+            "source",
+            "rank",
+            "header",
+            "n_docs",
+            (
+                F.col("templated_docs").cast("double")
+                / F.col("source_docs").cast("double")
+            ).alias("templated_frac"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+T59_SQL = f"""
+WITH cleaned AS (SELECT doc_id, source, {_CLEAN_SQL} AS ctext FROM documents),
+toklists AS (
+  SELECT doc_id, source,
+         list_filter(string_split(ctext, ' '),
+                     t -> length(t) > 2 AND lower(t) NOT IN ({_STOP_SQL})
+                          AND t != '') AS t
+  FROM cleaned
+),
+keyed AS (
+  SELECT source, array_to_string(t[1:{_T59_K}], ' ') AS header
+  FROM toklists
+  WHERE array_to_string(t[1:{_T59_K}], ' ') != ''
+),
+counts AS (
+  SELECT source, header, COUNT(*) AS n_docs
+  FROM keyed GROUP BY source, header
+),
+src_docs AS (SELECT source, COUNT(*) AS source_docs FROM keyed GROUP BY source),
+shared AS (SELECT * FROM counts WHERE n_docs >= 2),
+templated AS (
+  SELECT source, CAST(SUM(n_docs) AS BIGINT) AS templated_docs
+  FROM shared GROUP BY source
+),
+ranked AS (
+  SELECT source, header, n_docs,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_docs DESC, header ASC) AS rank
+  FROM shared
+)
+SELECT r.source, CAST(r.rank AS INT) AS rank, r.header, r.n_docs,
+       CAST(t.templated_docs AS DOUBLE) / CAST(s.source_docs AS DOUBLE)
+         AS templated_frac
+FROM ranked r
+JOIN src_docs s ON s.source = r.source
+JOIN templated t ON t.source = r.source
+WHERE r.rank <= {_T59_TOP}
+ORDER BY r.source, r.rank
+"""
+
+
 STAGED_QUERIES = {
     6: {
         "t33_readability_curriculum": t33_readability_curriculum,
@@ -4401,6 +4500,7 @@ STAGED_QUERIES = {
         "t57_pattern_flag_profile": t57_pattern_flag_profile,
         "t58_dedup_token_budget": t58_dedup_token_budget,
     },
+    16: {"t59_shared_header_keys": t59_shared_header_keys},
 }
 STAGED_ORACLES = {
     6: {
@@ -4442,4 +4542,5 @@ STAGED_ORACLES = {
         "t57_pattern_flag_profile": T57_SQL,
         "t58_dedup_token_budget": T58_SQL,
     },
+    16: {"t59_shared_header_keys": T59_SQL},
 }

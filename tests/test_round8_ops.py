@@ -3563,3 +3563,38 @@ def test_v23_null_block_placement(spark, sf_dir):
             assert r["rn_nulls_last"] > len(rows) - n_null
         else:
             assert r["rn_nulls_last"] == r["rn_nulls_first"] - n_null
+
+
+def test_t59_matches_duckdb_oracle(spark, sf_dir):
+    """t59 shared-header detection is STAGED for round-17."""
+    from nlp_data_pipeline_spark.operators.text_analytics import (
+        T59_SQL,
+        t59_shared_header_keys,
+    )
+
+    got = [tuple(r) for r in t59_shared_header_keys(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(T59_SQL).fetchall()]
+    assert got == want
+
+
+def test_t59_finds_planted_template(spark):
+    """Crafted corpus: documents sharing an opening template must
+    surface as the rank-1 header with the right count."""
+    from unittest import mock
+
+    from nlp_data_pipeline_spark.operators import text_analytics as ta
+
+    rows = [
+        ("srcX", "common header template alpha body one two three"),
+        ("srcX", "common header template beta body four five six"),
+        ("srcX", "common header template gamma body seven eight nine"),
+        ("srcX", "unique opening words here nothing shared at all"),
+    ]
+    df = _docs(spark, rows)
+    with mock.patch.object(ta, "load_table", lambda *_a, **_k: df):
+        got = ta.t59_shared_header_keys(spark, "unused").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["rank"] == 1 and r["n_docs"] == 3
+    assert r["header"] == "common header template"
+    assert r["templated_frac"] == 3 / 4
