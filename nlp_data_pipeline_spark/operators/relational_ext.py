@@ -3118,6 +3118,89 @@ ORDER BY segment, custkey
 
 
 # --------------------------------------------------------------------------
+# q61: retention cohort matrix — STAGED FOR ROUND-17 DECLARATION
+# (gated on staged_ops_live(16)). The product-analytics table next to
+# e23's funnel: users grouped by their FIRST-activity week (the
+# cohort), tracked by how many are active in each subsequent week
+# offset — the retention triangle. Week arithmetic stays in exact
+# integer days since a fixed Monday epoch (date_trunc('week') is
+# ISO-Monday in both engines; the offset is a day-difference DIV 7 —
+# integer, never a float week count).
+#
+# Hash-gate discipline: cohort keys are DATEs, offsets and counts
+# BIGINTs, retention one division by the cohort's week-0 size.
+# Scale: two shuffles (user-level min, then cohort×offset rollup);
+# the matrix is weeks² rows regardless of event volume.
+# --------------------------------------------------------------------------
+def q61_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # week keys declare as TIMESTAMP (the q17 rule: DATE kinds differ
+    # across the driver's pandas bridge)
+    weeks = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    firsts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        weeks.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.to_date("week"), F.to_date("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    base = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.join(base, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            "n_active",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+Q61_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+),
+firsts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+),
+activity AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                        CAST(w.week AS DATE)) // 7 AS BIGINT)
+           AS week_offset,
+         COUNT(DISTINCT w.user_id) AS n_active
+  FROM weeks w JOIN firsts f USING (user_id)
+  GROUP BY f.cohort_week,
+           date_diff('day', CAST(f.cohort_week AS DATE),
+                     CAST(w.week AS DATE)) // 7
+),
+base AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_week
+)
+SELECT a.cohort_week, a.week_offset, b.cohort_size, a.n_active,
+       CAST(a.n_active AS DOUBLE) / CAST(b.cohort_size AS DOUBLE) AS retention
+FROM activity a JOIN base b USING (cohort_week)
+ORDER BY a.cohort_week, a.week_offset
+"""
+
+
+# --------------------------------------------------------------------------
 # u10: grouped applyInArrow — STAGED FOR ROUND-16 DECLARATION (gated
 # on staged_ops_live(15)). Completes the Arrow surface matrix: u03/u08
 # scalar pandas UDFs, u02 applyInPandas, u06 cogrouped pandas, u07
@@ -3293,6 +3376,7 @@ STAGED_QUERIES = {
         "q60_time_weighted_average": q60_time_weighted_average,
         "u10_apply_in_arrow": u10_apply_in_arrow,
     },
+    16: {"q61_retention_cohorts": q61_retention_cohorts},
 }
 STAGED_ORACLES = {
     6: {"q42_collated_group": Q42_SQL},
@@ -3334,4 +3418,5 @@ STAGED_ORACLES = {
         "q60_time_weighted_average": Q60_SQL,
         "u10_apply_in_arrow": U10_SQL,
     },
+    16: {"q61_retention_cohorts": Q61_SQL},
 }

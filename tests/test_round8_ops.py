@@ -3598,3 +3598,39 @@ def test_t59_finds_planted_template(spark):
     assert r["rank"] == 1 and r["n_docs"] == 3
     assert r["header"] == "common header template"
     assert r["templated_frac"] == 3 / 4
+
+
+def test_q61_matches_duckdb_oracle(spark, sf_dir):
+    """q61 retention cohorts are STAGED for round-17; week keys
+    declare as TIMESTAMP, offsets as integer day-diff DIV 7."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        Q61_SQL,
+        q61_retention_cohorts,
+    )
+
+    got = [tuple(r) for r in q61_retention_cohorts(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(Q61_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_q61_triangle_invariants(spark, sf_dir):
+    """Week-0 retention is exactly 1 for every cohort, retention never
+    exceeds 1, and cohort sizes total the user population."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        q61_retention_cohorts,
+    )
+
+    rows = q61_retention_cohorts(spark, sf_dir).collect()
+    n_users = _duck(sf_dir, views=("events",)).execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    cohorts = {}
+    for r in rows:
+        cohorts[r["cohort_week"]] = r["cohort_size"]
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        assert r["retention"] == r["n_active"] / r["cohort_size"]
+        if r["week_offset"] == 0:
+            assert r["n_active"] == r["cohort_size"]
+    assert sum(cohorts.values()) == n_users
