@@ -2616,6 +2616,114 @@ A11_SQL = _a11_sql()
 
 
 # --------------------------------------------------------------------------
+# a13: deterministic sampling-error curve — STAGED FOR ROUND-17
+# DECLARATION (gated on staged_ops_live(16)). a07 fixes the sample
+# size; the sizing question is the CURVE: how fast does the
+# hash-sample's estimate of a corpus statistic (mean tokens per doc)
+# approach the population value as K grows? One md5-ranked relation
+# serves every K (the a10 prefix rule: the K=10 sample IS the first
+# 10 rows of the K=40 sample — nested samples, so the curve is
+# consistent by construction). Declared per K: exact sample token
+# sum, the sample and population means (each ONE division of exact
+# BIGINTs), and the absolute error.
+#
+# Scale: the ranked relation is the a07 min-K-by-hash machinery —
+# partial per-partition top-K at 100 TB; the curve costs nothing
+# beyond max(K) rows. Error declared, not asserted: the corpus
+# decides what K buys.
+# --------------------------------------------------------------------------
+_A13_KS = (10, 20, 40)
+_A13_SEED = "a13"
+
+
+def a13_sample_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from nlp_data_pipeline_spark.functions.text import word_count
+
+    d = load_table(spark, sf_dir, "documents")
+    drawn = d.select(
+        "doc_id",
+        word_count("text").cast("long").alias("t"),
+        F.md5(
+            F.concat_ws("|", F.lit(_A13_SEED), F.col("doc_id").cast("string"))
+        ).alias("draw"),
+    )
+    ranked = drawn.withColumn(
+        "rn", F.row_number().over(Window.orderBy("draw", "doc_id"))
+    ).filter(F.col("rn") <= max(_A13_KS)).localCheckpoint()
+    pop = d.select(word_count("text").cast("long").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("pop_tokens")
+    )
+    arms = []
+    for k in _A13_KS:
+        arm = (
+            ranked.filter(F.col("rn") <= k)
+            .agg(F.sum("t").alias("sample_tokens"))
+            .crossJoin(F.broadcast(pop))
+            .select(
+                F.lit(k).cast("long").alias("sample_k"),
+                "sample_tokens",
+                (F.col("sample_tokens").cast("double") / F.lit(float(k))).alias(
+                    "sample_mean"
+                ),
+                (
+                    F.col("pop_tokens").cast("double")
+                    / F.col("n_docs").cast("double")
+                ).alias("pop_mean"),
+                F.abs(
+                    F.col("sample_tokens").cast("double") / F.lit(float(k))
+                    - F.col("pop_tokens").cast("double")
+                    / F.col("n_docs").cast("double")
+                ).alias("abs_error"),
+            )
+        )
+        arms.append(arm)
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("sample_k")
+
+
+def _a13_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"""
+SELECT CAST({k} AS BIGINT) AS sample_k,
+       (SELECT CAST(SUM(t) AS BIGINT) FROM ranked WHERE rn <= {k})
+         AS sample_tokens,
+       CAST((SELECT SUM(t) FROM ranked WHERE rn <= {k}) AS DOUBLE)
+         / {float(k)} AS sample_mean,
+       (SELECT CAST(SUM(t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) FROM toks)
+         AS pop_mean,
+       abs(CAST((SELECT SUM(t) FROM ranked WHERE rn <= {k}) AS DOUBLE)
+             / {float(k)}
+           - (SELECT CAST(SUM(t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              FROM toks)) AS abs_error"""
+        for k in _A13_KS
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t != '')) AS BIGINT) AS t
+  FROM documents
+),
+ranked AS (
+  SELECT t,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('{_A13_SEED}' || '|' || CAST(doc_id AS VARCHAR)),
+                    doc_id) AS rn
+  FROM toks
+)
+SELECT * FROM ({arms}) curve
+ORDER BY sample_k
+"""
+
+
+A13_SQL = _a13_sql()
+
+
+# --------------------------------------------------------------------------
 # r23: custom record-separator ingestion — STAGED FOR ROUND-16
 # DECLARATION (gated on staged_ops_live(15)). Concatenated-document
 # exports can't use '\n' as the record boundary (documents contain
@@ -3079,6 +3187,7 @@ STAGED_QUERIES = {
         "a12_sketch_crosscheck": a12_sketch_crosscheck,
         "r23_linesep_ingest": r23_linesep_ingest,
     },
+    16: {"a13_sample_error_curve": a13_sample_error_curve},
 }
 STAGED_ORACLES = {
     6: {
@@ -3119,4 +3228,5 @@ STAGED_ORACLES = {
         "a12_sketch_crosscheck": A12_SQL,
         "r23_linesep_ingest": R23_SQL,
     },
+    16: {"a13_sample_error_curve": A13_SQL},
 }

@@ -3634,3 +3634,35 @@ def test_q61_triangle_invariants(spark, sf_dir):
         if r["week_offset"] == 0:
             assert r["n_active"] == r["cohort_size"]
     assert sum(cohorts.values()) == n_users
+
+
+def test_a13_matches_duckdb_oracle(spark, sf_dir):
+    """a13 sampling-error curve is STAGED for round-17; nested md5
+    samples, exact integer sums, single divisions."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        A13_SQL,
+        a13_sample_error_curve,
+    )
+
+    got = [tuple(r) for r in a13_sample_error_curve(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(A13_SQL).fetchall()]
+    assert len(got) == 3 and got == want
+
+
+def test_a13_samples_nest(spark, sf_dir):
+    """The K=10 sample token mass is bounded by K=20's which is
+    bounded by K=40's (prefix nesting of one ranked relation), every
+    mean is the declared quotient, and pop_mean is constant."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        a13_sample_error_curve,
+    )
+
+    rows = sorted(
+        a13_sample_error_curve(spark, sf_dir).collect(), key=lambda r: r["sample_k"]
+    )
+    masses = [r["sample_tokens"] for r in rows]
+    assert masses == sorted(masses)
+    assert len({r["pop_mean"] for r in rows}) == 1
+    for r in rows:
+        assert r["sample_mean"] == r["sample_tokens"] / r["sample_k"]
+        assert r["abs_error"] == abs(r["sample_mean"] - r["pop_mean"])
