@@ -977,6 +977,109 @@ ORDER BY member_name
 
 
 # --------------------------------------------------------------------------
+# m15: ZIP shard index — STAGED FOR ROUND-17 DECLARATION (gated on
+# staged_ops_live(16)). The OTHER shard container beside m12's TAR:
+# ZIP's strength for training data is the CENTRAL DIRECTORY — one
+# trailing structure listing every member with its local-header
+# offset, so random access needs only the directory, never a
+# member-by-member walk. Fixture: 8 documents stored UNCOMPRESSED
+# (ZIP_STORED, zeroed DOS timestamps — byte-deterministic), indexed
+# back through binaryFile + a zipfile kernel reading infolist().
+# STORED layout is closed-form — member i's local header sits at
+# Σ_{j<i}(30 + len(name_j) + size_j) — so DuckDB recomputes the
+# whole index (offsets + sha256) from `documents`, proving the
+# kernel reads the real central directory.
+# Scale: same as m12 — index once per shard, scan-parallel, the
+# directory is the random-access contract.
+# --------------------------------------------------------------------------
+_M15_N_DOCS = 8
+
+
+def m15_zip_shard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import os
+    import shutil
+    import zipfile
+
+    from nlp_data_pipeline_spark.scratch import scratch_path
+
+    d = load_table(spark, sf_dir, "documents")
+    manifest = (
+        d.filter(F.col("doc_id") < _M15_N_DOCS)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for r in manifest:
+            zi = zipfile.ZipInfo(
+                f"doc_{r['doc_id']:06d}.txt", date_time=(1980, 1, 1, 0, 0, 0)
+            )
+            zf.writestr(zi, r["text"])
+    root = scratch_path(f"m15_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    with open(os.path.join(root, "shard-000000.zip"), "wb") as f:
+        f.write(buf.getvalue())
+
+    schema = (
+        "member_name string, size long, header_offset long, content binary"
+    )
+
+    def index_kernel(batches):
+        for pdf in batches:
+            out = []
+            for payload in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(bytes(payload))) as shard:
+                    for zi in shard.infolist():
+                        out.append(
+                            (
+                                zi.filename,
+                                zi.file_size,
+                                zi.header_offset,
+                                shard.read(zi.filename),
+                            )
+                        )
+            yield pd.DataFrame(
+                out, columns=["member_name", "size", "header_offset", "content"]
+            )
+
+    shards = spark.read.format("binaryFile").load(root)
+    return (
+        shards.select("content")
+        .mapInPandas(index_kernel, schema)
+        .select(
+            "member_name",
+            "size",
+            "header_offset",
+            F.sha2("content", 256).alias("content_sha256"),
+        )
+        .orderBy("member_name")
+    )
+
+
+M15_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         printf('doc_%06d.txt', doc_id) AS member_name,
+         CAST(strlen(text) AS BIGINT) AS size,
+         sha256(text) AS content_sha256,
+         CAST(30 + strlen(printf('doc_%06d.txt', doc_id)) + strlen(text)
+              AS BIGINT) AS span
+  FROM documents WHERE doc_id < {_M15_N_DOCS}
+)
+SELECT member_name, size,
+       CAST(COALESCE(SUM(span) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS header_offset,
+       content_sha256
+FROM m
+ORDER BY member_name
+"""
+
+
+# --------------------------------------------------------------------------
 # m13: JPEG marker-walk header parse — STAGED FOR ROUND-15
 # DECLARATION (gated on staged_ops_live(14)). m09 parses WAV's FIXED
 # little-endian layout; JPEG is the other archetype: BIG-endian
@@ -1240,6 +1343,7 @@ STAGED_QUERIES = {
     13: {"m12_webdataset_tar_index": m12_webdataset_tar_index},
     14: {"m13_jpeg_header_parse": m13_jpeg_header_parse},
     15: {"m14_npy_header_parse": m14_npy_header_parse},
+    16: {"m15_zip_shard_index": m15_zip_shard_index},
 }
 STAGED_ORACLES = {
     6: {"m08_image_dedup_phash": M08_SQL},
@@ -1249,4 +1353,5 @@ STAGED_ORACLES = {
     13: {"m12_webdataset_tar_index": M12_SQL},
     14: {"m13_jpeg_header_parse": M13_SQL},
     15: {"m14_npy_header_parse": M14_SQL},
+    16: {"m15_zip_shard_index": M15_SQL},
 }

@@ -3666,3 +3666,36 @@ def test_a13_samples_nest(spark, sf_dir):
     for r in rows:
         assert r["sample_mean"] == r["sample_tokens"] / r["sample_k"]
         assert r["abs_error"] == abs(r["sample_mean"] - r["pop_mean"])
+
+
+def test_m15_matches_duckdb_oracle(spark, sf_dir):
+    """m15 ZIP shard index is STAGED for round-17; STORED layout is
+    closed-form so the oracle recomputes offsets and shas from the
+    raw documents."""
+    from nlp_data_pipeline_spark.operators.multimodal import (
+        M15_SQL,
+        m15_zip_shard_index,
+    )
+
+    got = [tuple(r) for r in m15_zip_shard_index(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(M15_SQL).fetchall()]
+    assert len(got) >= 1 and got == want
+
+
+def test_m15_stored_layout_invariants(spark, sf_dir):
+    """STORED members tile the archive: each local header sits exactly
+    one 30-byte header + name + payload after the previous one."""
+    from nlp_data_pipeline_spark.operators.multimodal import (
+        _M15_N_DOCS,
+        m15_zip_shard_index,
+    )
+
+    rows = sorted(
+        m15_zip_shard_index(spark, sf_dir).collect(),
+        key=lambda r: r["header_offset"],
+    )
+    assert len(rows) == _M15_N_DOCS
+    prev_end = 0
+    for r in rows:
+        assert r["header_offset"] == prev_end
+        prev_end = r["header_offset"] + 30 + len(r["member_name"]) + r["size"]
