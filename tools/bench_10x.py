@@ -130,6 +130,13 @@ HEAVY = [
     "t58_dedup_token_budget",
     "a12_sketch_crosscheck",
     "d30_lsh_index_merge",
+    # round-17 staged (documents/embeddings-shaped; q61/e28/v23 read
+    # the unreplicated events table, m15 is a bounded fixture)
+    "t59_shared_header_keys",
+    "d31_shingle_df_histogram",
+    "a13_sample_error_curve",
+    "s32_rerank_window_curve",
+    "n05_idf_model",
 ]
 
 
@@ -234,10 +241,11 @@ def main() -> int:
     from nlp_data_pipeline_spark.operators import dedup as _dd
     from nlp_data_pipeline_spark.operators import doc_pipeline as _dp
     from nlp_data_pipeline_spark.operators import multimodal as _mm
+    from nlp_data_pipeline_spark.operators import nlp_model as _nm
     from nlp_data_pipeline_spark.operators import similarity as _sim
     from nlp_data_pipeline_spark.operators import text_analytics as _ta
 
-    for mod in (_ta, _dd, _sim, _dp, _mm):
+    for mod in (_ta, _dd, _sim, _dp, _mm, _nm):
         for gate_ops in getattr(mod, "STAGED_QUERIES", {}).values():
             for staged, fn in gate_ops.items():
                 queries.setdefault(staged, fn)
