@@ -2616,6 +2616,71 @@ A11_SQL = _a11_sql()
 
 
 # --------------------------------------------------------------------------
+# p09: TOKEN-mass curation waterfall — STAGED FOR ROUND-17
+# DECLARATION (gated on staged_ops_live(16)). p08 counts DOCUMENTS
+# per drop stage; the number a training plan actually budgets is
+# TOKENS, and the two disagree wildly when a stage drops megadocs
+# (one boilerplate-heavy doc can outweigh a thousand short dups).
+# Declared: per p04 stage, the exact token mass dropped and the mass
+# surviving past it — p08's set arithmetic re-weighted by the
+# verdict relation's own n_tokens column (p04 already carries it;
+# no extra scan).
+#
+# Hash-gate discipline: BIGINT conditional sums off the composed
+# already-green P04 relation (oracle nests P04_SQL verbatim — the
+# p08/t52 pattern). Scale: rides p04's plan; the report is a scalar
+# aggregate + a 4-row stack.
+# --------------------------------------------------------------------------
+def p09_token_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = p04_curation_pipeline(spark, sf_dir).select("drop_reason", "n_tokens")
+    stages = ("exact_dup", "too_short", "repetitive", "boilerplate")
+    aggs = [F.sum("n_tokens").alias("total_tokens")] + [
+        F.sum(
+            F.when(F.col("drop_reason") == s, F.col("n_tokens")).otherwise(0)
+        ).alias(f"d{i}")
+        for i, s in enumerate(stages, start=1)
+    ]
+    row = v.agg(*aggs)
+    cum = {i: " + ".join(f"d{j}" for j in range(1, i + 1)) for i in range(1, 5)}
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), '{s}', d{i}, total_tokens - ({cum[i]})"
+        for i, s in enumerate(stages, start=1)
+    )
+    return row.selectExpr(
+        f"stack(4, {stack_args})"
+        " AS (stage, stage_name, tokens_dropped, tokens_surviving)"
+    ).orderBy("stage")
+
+
+def _p09_sql() -> str:
+    stages = ("exact_dup", "too_short", "repetitive", "boilerplate")
+    conds = {
+        i: " + ".join(
+            f"SUM(CASE WHEN drop_reason = '{stages[j - 1]}'"
+            f" THEN n_tokens ELSE 0 END)"
+            for j in range(1, i + 1)
+        )
+        for i in range(1, 5)
+    }
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS stage, '{s}' AS stage_name,"
+        f" CAST(SUM(CASE WHEN drop_reason = '{s}' THEN n_tokens ELSE 0 END)"
+        f" AS BIGINT) AS tokens_dropped,"
+        f" CAST(SUM(n_tokens) - ({conds[i]}) AS BIGINT) AS tokens_surviving"
+        f" FROM p04_out"
+        for i, s in enumerate(stages, start=1)
+    )
+    return f"""
+WITH p04_out AS ({P04_SQL})
+SELECT * FROM ({arms}) w
+ORDER BY stage
+"""
+
+
+P09_SQL = _p09_sql()
+
+
+# --------------------------------------------------------------------------
 # a13: deterministic sampling-error curve — STAGED FOR ROUND-17
 # DECLARATION (gated on staged_ops_live(16)). a07 fixes the sample
 # size; the sizing question is the CURVE: how fast does the
@@ -3187,7 +3252,10 @@ STAGED_QUERIES = {
         "a12_sketch_crosscheck": a12_sketch_crosscheck,
         "r23_linesep_ingest": r23_linesep_ingest,
     },
-    16: {"a13_sample_error_curve": a13_sample_error_curve},
+    16: {
+        "a13_sample_error_curve": a13_sample_error_curve,
+        "p09_token_waterfall": p09_token_waterfall,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -3228,5 +3296,8 @@ STAGED_ORACLES = {
         "a12_sketch_crosscheck": A12_SQL,
         "r23_linesep_ingest": R23_SQL,
     },
-    16: {"a13_sample_error_curve": A13_SQL},
+    16: {
+        "a13_sample_error_curve": A13_SQL,
+        "p09_token_waterfall": P09_SQL,
+    },
 }

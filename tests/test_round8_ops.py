@@ -3699,3 +3699,39 @@ def test_m15_stored_layout_invariants(spark, sf_dir):
     for r in rows:
         assert r["header_offset"] == prev_end
         prev_end = r["header_offset"] + 30 + len(r["member_name"]) + r["size"]
+
+
+def test_p09_matches_duckdb_oracle(spark, sf_dir):
+    """p09 token waterfall is STAGED for round-17; p08's set
+    arithmetic re-weighted by token mass, oracle nests P04_SQL."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        P09_SQL,
+        p09_token_waterfall,
+    )
+
+    got = [tuple(r) for r in p09_token_waterfall(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(P09_SQL).fetchall()]
+    assert len(got) == 4 and got == want
+
+
+def test_p09_reconciles_with_p04_and_p08(spark, sf_dir):
+    """Token masses reconcile with p04's verdict relation directly,
+    and the final surviving tokens equal the kept docs' token sum."""
+    from nlp_data_pipeline_spark.operators.doc_pipeline import (
+        p04_curation_pipeline,
+        p09_token_waterfall,
+    )
+
+    verdicts = p04_curation_pipeline(spark, sf_dir).collect()
+    rows = sorted(p09_token_waterfall(spark, sf_dir).collect(), key=lambda r: r["stage"])
+    total = sum(v["n_tokens"] for v in verdicts)
+    kept = sum(v["n_tokens"] for v in verdicts if v["keep"])
+    surviving = total
+    for r in rows:
+        dropped = sum(
+            v["n_tokens"] for v in verdicts if v["drop_reason"] == r["stage_name"]
+        )
+        assert r["tokens_dropped"] == dropped
+        surviving -= dropped
+        assert r["tokens_surviving"] == surviving
+    assert rows[-1]["tokens_surviving"] == kept
