@@ -2017,6 +2017,80 @@ ORDER BY gap_bucket
 """
 
 
+# --------------------------------------------------------------------------
+# e29: behavioral entropy per user — STAGED FOR ROUND-17 DECLARATION
+# (gated on staged_ops_live(16)). The one-number behavioral-diversity
+# score: Shannon entropy of each user's event-type distribution —
+# near 0 = single-behavior (bot-like), near ln 5 = uniform across the
+# catalog. The float-discipline point this op exists to demonstrate:
+# an entropy written as SUM(p·ln p) over rows is PARTITION-ORDER-
+# DEPENDENT float addition and can never be hash-green; here each
+# type's term is its own conditional-aggregate column and the entropy
+# is ONE fixed-order expression −(t_click + t_error + t_purchase +
+# t_signup + t_view) — the same FP additions in the same order on
+# both engines, exactly like t40's fixed expression tree.
+#
+# Scale: one map-combined groupBy on user_id; the catalog is a
+# compile-time literal list (5 types), the standard shape when the
+# category domain is small and known.
+# --------------------------------------------------------------------------
+_E29_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def e29_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    aggs = [F.count(F.lit(1)).alias("n_events")] + [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+        for t in _E29_TYPES
+    ]
+    g = e.groupBy("user_id").agg(*aggs)
+    term = lambda t: F.when(
+        F.col(f"n_{t}") > 0,
+        (F.col(f"n_{t}").cast("double") / F.col("n_events").cast("double"))
+        * F.log(
+            F.col(f"n_{t}").cast("double") / F.col("n_events").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    # fixed-order sum: click + error + purchase + signup + view
+    ent = -(
+        term("click")
+        + term("error")
+        + term("purchase")
+        + term("signup")
+        + term("view")
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round(ent, 6).alias("entropy_nats"),
+    ).orderBy("user_id")
+
+
+def _e29_sql() -> str:
+    counts = ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}"
+        for t in _E29_TYPES
+    )
+    term = lambda t: (
+        f"CASE WHEN n_{t} > 0 THEN (CAST(n_{t} AS DOUBLE) / CAST(n_events AS DOUBLE))"
+        f" * ln(CAST(n_{t} AS DOUBLE) / CAST(n_events AS DOUBLE)) ELSE 0.0 END"
+    )
+    ent = " + ".join(term(t) for t in _E29_TYPES)
+    return f"""
+WITH g AS (
+  SELECT user_id, COUNT(*) AS n_events, {counts}
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, round(-({ent}), 6) AS entropy_nats
+FROM g
+ORDER BY user_id
+"""
+
+
+E29_SQL = _e29_sql()
+
+
 STAGED_QUERIES = {
     6: {
         "e18_dedup_within_watermark": e18_dedup_within_watermark,
@@ -2037,7 +2111,10 @@ STAGED_QUERIES = {
         "e26_hourly_profile": e26_hourly_profile,
         "e27_error_burst_detector": e27_error_burst_detector,
     },
-    16: {"e28_interarrival_histogram": e28_interarrival_histogram},
+    16: {
+        "e28_interarrival_histogram": e28_interarrival_histogram,
+        "e29_behavior_entropy": e29_behavior_entropy,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -2059,5 +2136,8 @@ STAGED_ORACLES = {
         "e26_hourly_profile": E26_SQL,
         "e27_error_burst_detector": E27_SQL,
     },
-    16: {"e28_interarrival_histogram": E28_SQL},
+    16: {
+        "e28_interarrival_histogram": E28_SQL,
+        "e29_behavior_entropy": E29_SQL,
+    },
 }

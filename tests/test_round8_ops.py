@@ -3735,3 +3735,37 @@ def test_p09_reconciles_with_p04_and_p08(spark, sf_dir):
         surviving -= dropped
         assert r["tokens_surviving"] == surviving
     assert rows[-1]["tokens_surviving"] == kept
+
+
+def test_e29_matches_duckdb_oracle(spark, sf_dir):
+    """e29 behavior entropy is STAGED for round-17; one FIXED-ORDER
+    float expression per row, never SUM over rows (the t40 rule)."""
+    from nlp_data_pipeline_spark.operators.events import (
+        E29_SQL,
+        e29_behavior_entropy,
+    )
+
+    got = [tuple(r) for r in e29_behavior_entropy(spark, sf_dir).collect()]
+    want = [
+        tuple(r) for r in _duck(sf_dir, views=("events",)).execute(E29_SQL).fetchall()
+    ]
+    assert len(got) >= 1 and got == want
+
+
+def test_e29_entropy_bounds(spark, sf_dir):
+    """0 ≤ H ≤ ln(5) for a 5-type catalog, and a user with all five
+    types in equal measure would sit at the max (checked via bound
+    tightness on the corpus's most diverse users)."""
+    import math
+
+    from nlp_data_pipeline_spark.operators.events import (
+        _E29_TYPES,
+        e29_behavior_entropy,
+    )
+
+    rows = e29_behavior_entropy(spark, sf_dir).collect()
+    h_max = math.log(len(_E29_TYPES))
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["entropy_nats"] <= h_max + 1e-9
+    assert max(r["entropy_nats"] for r in rows) > 0.5 * h_max
