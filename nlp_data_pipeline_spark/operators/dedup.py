@@ -1763,7 +1763,13 @@ ORDER BY strategy, split_a, split_b
 # (gated on staged_ops_live(11)). The tuning knob d03 fixes at 4×2,
 # measured: with H=8 minhashes, the banding choices (1 band × 8
 # rows, 2×4, 4×2) trade candidate volume against missed true
-# near-dups (P[candidate] = 1-(1-j^r)^b). Stricter configs are
+# near-dups (P[candidate] = 1-(1-j^r)^b). NOTE the truth frame:
+# `total_true` (and therefore `n_true_missed`) counts true
+# near-dups WITHIN the deployed 4×2 candidate set only — a pair no
+# 2-row band caught is invisible here, so the 1×8/2×4 miss counts
+# are misses RELATIVE to the deployed config, not absolute recall
+# loss. Corpus-global recall is d26's job (exact all-pairs truth on
+# a bounded slice). Stricter configs are
 # NESTED subsets of the deployed 4×2 set (an 8-row or 4-row band
 # match implies its 2-row sub-bands match), so the whole curve is
 # evaluated per-pair ON the deployed candidate set — band-pattern

@@ -304,6 +304,16 @@ SELECT vocab_rank, term, tf, df FROM (
 # t04 precedent). The model's vocab-sized state is the only driver
 # materialization (the s14 pattern). Scale: the fit is one corpus
 # pass; the model ships as a broadcastable vocab-length vector.
+#
+# ADVICE r08 hardening: the EXACT INTEGERS behind each idf — the
+# model's own docFreq vector and numDocs scalar — are declared beside
+# the rounded ln, so a last-ulp JVM-vs-libm divergence at a 5e-7
+# rounding boundary (which would flip only the idf column's 6-dp
+# value) stays diagnosable from the driver artifact itself: df/m
+# matching while idf differs isolates the failure to the log, not the
+# fit. tests/test_round9_ops.py additionally pins Python math.log,
+# JVM ln, and DuckDB ln to 6-dp agreement on the observed (df, m)
+# pairs nearest a rounding boundary.
 # --------------------------------------------------------------------------
 def n05_idf_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import IDF, CountVectorizerModel
@@ -324,10 +334,20 @@ def n05_idf_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = IDF(inputCol="vec", outputCol="tfidf").fit(cvm.transform(terms))
     idf = model.idf.toArray()
-    rows = [(i + 1, term, float(v)) for i, (term, v) in enumerate(zip(vocab, idf))]
+    doc_freq = model.docFreq  # exact per-term ints from the fitted model
+    n_docs = model.numDocs
+    rows = [
+        (i + 1, term, int(df_i), int(n_docs), float(v))
+        for i, (term, df_i, v) in enumerate(zip(vocab, doc_freq, idf))
+    ]
     return (
-        spark.createDataFrame(rows, "vocab_rank int, term string, idf_raw double")
-        .select("vocab_rank", "term", F.round("idf_raw", 6).alias("idf"))
+        spark.createDataFrame(
+            rows,
+            "vocab_rank int, term string, df bigint, n_docs bigint, idf_raw double",
+        )
+        .select(
+            "vocab_rank", "term", "df", "n_docs", F.round("idf_raw", 6).alias("idf")
+        )
         .orderBy("vocab_rank")
     )
 
@@ -357,6 +377,7 @@ vocab AS (
   ) z WHERE vocab_rank <= {DEFAULT_CONFIG.vocab_size}
 )
 SELECT CAST(vocab_rank AS INT) AS vocab_rank, term,
+       CAST(df AS BIGINT) AS df, CAST(n_docs AS BIGINT) AS n_docs,
        round(ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)), 6)
          AS idf
 FROM vocab

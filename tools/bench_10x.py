@@ -287,6 +287,15 @@ def main() -> int:
         row["plan_stable"] = (
             row["1x"]["struct_md5"] == row[f"{factor}x"]["struct_md5"]
         )
+        # Byte-level comparison surfaced SEPARATELY: plan_stable blanks
+        # numeric literals (data-dependent constants legitimately shift
+        # with scale), which also hides an UNINTENDED threshold/bucket
+        # constant drift. plan_identical keeps that visible — False with
+        # plan_stable=True means "same tree, some constant moved", which
+        # cross-round diffs should be able to see (ADVICE r08).
+        row["plan_identical"] = (
+            row["1x"]["plan_md5"] == row[f"{factor}x"]["plan_md5"]
+        )
         row["growth"] = round(row[f"{factor}x"]["sec"] / max(row["1x"]["sec"], 1e-9), 1)
         results[name] = row
         sys.stderr.write(f"[10x] {name}: {json.dumps(row)}\n")
