@@ -100,3 +100,72 @@ def test_n05_declared_integers_are_model_state(spark, sf_dir):
             math.log((r["n_docs"] + 1.0) / (r["df"] + 1.0)) * 1e6 + 0.5
         ) / 1e6
         assert abs(expect - r["idf"]) < 1e-9, (r["term"], r["df"], r["n_docs"])
+
+
+def test_s33_matches_duckdb_oracle(spark, sf_dir):
+    """s33 is STAGED for round-17: mutual-kNN over the linear-cost
+    NN-descent build, declared as exact-truth count + integer-percent
+    quality booleans (the r08 verdict's s25 perf-twin ask)."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        S33_SQL,
+        s33_mutual_knn_nnd_recall,
+    )
+
+    got = [tuple(r) for r in s33_mutual_knn_nnd_recall(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("embeddings",)).execute(S33_SQL).fetchall()
+    ]
+    assert len(got) == 1 and got == want
+    assert got[0][1] is True and got[0][2] is True
+
+
+def test_s33_quality_margin_above_declared_floor(spark, sf_dir):
+    """The declared 70% floor must not sit at the cliff edge: measured
+    mutual recall AND precision at the test sf stay ≥ floor + 10 pts,
+    so ordinary corpus drift cannot flip the declared booleans."""
+    from pyspark.sql import functions as F
+
+    from nlp_data_pipeline_spark.operators.similarity import (
+        GRAPH_M,
+        S33_MIN_PCT,
+        _knn_directed,
+        _mutual_pairs,
+        _nnd_state,
+    )
+
+    topm, _g, _links = _nnd_state(spark, sf_dir, GRAPH_M)
+    ap = _mutual_pairs(topm.select("src", "dst")).withColumn("in_ap", F.lit(1))
+    ex = _mutual_pairs(
+        _knn_directed(spark, sf_dir, GRAPH_M).select("src", "dst")
+    ).withColumn("in_ex", F.lit(1))
+    r = (
+        ex.join(ap, ["src", "dst"], "full_outer")
+        .agg(
+            F.sum("in_ex").alias("n_true"),
+            F.sum("in_ap").alias("n_ap"),
+            F.sum(F.col("in_ex") * F.col("in_ap")).alias("n_hit"),
+        )
+        .collect()[0]
+    )
+    assert r["n_hit"] * 100 >= r["n_true"] * (S33_MIN_PCT + 10)
+    assert r["n_hit"] * 100 >= r["n_ap"] * (S33_MIN_PCT + 10)
+
+
+def test_nnd_state_directed_topm_feeds_the_declared_graph(spark, sf_dir):
+    """The refactor contract: _knn_graph_nnd (s16's NSW graph) must be
+    exactly the undirected closure of _nnd_state's topm plus the
+    cross-links — the directed list s33 filters IS the graph s16
+    searches, not a sibling build."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        _knn_graph_nnd,
+        _nnd_state,
+        _undirected,
+    )
+
+    topm, g, links = _nnd_state(spark, sf_dir)
+    want = {(r["src"], r["dst"]) for r in _undirected(g.union(links)).distinct().collect()}
+    got = {(r["src"], r["dst"]) for r in _knn_graph_nnd(spark, sf_dir).collect()}
+    assert got == want
+    closure = {(r["src"], r["dst"]) for r in _undirected(topm).collect()}
+    assert closure <= want
