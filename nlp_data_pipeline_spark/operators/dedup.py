@@ -2719,6 +2719,167 @@ ORDER BY df_bucket
 )
 
 
+# --------------------------------------------------------------------------
+# d32: incremental dedup delta — STAGED FOR ROUND-17 DECLARATION
+# (gated on staged_ops_live(16)). d30 proves the LSH index's merge
+# ALGEBRA; this is its operational payoff: a NEW shard arrives (delta
+# = odd doc_ids) and must be classified against the EXISTING corpus
+# (base = even doc_ids) without re-deduping the base — the steady-
+# state shape of every production dedup service. Per delta doc,
+# first-match verdict (the p04 precedence rule): `exact` if its
+# sha256 exists in the base, else `near` if any banded-LSH base
+# candidate passes exact shingle Jaccard ≥ 1/2 — decided in INTEGER
+# arithmetic (3·|A∩B| ≥ |A|+|B|, the d22/d26 rule) — else `novel`.
+# Declared per source: the delta-classification counts (all BIGINTs,
+# zero divisions).
+#
+# The banding spelling is d03's, duplicated verbatim rather than
+# refactored (t46/s30 discipline: green ops keep their expression
+# trees); the candidate join is delta-banded × base-banded — at
+# production the base side (band postings + sha set) is the
+# MATERIALIZED index, so the per-shard cost is |delta| signatures +
+# candidate-bounded verification, never a base rescan. Scale: the
+# sha probe is a broadcast-able semi join on a 32-byte key; the band
+# join shuffles on band_key exactly like d03; the Jaccard tier
+# explodes only candidate pairs by their own shingles (d05's postings
+# shape).
+# --------------------------------------------------------------------------
+def d32_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "source", F.sha2(F.col("text").cast("binary"), 256).alias("sha")
+    )
+    base_sha = (
+        docs.filter(F.pmod("doc_id", 2) == 0)
+        .select("sha")
+        .distinct()
+        .withColumn("is_exact", F.lit(1))
+    )
+
+    sig = d02_minhash_signatures(spark, sf_dir)
+    n_bands = NUM_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.pmod(F.col("a.doc_id"), 2) == 1)
+            & (F.pmod(F.col("b.doc_id"), 2) == 0),
+        )
+        .select(F.col("a.doc_id").alias("delta_id"), F.col("b.doc_id").alias("base_id"))
+        .distinct()
+    )
+
+    ss = _shingle_set_df(spark, sf_dir)
+    sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(ss.select(F.col("doc_id").alias("delta_id"), "shingle"), "delta_id")
+        .join(ss.select(F.col("doc_id").alias("base_id"), "shingle"), ["base_id", "shingle"])
+        .groupBy("delta_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    near_ids = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("delta_id"), F.col("n_sh").alias("na")),
+            "delta_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("base_id"), F.col("n_sh").alias("nb")),
+            "base_id",
+        )
+        .filter(3 * F.col("n_inter") >= F.col("na") + F.col("nb"))
+        .select(F.col("delta_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+
+    verdict = F.when(F.col("is_exact") == 1, "exact").when(
+        F.col("is_near") == 1, "near"
+    ).otherwise("novel")
+    return (
+        docs.filter(F.pmod("doc_id", 2) == 1)
+        .join(base_sha, "sha", "left")
+        .join(near_ids, "doc_id", "left")
+        .select("source", verdict.alias("v"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.sum(F.when(F.col("v") == "exact", 1).otherwise(0)).alias("n_exact_dup"),
+            F.sum(F.when(F.col("v") == "near", 1).otherwise(0)).alias("n_near_dup"),
+            F.sum(F.when(F.col("v") == "novel", 1).otherwise(0)).alias("n_novel"),
+        )
+        .orderBy("source")
+    )
+
+
+D32_SQL = (
+    _TOKLIST_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('seed{i}|' || shingle)) AS h{i}" for i in range(NUM_HASHES))
+    + " FROM shingle_set GROUP BY doc_id), "
+    + f"banded AS ({_BANDS_SQL}) "
+    + """,
+sha AS (
+  SELECT doc_id, source, sha256(text) AS sha FROM documents
+),
+base_sha AS (SELECT DISTINCT sha FROM sha WHERE doc_id % 2 = 0),
+cand AS (
+  SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS base_id
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingle_set GROUP BY doc_id),
+inter AS (
+  SELECT c.delta_id, c.base_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shingle_set sa ON sa.doc_id = c.delta_id
+  JOIN shingle_set sb ON sb.doc_id = c.base_id AND sb.shingle = sa.shingle
+  GROUP BY c.delta_id, c.base_id
+),
+near_ids AS (
+  SELECT DISTINCT i.delta_id
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.delta_id
+  JOIN sizes zb ON zb.doc_id = i.base_id
+  WHERE 3 * i.n_inter >= za.n_sh + zb.n_sh
+),
+verdicts AS (
+  SELECT s.source,
+         CASE WHEN s.sha IN (SELECT sha FROM base_sha) THEN 'exact'
+              WHEN s.doc_id IN (SELECT delta_id FROM near_ids) THEN 'near'
+              ELSE 'novel' END AS v
+  FROM sha s WHERE s.doc_id % 2 = 1
+)
+SELECT source,
+       COUNT(*) AS n_delta,
+       CAST(SUM(CASE WHEN v = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       CAST(SUM(CASE WHEN v = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       CAST(SUM(CASE WHEN v = 'novel' THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+FROM verdicts
+GROUP BY source
+ORDER BY source
+"""
+)
+
+
 STAGED_QUERIES = {
     6: {"d13_source_overlap_matrix": d13_source_overlap_matrix},
     7: {
@@ -2749,7 +2910,10 @@ STAGED_QUERIES = {
         "d29_cluster_purity": d29_cluster_purity,
         "d30_lsh_index_merge": d30_lsh_index_merge,
     },
-    16: {"d31_shingle_df_histogram": d31_shingle_df_histogram},
+    16: {
+        "d31_shingle_df_histogram": d31_shingle_df_histogram,
+        "d32_incremental_dedup_delta": d32_incremental_dedup_delta,
+    },
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -2781,5 +2945,8 @@ STAGED_ORACLES = {
         "d29_cluster_purity": D29_SQL,
         "d30_lsh_index_merge": D30_SQL,
     },
-    16: {"d31_shingle_df_histogram": D31_SQL},
+    16: {
+        "d31_shingle_df_histogram": D31_SQL,
+        "d32_incremental_dedup_delta": D32_SQL,
+    },
 }

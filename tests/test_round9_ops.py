@@ -169,3 +169,31 @@ def test_nnd_state_directed_topm_feeds_the_declared_graph(spark, sf_dir):
     assert got == want
     closure = {(r["src"], r["dst"]) for r in _undirected(topm).collect()}
     assert closure <= want
+
+
+def test_d32_matches_duckdb_oracle(spark, sf_dir):
+    """d32 is STAGED for round-17: delta-vs-base incremental dedup
+    classification (exact sha tier, banded-LSH + integer-Jaccard near
+    tier, first-match precedence)."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        D32_SQL,
+        d32_incremental_dedup_delta,
+    )
+
+    got = [tuple(r) for r in d32_incremental_dedup_delta(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _duck(sf_dir).execute(D32_SQL).fetchall()]
+    assert got and got == want
+
+
+def test_d32_verdicts_partition_the_delta(spark, sf_dir):
+    """Every delta doc gets exactly one verdict: the three counts sum
+    to n_delta per source, and n_delta totals the odd-doc_id rows."""
+    from nlp_data_pipeline_spark.operators.dedup import d32_incremental_dedup_delta
+
+    rows = d32_incremental_dedup_delta(spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_exact_dup"] + r["n_near_dup"] + r["n_novel"] == r["n_delta"]
+    n_odd = _duck(sf_dir).execute(
+        "SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 1"
+    ).fetchone()[0]
+    assert sum(r["n_delta"] for r in rows) == n_odd
