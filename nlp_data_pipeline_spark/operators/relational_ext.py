@@ -3265,6 +3265,82 @@ ORDER BY user_id
 
 
 # --------------------------------------------------------------------------
+# u11: nested-type Arrow UDF round trip — STAGED FOR ROUND-17
+# DECLARATION (gated on staged_ops_live(16)). Every prior u-op moves
+# FLAT columns through the Arrow boundary; real feature pipelines
+# ship NESTED data (token lists, per-user event structs, model
+# feature bundles), and the failure modes live exactly in the nested
+# serialization: list offsets, struct field order, element order
+# inside a list cell. Declared here: a sorted array<struct<event_id,
+# event_type>> per user goes INTO a scalar pandas UDF and a
+# struct<...> comes OUT (pd.DataFrame return), with the declared
+# facts chosen so each checks one fidelity axis — n_items (list
+# length), id_mass (every element's int field), n_click (every
+# element's string field), last_type (element ORDER: the tail of the
+# sort_array order, = arg_max by event_id since event_id is unique).
+# The plain-SQL oracle is the proof the nested round trip delivered
+# every element, every field, in order, exactly once.
+#
+# API-surface entry (the u04/v03 convention): facts this simple
+# belong in native aggregates; the op exists to pin the nested Arrow
+# path. Scale: one shuffle for the groupBy; the UDF is Arrow-batched
+# (never per-row Python), and the nested cell is the group's own
+# payload — the same memory bound as any collect_list.
+# --------------------------------------------------------------------------
+def u11_nested_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-DEMO: nested array<struct> → pandas UDF → struct round trip.
+    Hot paths stay Python-free (tests/test_plans.py); this op's job is
+    the nested Arrow serialization surface itself."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    e = load_table(spark, sf_dir, "events")
+    nested = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("event_id", "event_type"))).alias(
+            "items"
+        )
+    )
+
+    def _digest(items):
+        rows = []
+        for lst in items:
+            n = len(lst)
+            mass = sum(int(it["event_id"]) for it in lst)
+            clicks = sum(1 for it in lst if it["event_type"] == "click")
+            rows.append((n, mass, clicks, lst[-1]["event_type"] if n else None))
+        return pd.DataFrame(
+            rows, columns=["n_items", "id_mass", "n_click", "last_type"]
+        )
+
+    # real type objects, not strings: this module's `from __future__
+    # import annotations` would stringify inline hints, which
+    # pandas_udf's signature inference rejects
+    _digest.__annotations__ = {"items": pd.Series, "return": pd.DataFrame}
+    digest = pandas_udf(
+        _digest, "n_items long, id_mass long, n_click long, last_type string"
+    )
+
+    return (
+        nested.select("user_id", digest("items").alias("s"))
+        .select("user_id", "s.n_items", "s.id_mass", "s.n_click", "s.last_type")
+        .orderBy("user_id")
+    )
+
+
+U11_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_items,
+       CAST(SUM(event_id) AS BIGINT) AS id_mass,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click,
+       arg_max(event_type, event_id) AS last_type
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # q60: time-weighted average (TWAP) — STAGED FOR ROUND-16 DECLARATION
 # (gated on staged_ops_live(15)). Irregularly-sampled series (prices,
 # gauges, sensor values) average by HOLDING TIME, not by row count:
@@ -3376,7 +3452,10 @@ STAGED_QUERIES = {
         "q60_time_weighted_average": q60_time_weighted_average,
         "u10_apply_in_arrow": u10_apply_in_arrow,
     },
-    16: {"q61_retention_cohorts": q61_retention_cohorts},
+    16: {
+        "q61_retention_cohorts": q61_retention_cohorts,
+        "u11_nested_arrow_udf": u11_nested_arrow_udf,
+    },
 }
 STAGED_ORACLES = {
     6: {"q42_collated_group": Q42_SQL},
@@ -3418,5 +3497,8 @@ STAGED_ORACLES = {
         "q60_time_weighted_average": Q60_SQL,
         "u10_apply_in_arrow": U10_SQL,
     },
-    16: {"q61_retention_cohorts": Q61_SQL},
+    16: {
+        "q61_retention_cohorts": Q61_SQL,
+        "u11_nested_arrow_udf": U11_SQL,
+    },
 }

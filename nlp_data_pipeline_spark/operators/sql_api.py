@@ -1262,6 +1262,71 @@ def v20_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 V20_SQL = _V20_TEXT
 
 
+# --------------------------------------------------------------------------
+# v24: SQL UNPIVOT clause — STAGED FOR ROUND-17 DECLARATION (gated on
+# staged_ops_live(16)). q34 melts with the DataFrame `unpivot()` API;
+# the SQL-text spelling is its own surface: Spark's relational
+# UNPIVOT clause (SPARK-39877), exercised here in its FULL form —
+# MULTI-measure ((n_orders, cents) per status) with aliased source
+# column groups — over a conditional-aggregation wide table of
+# orders by priority × status. The oracle is the classic UNION ALL
+# longhand (the v10 semantic-equivalence pattern: same relation, two
+# spellings — DuckDB's UNPIVOT dialect differs, so the longhand is
+# also the portability statement). Money goes through DECIMAL(18,2)
+# and declares as exact BIGINT cents (the q60 discipline); the wide
+# CTE is ONE shared text both engines run verbatim.
+# Scale: UNPIVOT is a zero-shuffle local expand (k rows out per row
+# in) — the cheap direction; the wide CTE is one map-combined
+# aggregation on a tiny key space.
+# --------------------------------------------------------------------------
+_V24_WIDE = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS c_f,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS c_o,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS c_p
+  FROM orders
+  GROUP BY o_orderpriority
+)
+"""
+
+_V24_TEXT = (
+    _V24_WIDE
+    + """
+SELECT o_orderpriority, status, n_orders, cents
+FROM wide UNPIVOT ((n_orders, cents) FOR status IN
+  ((n_f, c_f) AS `F`, (n_o, c_o) AS `O`, (n_p, c_p) AS `P`))
+ORDER BY o_orderpriority, status
+"""
+)
+
+
+def v24_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_V24_TEXT)
+
+
+V24_SQL = (
+    _V24_WIDE
+    + """
+SELECT o_orderpriority, status, n_orders, cents FROM (
+  SELECT o_orderpriority, 'F' AS status, n_f AS n_orders, c_f AS cents FROM wide
+  UNION ALL
+  SELECT o_orderpriority, 'O' AS status, n_o AS n_orders, c_o AS cents FROM wide
+  UNION ALL
+  SELECT o_orderpriority, 'P' AS status, n_p AS n_orders, c_p AS cents FROM wide
+) u
+ORDER BY o_orderpriority, status
+"""
+)
+
+
 STAGED_QUERIES = {
     6: {
         "v08_sql_scalar_udf": v08_sql_scalar_udf,
@@ -1282,7 +1347,10 @@ STAGED_QUERIES = {
     13: {"v20_bag_set_ops": v20_bag_set_ops},
     14: {"v21_observe_metrics": v21_observe_metrics},
     15: {"v22_aggregate_battery": v22_aggregate_battery},
-    16: {"v23_null_ordering": v23_null_ordering},
+    16: {
+        "v23_null_ordering": v23_null_ordering,
+        "v24_sql_unpivot": v24_sql_unpivot,
+    },
 }
 STAGED_ORACLES = {
     6: {
@@ -1304,5 +1372,8 @@ STAGED_ORACLES = {
     13: {"v20_bag_set_ops": V20_SQL},
     14: {"v21_observe_metrics": V21_SQL},
     15: {"v22_aggregate_battery": V22_SQL},
-    16: {"v23_null_ordering": V23_SQL},
+    16: {
+        "v23_null_ordering": V23_SQL,
+        "v24_sql_unpivot": V24_SQL,
+    },
 }

@@ -197,3 +197,68 @@ def test_d32_verdicts_partition_the_delta(spark, sf_dir):
         "SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 1"
     ).fetchone()[0]
     assert sum(r["n_delta"] for r in rows) == n_odd
+
+
+def test_u11_matches_duckdb_oracle(spark, sf_dir):
+    """u11 is STAGED for round-17: nested array<struct> through a
+    scalar pandas UDF, struct out — the nested Arrow round-trip
+    surface, declared against a plain-SQL oracle."""
+    from nlp_data_pipeline_spark.operators.relational_ext import (
+        U11_SQL,
+        u11_nested_arrow_udf,
+    )
+
+    got = [tuple(r) for r in u11_nested_arrow_udf(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("events",)).execute(U11_SQL).fetchall()
+    ]
+    assert got and got == want
+
+
+def test_u11_last_type_is_order_not_luck(spark, sf_dir):
+    """The last_type fact only matches if the UDF saw the sorted list
+    order: recompute via Spark's own max_by and compare row-for-row."""
+    from nlp_data_pipeline_spark.operators.relational_ext import u11_nested_arrow_udf
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    got = {
+        r["user_id"]: r["last_type"]
+        for r in u11_nested_arrow_udf(spark, sf_dir).collect()
+    }
+    want = {
+        r["user_id"]: r["lt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.expr("max_by(event_type, event_id)").alias("lt"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_v24_matches_duckdb_oracle(spark, sf_dir):
+    """v24 is STAGED for round-17: the SQL UNPIVOT clause in its
+    multi-measure aliased form vs the classic UNION ALL longhand."""
+    from nlp_data_pipeline_spark.operators.sql_api import V24_SQL, v24_sql_unpivot
+
+    got = [tuple(r) for r in v24_sql_unpivot(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in _duck(sf_dir, views=("orders",)).execute(V24_SQL).fetchall()
+    ]
+    assert got and got == want
+
+
+def test_v24_unpivot_conserves_order_and_money_mass(spark, sf_dir):
+    """Melting must conserve both measures: per-priority n_orders sums
+    to the orders row count and cents sums to the DECIMAL total."""
+    from nlp_data_pipeline_spark.operators.sql_api import v24_sql_unpivot
+
+    rows = v24_sql_unpivot(spark, sf_dir).collect()
+    n_total = sum(r["n_orders"] for r in rows)
+    cents_total = sum(r["cents"] for r in rows)
+    want_n, want_cents = _duck(sf_dir, views=("orders",)).execute(
+        "SELECT COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) FROM orders"
+    ).fetchone()
+    assert n_total == want_n
+    assert cents_total == want_cents
