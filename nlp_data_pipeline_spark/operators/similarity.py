@@ -1503,14 +1503,18 @@ def _undirected(g: DataFrame) -> DataFrame:
 
 
 def _nnd_state(
-    spark: SparkSession, sf_dir: str, m: int = GRAPH_M
+    spark: SparkSession, sf_dir: str, m: int = GRAPH_M, keep_topm: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """APPROXIMATE M-NN build via NN-descent — the linear-cost index
     build the r07 verdict asked for in place of the exact tile grid.
     Returns ``(topm, g, links)``: the final DIRECTED believed-top-m
     list per node (what s33's mutual filter needs), its undirected
     closure ``g`` (what the NSW graph is assembled from), and the
-    deterministic cross-links. Both topm and g are localCheckpointed.
+    deterministic cross-links. ``g`` is always localCheckpointed;
+    ``topm`` is checkpointed only when ``keep_topm`` — the default
+    path (s16's graph assembly) never reads topm separately, and the
+    extra materialization measured +1.5 s on s16 at sf0.1 before it
+    was made opt-in.
 
     Three stages, each linear in the corpus for fixed block size:
       1. SEED: assign every vector to its NND_ASSIGN_PROBE max-cosine
@@ -1630,7 +1634,7 @@ def _nnd_state(
         .filter(F.col("src") != F.col("dst"))
     )
 
-    topm = seed.localCheckpoint()
+    topm = seed
     g = _undirected(seed.union(links)).localCheckpoint()
     for _ in range(NND_ROUNDS):
         g2 = g.select(F.col("src").alias("mid"), F.col("dst"))
@@ -1641,7 +1645,9 @@ def _nnd_state(
             .filter(F.col("src") != F.col("dst"))
         )
         cand = g.union(nofn).distinct()
-        topm = _topm_per_src(_score_pairs(e, cand), m).localCheckpoint()
+        topm = _topm_per_src(_score_pairs(e, cand), m)
+        if keep_topm:
+            topm = topm.localCheckpoint()
         g = _undirected(topm).localCheckpoint()
     return topm, g, links
 
@@ -3536,7 +3542,7 @@ def _mutual_pairs(knn: DataFrame) -> DataFrame:
 
 
 def s33_mutual_knn_nnd_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    topm, _g, _links = _nnd_state(spark, sf_dir, GRAPH_M)
+    topm, _g, _links = _nnd_state(spark, sf_dir, GRAPH_M, keep_topm=True)
     ap = _mutual_pairs(topm.select("src", "dst")).withColumn("in_ap", F.lit(1))
     ex = _mutual_pairs(
         _knn_directed(spark, sf_dir, GRAPH_M).select("src", "dst")
