@@ -165,6 +165,11 @@ def _fingerprint(df) -> tuple[str, int]:
     # localCheckpoint / Python-created scans embed the session-global
     # RDD id (MapPartitionsRDD[159]) — pure run noise
     p = re.sub(r"RDD\[\d+\]", "RDD[]", p)
+    # the checkpoint's recorded CALL SITE flips between
+    # 'NativeMethodAccessorImpl.java:0' and '<unknown>:0' once the JVM
+    # JIT inlines the reflective py4j frame — run-order noise, not a
+    # plan change (burned a false plan_stable=false on s33)
+    p = re.sub(r"localCheckpoint at [^,]*", "localCheckpoint at <site>", p)
     # structural hash: data-DEPENDENT constants legitimately differ
     # between scales (s19 folds 1/n into its PageRank init, s20 its
     # corpus size into scan_fraction) — stability means same TREE, so
