@@ -285,3 +285,73 @@ def test_q51_cbo_stats_flip_join_strategy(spark, sf_dir):
     with _scoped_confs(spark, {**_Q51_CONFS, "spark.sql.cbo.enabled": "false"}):
         p = _q51_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p, p
+
+
+def test_s33_nnd_python_is_arrow_only_no_cartesian(spark, sf_dir):
+    """s33's quality row rides the NN-descent build: its only Python
+    stages are the Arrow-batched MapInPandas refinement kernels — never
+    row-at-a-time eval — and the mutual self-join + full-outer compare
+    must not degrade to a cartesian product."""
+    from nlp_data_pipeline_spark.operators import similarity as sim
+
+    df = sim.s33_mutual_knn_nnd_recall(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d32_delta_classification_no_python_no_cartesian(spark, sf_dir):
+    """d32 classifies |delta| rows against the materialized base index:
+    every probe is an equi-join on sha/band keys — never a cartesian
+    re-scan of the base, never a Python stage."""
+    from nlp_data_pipeline_spark.operators import dedup
+
+    df = dedup.d32_incremental_dedup_delta(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert not has_python_eval(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_u11_nested_udf_is_arrow_not_row_python(spark, sf_dir):
+    """u11 exists to pin the nested array<struct> Arrow surface: the
+    UDF must compile to ArrowEvalPython (vectorized batches), never the
+    row-at-a-time pickling path."""
+    from nlp_data_pipeline_spark.operators import relational_ext
+
+    df = relational_ext.u11_nested_arrow_udf(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_u06_cogroup_is_arrow_cogroup(spark, sf_dir):
+    """u06's per-key attribution is FlatMapCoGroupsInPandas — the
+    Arrow cogroup operator — not a row-Python eval."""
+    from nlp_data_pipeline_spark.operators import relational_ext
+
+    df = relational_ext.u06_cogrouped_attribution(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_s17_seed_centroids_stay_broadcast(spark, sf_dir):
+    """s17's K seed/refined centroids are dim-sized: every assignment
+    pass must broadcast them (a shuffled join on a K-row table would
+    add two exchanges per refine round at scale)."""
+    from nlp_data_pipeline_spark.operators import similarity as sim
+
+    df = sim.s17_kmeans_refine(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_v24_unpivot_compiles_to_expand(spark, sf_dir):
+    """v24's multi-measure UNPIVOT must compile to a local Expand over
+    the (already tiny) wide aggregate — no Python, no extra join."""
+    from nlp_data_pipeline_spark.operators import sql_api
+
+    df = sql_api.v24_sql_unpivot(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    assert not has_python_eval(df)
