@@ -1784,6 +1784,13 @@ ORDER BY strategy, split_a, split_b
 # explodes each pair only by its own doc's shingles (d05's postings
 # shape scoped to candidates); signature re-joins are by doc key;
 # the curve collapses map-side to ONE row, stack()-unpivoted.
+# JOIN SIDES ARE HINTED, not left to size estimates: the 100×
+# rename-mode probe caught Catalyst broadcasting the CORPUS-sized
+# shingle postings (~27 M rows) into the intersection join on a bad
+# file-bytes estimate — notEnoughMemoryToBuildAndBroadcastTable.
+# Every join here now broadcasts the candidate-bounded side
+# (pairs, then the pair-attribute accumulator) explicitly; the
+# corpus-sized ss/sizes/sig relations are always the probe side.
 # --------------------------------------------------------------------------
 _D22_CONFIGS = ((1, 8), (2, 4), (4, 2))  # (n_bands, rows_per_band), H = 8
 
@@ -1794,9 +1801,13 @@ def d22_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = _shingle_set_df(spark, sf_dir)
     sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        pairs.join(ss.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        F.broadcast(pairs)
+        .join(ss.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
         .join(
-            ss.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            # postings ⋈ postings must NEVER broadcast either side —
+            # both scale with the corpus. Force sort-merge on the
+            # (doc_b, shingle) key at every scale.
+            ss.select(F.col("doc_id").alias("doc_b"), "shingle").hint("merge"),
             ["doc_b", "shingle"],
         )
         .groupBy("doc_a", "doc_b")
@@ -1815,13 +1826,13 @@ def d22_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     band = lambda lo, hi: F.expr(
         " AND ".join(f"a{i} = b{i}" for i in range(lo, hi))
     )
+    # LeftOuter BHJ only supports BuildRight — broadcast inter (also
+    # pairs-bounded: ≤ one row per candidate pair), not the left side.
+    j = pairs.join(F.broadcast(inter), ["doc_a", "doc_b"], "left")
+    for dim, key in ((za, "doc_a"), (zb, "doc_b"), (siga, "doc_a"), (sigb, "doc_b")):
+        j = F.broadcast(j).join(dim, key)
     flags = (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(za, "doc_a")
-        .join(zb, "doc_b")
-        .join(siga, "doc_a")
-        .join(sigb, "doc_b")
-        .select(
+        j.select(
             (3 * F.coalesce("n_inter", F.lit(0)) >= F.col("na") + F.col("nb")).alias(
                 "true_dup"
             ),

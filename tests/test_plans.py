@@ -355,3 +355,27 @@ def test_v24_unpivot_compiles_to_expand(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Expand" in plan
     assert not has_python_eval(df)
+
+
+def test_d22_never_broadcasts_corpus_sized_relations(spark, sf_dir):
+    """d22 joins its candidate pairs against three CORPUS-sized
+    relations (shingle postings, per-doc shingle counts, minhash
+    signatures). The 100x rename-mode probe caught Catalyst
+    broadcasting the ~27M-row postings relation on a bad file-bytes
+    estimate (notEnoughMemoryToBuildAndBroadcastTable); d22 now hints
+    every join to broadcast the candidate-bounded side instead. Pin:
+    no BroadcastExchange may carry a `shingle` column or a signature
+    column (h0..h7 under their original names) — only pair-keyed
+    relations (doc_a/doc_b) are broadcastable."""
+    from nlp_data_pipeline_spark.operators import dedup
+
+    plan = formatted_plan(dedup.d22_lsh_band_curve(spark, sf_dir))
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line or not line.startswith("("):
+            continue
+        # detail block: the next line is `Input [...]: [cols]`
+        inputs = lines[i + 1] if i + 1 < len(lines) else ""
+        assert "shingle#" not in inputs, f"corpus postings broadcast: {inputs}"
+        assert "h0#" not in inputs, f"corpus signatures broadcast: {inputs}"
+        assert "doc_id#" not in inputs, f"corpus doc relation broadcast: {inputs}"

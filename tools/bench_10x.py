@@ -216,25 +216,57 @@ def _fingerprint(df) -> tuple[str, int]:
 
 
 def _stage(spark, sf_dir: str, factor: int) -> str:
-    """Replicate documents+embeddings factor-fold into a 32-file layout."""
+    """Replicate documents+embeddings factor-fold into a 32-file layout.
+
+    Document replica text, by SPARK_GRAFT_STAGE_MODE:
+      neardup (default) — suffix " v{rep}" per replica: replicas are
+        near-duplicates of each other, the stress shape for dedup
+        CANDIDATE handling (every replica group LSH-collides, candidate
+        mass grows ~factor² per group).
+      rename — prefix every token with "r{rep}_" (rep>0): a BIJECTIVE
+        per-replica vocabulary renaming. Within a rep the corpus is
+        isomorphic to the original (every true near-dup pair survives
+        exactly), across reps no two docs share a single token, let
+        alone a shingle — so true near-dup pairs grow exactly LINEARLY
+        (847 × factor at sf0.1) and LSH candidates stay ∝ true pairs
+        while the corpus grows factor-fold. This is the honest-VOLUME
+        shape for the LSH dedup family. Constructions that do NOT
+        work, both measured: cyclic rotation (preserves every shingle
+        except the ~k−1 spanning the cut, Jaccard ≈1 → 365× pair
+        growth, same as neardup) and hash-sorting tokens by
+        xxhash64(token||rep) (a per-rep GLOBAL vocab order collapses
+        all same-rep docs into similar hash-ordered runs of the shared
+        vocabulary → 23,041× pair growth).
+    """
     import pyspark.sql.functions as F
 
     from nlp_data_pipeline_spark.sources.catalog import load_table
 
     from nlp_data_pipeline_spark.scratch import scratch_path
 
-    out = scratch_path(f"scale{factor}x_{os.getpid()}")
+    mode = os.environ.get("SPARK_GRAFT_STAGE_MODE", "neardup")
+    out = scratch_path(f"scale{factor}x_{mode}_{os.getpid()}")
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     reps = spark.range(factor).withColumnRenamed("id", "rep")
+    if mode == "rename":
+        toks = F.split(F.col("text"), " ")
+        prefix = F.concat(F.lit("r"), F.col("rep").cast("string"), F.lit("_"))
+        rep_text = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+            F.array_join(
+                F.transform(toks, lambda x: F.concat(prefix, x)), " "
+            )
+        )
+    else:
+        rep_text = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+            F.concat(F.col("text"), F.lit(" v"), F.col("rep"))
+        )
     big_docs = (
         docs.crossJoin(F.broadcast(reps))
         .select(
             (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
-            F.when(F.col("rep") == 0, F.col("text"))
-            .otherwise(F.concat(F.col("text"), F.lit(" v"), F.col("rep")))
-            .alias("text"),
+            rep_text.alias("text"),
             "lang",
             "source",
         )
@@ -381,7 +413,17 @@ def main() -> int:
         results[name] = row
         sys.stderr.write(f"[10x] {name}: {json.dumps(row)}\n")
 
-    print(json.dumps({"sf_dir": sf_dir, "factor": factor, "results": results}, indent=1))
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "factor": factor,
+                "stage_mode": os.environ.get("SPARK_GRAFT_STAGE_MODE", "neardup"),
+                "results": results,
+            },
+            indent=1,
+        )
+    )
     return 0
 
 
