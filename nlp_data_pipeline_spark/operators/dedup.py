@@ -1134,15 +1134,24 @@ def d15_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize ONCE: block sizes and both self-join sides consume it
     base = base.localCheckpoint()
     sizes = base.groupBy("source", "blk").agg(F.count(F.lit(1)).alias("n"))
+    # base, sizes, and the capped self-join sides all scale with the
+    # corpus (sizes is one row per distinct block — corpus-scaled
+    # cardinality): no side may broadcast. Force sort-merge on the
+    # block keys; the ≤_D15_MAX_BLOCK cap bounds the per-block pair
+    # blowup. (The 100× broadcast audit caught Catalyst broadcasting
+    # the checkpointed capped relation on an ExistingRDD stats miss.)
     capped = (
-        base.join(sizes.filter(F.col("n") <= _D15_MAX_BLOCK), ["source", "blk"])
+        base.join(
+            sizes.filter(F.col("n") <= _D15_MAX_BLOCK).hint("merge"),
+            ["source", "blk"],
+        )
         .select("doc_id", "source", "blk", "prefix")
         .localCheckpoint()
     )
     a = capped.alias("a")
     b = capped.alias("b")
     pairs = a.join(
-        b,
+        b.hint("merge"),
         (F.col("a.source") == F.col("b.source"))
         & (F.col("a.blk") == F.col("b.blk"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -2786,9 +2795,12 @@ def d32_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
     )
     cand = (
+        # band-key self-join: both sides are corpus-sized postings —
+        # force sort-merge at every scale (Catalyst broadcast one side
+        # at small scale, flipping the plan between scales).
         banded.alias("a")
         .join(
-            banded.alias("b"),
+            banded.alias("b").hint("merge"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.pmod(F.col("a.doc_id"), 2) == 1)
@@ -2800,21 +2812,26 @@ def d32_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ss = _shingle_set_df(spark, sf_dir)
     sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # d22's join discipline (the 100× audit caught Catalyst
+    # broadcasting BOTH corpus-sized postings relations here on
+    # estimate misses): the candidate-bounded side broadcasts, the
+    # postings⋈postings step is forced to sort-merge, and the
+    # corpus-sized per-doc size dims are probed by the bounded side.
     inter = (
-        cand.join(ss.select(F.col("doc_id").alias("delta_id"), "shingle"), "delta_id")
-        .join(ss.select(F.col("doc_id").alias("base_id"), "shingle"), ["base_id", "shingle"])
+        F.broadcast(cand)
+        .join(ss.select(F.col("doc_id").alias("delta_id"), "shingle"), "delta_id")
+        .join(
+            ss.select(F.col("doc_id").alias("base_id"), "shingle").hint("merge"),
+            ["base_id", "shingle"],
+        )
         .groupBy("delta_id", "base_id")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    sz_na = sizes.select(F.col("doc_id").alias("delta_id"), F.col("n_sh").alias("na"))
+    sz_nb = sizes.select(F.col("doc_id").alias("base_id"), F.col("n_sh").alias("nb"))
     near_ids = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("delta_id"), F.col("n_sh").alias("na")),
-            "delta_id",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("base_id"), F.col("n_sh").alias("nb")),
-            "base_id",
-        )
+        F.broadcast(F.broadcast(inter).join(sz_na, "delta_id"))
+        .join(sz_nb, "base_id")
         .filter(3 * F.col("n_inter") >= F.col("na") + F.col("nb"))
         .select(F.col("delta_id").alias("doc_id"))
         .distinct()
@@ -2825,9 +2842,11 @@ def d32_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_near") == 1, "near"
     ).otherwise("novel")
     return (
+        # base_sha is corpus-scaled (distinct shas of the whole base):
+        # never broadcast — sort-merge; near_ids is candidate-bounded.
         docs.filter(F.pmod("doc_id", 2) == 1)
-        .join(base_sha, "sha", "left")
-        .join(near_ids, "doc_id", "left")
+        .join(base_sha.hint("merge"), "sha", "left")
+        .join(F.broadcast(near_ids), "doc_id", "left")
         .select("source", verdict.alias("v"))
         .groupBy("source")
         .agg(

@@ -799,15 +799,22 @@ def s11_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("adc_rank", F.row_number().over(wtop))
         .filter(F.col("adc_rank") <= TOP_K)
     )
-    # exact-distance audit for the k×queries winners only
-    q = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    # exact-distance audit for the k×queries winners only. BOUNDED
+    # sides broadcast, corpus side probes: q is pre-filtered to the
+    # N_QUERIES rows that can match (the unfiltered relation is the
+    # whole corpus relabeled — broadcasting it OOMs at scale; caught
+    # by the 100× broadcast audit), and the corpus re-join builds on
+    # the k×queries topk accumulator, never on e.
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
     exact_d2 = F.aggregate(
         F.zip_with("qemb", "emb", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        topk.join(F.broadcast(q), "query_id")
+        F.broadcast(topk.join(F.broadcast(q), "query_id"))
         .join(e, "vec_id")
         .select(
             "query_id",
@@ -1785,8 +1792,12 @@ def s17_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
     a1 = _nearest(seeds, e, "cid1")
+    # a1 and e are BOTH corpus-sized (one row per vector): their
+    # vec_id joins must never broadcast either side — force sort-merge
+    # at every scale (the 100× broadcast audit caught Catalyst
+    # broadcasting e's [vec_id, emb] here on a size-estimate miss).
     refined = (
-        a1.join(e, "vec_id")
+        a1.join(e.hint("merge"), "vec_id")
         .select("cid1", F.posexplode("emb").alias("pos", "val"))
         .groupBy("cid1", "pos")
         .agg(F.round(F.avg("val"), 9).alias("avgv"))
@@ -1802,7 +1813,7 @@ def s17_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2 = _nearest(refined, e, "cid2")
     moved = (
         a1.select("vec_id", "cid1")
-        .join(a2.select("vec_id", "cid2", "cos"), "vec_id")
+        .join(a2.select("vec_id", "cid2", "cos").hint("merge"), "vec_id")
     )
     size1 = a1.groupBy(F.col("cid1").alias("centroid_id")).agg(
         F.count(F.lit(1)).alias("size_before")
@@ -2028,10 +2039,17 @@ ORDER BY query_id, pick
 # outliers or near-singletons). Each iteration is one edges⋈pr
 # broadcast-or-shuffle join + a sum-by-dst partial aggregate: cost =
 # O(edges) per step, state = one rank per node — the canonical
-# scalable shape (Pregel-without-Pregel). Graph build reuses
-# _knn_graph's BLAS tile kernel (the 100 TB path); the oracle rebuilds
-# the same graph quadratically in SQL (affordable at oracle scale) and
-# runs the identical unrolled iterations. ALL nodes are emitted
+# scalable shape (Pregel-without-Pregel). BUILD-TIER NOTE (100× audit,
+# round 9): the DECLARED plan rides _knn_graph's exact O(n²)-FLOPs
+# tile build for edge-for-edge oracle parity — the same exact-truth
+# tier as s25, and like s25 it is NOT the 100 TB path (at 200 k
+# vectors the tile grid ballooned past local memory). The production
+# swap is _knn_graph_nnd (NN-descent, ~linear, s16-proven; s33
+# measures mutual-kNN recall on it) — the PageRank iterations
+# themselves are O(edges)/step on either graph and probe linear. The
+# oracle rebuilds the same exact graph quadratically in SQL
+# (affordable at oracle scale) and runs the identical unrolled
+# iterations. ALL nodes are emitted
 # (no top-k cutoff), so cross-engine ulp drift in raw ranks cannot
 # flip a selection boundary — only the 6-dp-rounded values must agree.
 # --------------------------------------------------------------------------
@@ -3078,7 +3096,11 @@ def s28_binary_hamming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
     return (
-        survivors.join(e, "vec_id")
+        # survivors is bounded (K × queries) — IT broadcasts into the
+        # corpus re-join; never the corpus side (100× audit caught
+        # Catalyst broadcasting e's [vec_id, emb] here).
+        F.broadcast(survivors)
+        .join(e, "vec_id")
         .join(F.broadcast(qe), "query_id")
         .select(
             "query_id",
@@ -3241,7 +3263,10 @@ def s30_quantization_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame
         " * steps[i])"
     )
     joined = (
-        pairs.join(e, "vec_id")
+        # pairs is bounded (K × queries from s01's topk) — IT
+        # broadcasts into the corpus re-join, never e (100× audit).
+        F.broadcast(pairs)
+        .join(e, "vec_id")
         .join(F.broadcast(q), "query_id")
         .crossJoin(F.broadcast(stats))
         .withColumn("deq", deq)

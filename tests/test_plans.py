@@ -379,3 +379,77 @@ def test_d22_never_broadcasts_corpus_sized_relations(spark, sf_dir):
         assert "shingle#" not in inputs, f"corpus postings broadcast: {inputs}"
         assert "h0#" not in inputs, f"corpus signatures broadcast: {inputs}"
         assert "doc_id#" not in inputs, f"corpus doc relation broadcast: {inputs}"
+
+
+def _broadcast_inputs(df):
+    """Column lists of every BroadcastExchange in the formatted plan."""
+    import re
+
+    lines = formatted_plan(df).splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if re.match(r"\(\d+\) BroadcastExchange", line):
+            out.append(lines[i + 1] if i + 1 < len(lines) else "")
+    return out
+
+
+def test_s11_never_broadcasts_corpus_embeddings(spark, sf_dir):
+    """s11's exact-audit tail must broadcast only bounded relations
+    (codewords, per-query distance tables, the N_QUERIES-filtered
+    query vectors, the k x queries topk accumulator) — never the raw
+    corpus (vec_id, emb). The 100x audit caught both an unfiltered
+    broadcast(q) (the whole corpus relabeled) and Catalyst
+    broadcasting e into the winner re-join."""
+    import re
+
+    from nlp_data_pipeline_spark.operators import similarity as sim
+
+    for cols in _broadcast_inputs(sim.s11_pq_adc_search(spark, sf_dir)):
+        # bare `emb#` is the raw corpus column; `qemb#` (bounded,
+        # query-side) is fine
+        assert not ("vec_id#" in cols and re.search(r"(?<![a-zA-Z_])emb#", cols)), cols
+
+
+def test_s17_broadcasts_only_centroids(spark, sf_dir):
+    """s17's corpus-by-corpus vec_id joins (a1-e, a1-a2) are forced to
+    sort-merge; only the K-row centroid relations may broadcast."""
+    from nlp_data_pipeline_spark.operators import similarity as sim
+
+    for cols in _broadcast_inputs(sim.s17_kmeans_refine(spark, sf_dir)):
+        assert "cid#" in cols and "cemb#" in cols, cols
+
+
+def test_d15_has_no_broadcasts(spark, sf_dir):
+    """d15's block self-join sides and its block-size filter are all
+    corpus-scaled: every join is forced to sort-merge; the plan must
+    contain no BroadcastExchange at any scale."""
+    from nlp_data_pipeline_spark.operators import dedup
+
+    assert _broadcast_inputs(dedup.d15_fuzzy_prefix_pairs(spark, sf_dir)) == []
+
+
+def test_s28_s30_never_broadcast_corpus_embeddings(spark, sf_dir):
+    """s28's survivor re-join and s30's topk re-join must broadcast
+    the bounded (K x queries) side — never the corpus (vec_id, emb).
+    Caught by the 100x broadcast audit."""
+    import re
+
+    from nlp_data_pipeline_spark.operators import similarity as sim
+
+    for fn in (sim.s28_binary_hamming_search, sim.s30_quantization_error_budget):
+        for cols in _broadcast_inputs(fn(spark, sf_dir)):
+            assert not (
+                "vec_id#" in cols and re.search(r"(?<![a-zA-Z_])emb#", cols)
+            ), (fn.__name__, cols)
+
+
+def test_d32_never_broadcasts_corpus_sized_relations(spark, sf_dir):
+    """d32's band-key self-join, postings intersection, size dims, and
+    base-sha join are all corpus-scaled: only the candidate-bounded
+    relations (cand, inter, the near_ids verdict set) may broadcast.
+    Caught by the 100x broadcast audit (both postings sides AND one
+    banded side were being broadcast on estimate misses)."""
+    from nlp_data_pipeline_spark.operators import dedup
+
+    for cols in _broadcast_inputs(dedup.d32_incremental_dedup_delta(spark, sf_dir)):
+        assert "shingle#" not in cols and "band_key#" not in cols and "sha#" not in cols, cols
