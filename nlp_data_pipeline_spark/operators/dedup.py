@@ -2144,11 +2144,18 @@ def d25_lexical_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_ids = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id")
     )
+    # emb_ids is corpus-scaled (one row per vector): never broadcast —
+    # the embedded-universe restriction is a sort-merge LEFT SEMI from
+    # the candidate-bounded pair side (vec_id is unique, so semi ≡ the
+    # old inner+drop). Round-9 broadcast-hint audit.
     lex = (
         d03_lsh_candidate_pairs(spark, sf_dir)
-        .join(F.broadcast(emb_ids), F.col("doc_a") == F.col("doc_id"))
-        .drop("doc_id")
-        .join(F.broadcast(emb_ids), F.col("doc_b") == F.col("doc_id"))
+        .join(
+            emb_ids.hint("merge"), F.col("doc_a") == F.col("doc_id"), "left_semi"
+        )
+        .join(
+            emb_ids.hint("merge"), F.col("doc_b") == F.col("doc_id"), "left_semi"
+        )
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .withColumn("lex", F.lit(True))
     )

@@ -129,6 +129,11 @@ WHERE p_size BETWEEN 10 AND 20
 # Scale: customer filter first (pushdown), orders⋈lineitem is the big
 # shuffle — bucket both by orderkey in deployment; top-k via sort+limit
 # is a per-partition top-k then a tiny final merge (TakeOrderedAndProject).
+# customer is SF-SCALED (not a bounded dim like region/nation), so it
+# carries NO broadcast hint: Catalyst broadcasts it while its estimate
+# fits (the whole driver range) and flips to a shuffled join when it
+# doesn't — a forced hint here would OOM at real TPC-H scale factors
+# (round-9 broadcast-hint audit).
 # --------------------------------------------------------------------------
 def q03_segment_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -136,7 +141,7 @@ def q03_segment_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -193,10 +198,13 @@ ORDER BY o_orderpriority
 
 
 # --------------------------------------------------------------------------
-# q05: TPC-H Q5-shaped 6-way join, dims broadcast.
-# Scale: region/nation/supplier broadcast; only customer⋈orders⋈lineitem
-# shuffles. The s_nationkey = c_nationkey condition is TPC-H's "local
-# supplier" twist.
+# q05: TPC-H Q5-shaped 6-way join, bounded dims broadcast.
+# Scale: region (5 rows) and nation (25 rows) are BOUNDED dims — hinted
+# broadcast. supplier and customer are SF-SCALED: no hints; Catalyst
+# broadcasts them while small and flips to shuffled joins at scale
+# (round-9 broadcast-hint audit removed a forced supplier hint that
+# would OOM at real scale factors). The s_nationkey = c_nationkey
+# condition is TPC-H's "local supplier" twist.
 # --------------------------------------------------------------------------
 def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -210,7 +218,7 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

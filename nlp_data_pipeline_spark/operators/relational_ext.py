@@ -2764,8 +2764,13 @@ def q55_effectivity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         (F.col("user_id") < 20) & F.col("ts").isNotNull()
     )
+    # the SCD2 dimension grows with the user population (SF-scaled, not
+    # bounded): no forced broadcast hint — Catalyst broadcasts it while
+    # its estimate fits and flips to a shuffled join on the extracted
+    # user_id equi-key at scale, with the interval predicates applied
+    # as post-join filters either way (round-9 broadcast-hint audit).
     j = e.join(
-        F.broadcast(dim),
+        dim,
         (F.col("user_id") == F.col("d_user"))
         & (F.col("ts") >= F.col("valid_from"))
         & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),

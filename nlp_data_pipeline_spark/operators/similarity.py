@@ -2414,10 +2414,13 @@ ORDER BY ef
 # mixing table data-curation reads before setting mixture weights
 # (t26/t44/t45 consume exactly this kind of relation).
 #
-# Scale: the label projection (vec_id, label) is broadcast here; when
-# the embedding table is corpus-sized, bucket BOTH tables on the doc
-# key (q30's layout) and the join is co-located with zero shuffle —
-# the docstring contract DEPLOYMENT.md prescribes for fact⋈fact.
+# Scale: the label projection (vec_id, label) carries NO broadcast
+# hint — it is corpus-scaled, so Catalyst broadcasts it while its
+# estimate fits and flips to a shuffled join at scale (round-9
+# broadcast-hint audit removed a forced hint here); the OPTIMAL
+# deployment buckets BOTH tables on the doc key (q30's layout) so the
+# join is co-located with zero shuffle — the docstring contract
+# DEPLOYMENT.md prescribes for fact⋈fact.
 # Aggregates are exact integers (count + token sum), engine-exact.
 # --------------------------------------------------------------------------
 def s24_topical_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2430,7 +2433,7 @@ def s24_topical_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(F.split(clean_text("text"), " "), lambda x: x != "")
     feats = d.select("doc_id", "source", F.size(toks).cast("long").alias("nt"))
     agg = (
-        feats.join(F.broadcast(e), "doc_id")
+        feats.join(e, "doc_id")
         .groupBy("source", "label")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
