@@ -453,3 +453,41 @@ def test_d32_never_broadcasts_corpus_sized_relations(spark, sf_dir):
 
     for cols in _broadcast_inputs(dedup.d32_incremental_dedup_delta(spark, sf_dir)):
         assert "shingle#" not in cols and "band_key#" not in cols and "sha#" not in cols, cols
+
+
+def test_sf_scaled_relations_respect_broadcast_threshold(spark, sf_dir):
+    """q03's customer, q05's customer+supplier, and q55's SCD2 dim are
+    SF-scaled and must carry NO forced broadcast hint: with the
+    threshold floored, every one of those joins flips to sort-merge
+    (a forced hint would ignore the threshold — the exact failure the
+    round-9 hint audit removed). q05's nation/region joins stay
+    broadcast: they are bounded dims with deliberate hints."""
+    import re
+
+    from nlp_data_pipeline_spark.operators import relational_ext
+    from nlp_data_pipeline_spark.operators.relational import (
+        q03_segment_revenue_top10,
+        q05_regional_revenue,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    try:
+        def joins(df):
+            return [
+                l
+                for l in formatted_plan(df).splitlines()
+                if re.search(r"\) (Broadcast|SortMerge|ShuffledHash)\w*Join", l)
+            ]
+
+        j03 = joins(q03_segment_revenue_top10(spark, sf_dir))
+        assert all("SortMergeJoin" in l for l in j03), j03
+
+        j05 = joins(q05_regional_revenue(spark, sf_dir))
+        assert sum("SortMergeJoin" in l for l in j05) == 3, j05   # l⋈o, ⋈c, ⋈s
+        assert sum("BroadcastHashJoin" in l for l in j05) == 2, j05  # nation, region
+
+        j55 = joins(relational_ext.q55_effectivity_join(spark, sf_dir))
+        assert all("SortMergeJoin" in l for l in j55), j55
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
