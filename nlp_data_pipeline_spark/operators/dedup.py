@@ -136,6 +136,22 @@ D02_SQL = (
 # Bands of BAND_SIZE signature rows; docs sharing any band key are
 # candidates. Scale: the band-key join replaces the O(n²) cross join —
 # the entire point of LSH at 100 TB.
+#
+# HOT-BUCKET HAZARD (measured, round 9): the band self-join emits
+# C(m,2) pairs per m-doc bucket — quadratic in the bucket, at ANY
+# cluster size. Benign corpora are fine (driver data at sf0.1: max
+# bucket 15, total pair mass 1.5k; honest-volume 100×: max 16, 144k),
+# but a duplication-heavy corpus is not (adversarial neardup-100×
+# staging: 87 buckets over 256 docs, max 1,494, pre-distinct pair
+# mass 104M — enough to OOM a single 8 GB JVM's sort buffers, and at
+# web scale a million-doc boilerplate bucket means 5×10¹¹ pairs).
+# The DECLARED shape is kept exact (every downstream oracle — d06/
+# d22/d25/d28/d32 — shares this pair relation); the production
+# remedy, same family as d05's 256-df postings cap and d15's
+# _D15_MAX_BLOCK: route buckets over a cap to exact-hash dedup first
+# (mega-buckets are byte-dup families almost by definition), or chain
+# consecutive docs within the bucket instead of emitting the clique —
+# identical connected components for d06's clustering at O(m) pairs.
 # --------------------------------------------------------------------------
 def d03_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = d02_minhash_signatures(spark, sf_dir)
