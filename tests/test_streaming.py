@@ -348,3 +348,54 @@ def test_e17_cdc_upsert_matches_batch_argmax(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_watermark_evicts_window_state(spark):
+    """The 100 TB streaming property none of the semantics tests pin:
+    state-store rows must stay BOUNDED by the watermark, not grow with
+    stream lifetime. Six hourly micro-batches stream one file per
+    trigger; as the watermark advances, finalized tumbling windows must
+    be EVICTED — the final batch's numRowsTotal holds only the open
+    window(s), and numRowsRemoved fires along the way. Unbounded state
+    (numRowsTotal == all windows ever) is the streaming scale killer."""
+    import time
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="stream_evict_")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream_dir = os.path.join(base, "stream")
+    os.makedirs(stream_dir)
+    n_hours = 6
+    for i in range(n_hours):
+        rows = [
+            (i * 10 + j, datetime(2024, 1, 1, 8 + i, 5 * j, 0), 1, "click", 1.0, "{}")
+            for j in range(3)
+        ]
+        sub = os.path.join(base, f"f{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(sub)
+        for f in sorted(os.listdir(sub)):
+            if f.endswith(".parquet"):
+                os.link(
+                    os.path.join(sub, f), os.path.join(stream_dir, f"{chr(97 + i)}_{f}")
+                )
+        time.sleep(1.1)  # distinct mtimes: file order == arrival order
+
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    agg = tumbling_counts(stream, window="1 hour", lateness="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(f"evict_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progresses, "no stateful progress recorded"
+    final_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progresses)
+    # 6 hourly windows passed through; bounded state = far fewer rows
+    # than windows-ever at the end, and eviction actually fired.
+    assert final_rows <= 2, f"state not bounded by watermark: {final_rows} rows"
+    assert removed >= n_hours - 2, f"eviction barely fired: removed={removed}"
