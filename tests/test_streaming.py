@@ -399,3 +399,58 @@ def test_watermark_evicts_window_state(spark):
     # than windows-ever at the end, and eviction actually fired.
     assert final_rows <= 2, f"state not bounded by watermark: {final_rows} rows"
     assert removed >= n_hours - 2, f"eviction barely fired: removed={removed}"
+
+
+def test_watermark_evicts_stream_stream_join_state(spark):
+    """Companion to the window-state pin, for the OTHER state store:
+    stream_stream_purchase_attribution's docstring claims a buffered
+    signup is evicted once the watermark passes signup_ts + max_gap —
+    measure it. Six hourly micro-batches (one signup + one purchase
+    each) with a 30-minute join horizon: by end-of-stream the join
+    state must hold only the horizon's worth of rows, not all 12
+    buffered events, and numRowsRemoved must have fired."""
+    import time
+    import uuid
+
+    from nlp_data_pipeline_spark.streaming.pipelines import (
+        stream_stream_purchase_attribution,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ssj_evict_")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream_dir = os.path.join(base, "stream")
+    os.makedirs(stream_dir)
+    n_hours = 6
+    for i in range(n_hours):
+        rows = [
+            (i * 10 + 1, datetime(2024, 1, 1, 8 + i, 0, 0), i, "signup", 1.0, "{}"),
+            (i * 10 + 2, datetime(2024, 1, 1, 8 + i, 10, 0), i, "purchase", 1.0, "{}"),
+        ]
+        sub = os.path.join(base, f"f{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(sub)
+        for f in sorted(os.listdir(sub)):
+            if f.endswith(".parquet"):
+                os.link(
+                    os.path.join(sub, f), os.path.join(stream_dir, f"{chr(97 + i)}_{f}")
+                )
+        time.sleep(1.1)
+
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    joined = stream_stream_purchase_attribution(stream, max_gap="30 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(f"ssj_evict_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # every purchase found its same-hour signup despite the evictions
+    assert spark.table(q.name).count() == n_hours
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progresses, "no stateful progress recorded"
+    final_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progresses)
+    assert final_rows <= 4, f"join state not bounded by horizon: {final_rows} rows"
+    assert removed >= 2 * (n_hours - 2), f"eviction barely fired: removed={removed}"
