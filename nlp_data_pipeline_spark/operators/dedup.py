@@ -147,13 +147,14 @@ D02_SQL = (
 # web scale a million-doc boilerplate bucket means 5×10¹¹ pairs).
 # The DECLARED shape is kept exact (every downstream oracle — d06/
 # d22/d25/d28/d32 — shares this pair relation); the production
-# remedy, same family as d05's 256-df postings cap and d15's
-# _D15_MAX_BLOCK: route buckets over a cap to exact-hash dedup first
-# (mega-buckets are byte-dup families almost by definition), or chain
-# consecutive docs within the bucket instead of emitting the clique —
-# identical connected components for d06's clustering at O(m) pairs.
+# remedy — chain-not-clique emission within oversized buckets, which
+# provably preserves d06's connected components at O(m) pairs — is
+# DECLARED as d18_capped_lsh_components (round 10), whose driver
+# oracle hash-matches the full-clique closure.
 # --------------------------------------------------------------------------
-def d03_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _banded_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_id, band_key) — one row per doc per LSH band.
+    Shared by d03 (clique emission) and d18 (capped emission)."""
     sig = d02_minhash_signatures(spark, sf_dir)
     n_bands = NUM_HASHES // BAND_SIZE
     bands = F.array(
@@ -169,9 +170,13 @@ def d03_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
     )
+
+
+def d03_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    banded = _banded_signatures(spark, sf_dir)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -401,8 +406,12 @@ LIMIT 20
 # computing the same transitive closure (the candidate graph is small
 # relative to the corpus by LSH's design, so closure is cheap there).
 # --------------------------------------------------------------------------
-def d06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = d03_lsh_candidate_pairs(spark, sf_dir)
+def _neardup_components(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) connected components of an
+    undirected (doc_a, doc_b) pair relation via min-label propagation.
+    Shared by d06 (full-clique LSH pairs) and d18 (capped pairs):
+    component equality between the two callers is exactly what d18's
+    oracle proves."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -456,6 +465,10 @@ def d06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d06_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _neardup_components(d03_lsh_candidate_pairs(spark, sf_dir))
+
+
 D06_SQL = (
     _TOKLIST_CTE
     + ", sig AS (SELECT doc_id, "
@@ -488,6 +501,100 @@ ORDER BY cluster_id, doc_id
 )
 # WITH RECURSIVE needs the keyword up front — patch the CTE header
 D06_SQL = D06_SQL.replace("WITH cleaned AS", "WITH RECURSIVE cleaned AS", 1)
+
+
+# --------------------------------------------------------------------------
+# d18: CAPPED LSH candidate pairs → near-dup components — the declared
+# remedy for d03's hot-bucket hazard (the C(m,2)-per-bucket clique that
+# measured 104M pre-distinct pairs / 87 buckets >256 docs under the
+# adversarial neardup-100× staging; see d03's header).
+#
+# Emission rule, per (band_id, band_key) bucket of m docs:
+#   m <= cap  → full clique, C(m,2) pairs (exact d03 parity — benign
+#               buckets keep the complete candidate relation);
+#   m >  cap  → STAR: every member pairs with the bucket's MIN doc_id,
+#               giving the m-1 pairs (hub, other) with hub < other. One
+#               unordered-window min, NO self-join, so a million-doc
+#               boilerplate bucket costs 10⁶ pairs instead of 5×10¹¹.
+#
+# Star, not chain: a chain over m docs also emits m-1 pairs but has
+# graph DIAMETER m-1, so d06's O(diameter) min-label propagation would
+# need ~1,494 rounds on the adversarial staging's hottest bucket (and
+# ~10⁶ at web scale) — measured here by the mega-bucket test blowing
+# the 20-iteration cap under chain emission. The star has diameter 2:
+# propagation converges as fast as over the clique. (Same design as
+# d24's alternating-stars CC representation.)
+#
+# Component-equivalence proof (what the oracle checks): connectivity in
+# the clique graph is generated by "all members of a bucket are
+# mutually connected"; the star connects exactly the same vertex set
+# within each bucket through its hub, so the union over buckets has
+# IDENTICAL connected components — only redundant edges are dropped.
+# The declared query therefore runs min-label propagation over the
+# capped pairs and its oracle is D06_SQL verbatim (DuckDB's recursive
+# transitive closure over the FULL clique): the driver's rows + schema
+# + value-hash match IS the equivalence proof, on real corpus data.
+#
+# The declared cap is 2 — the tightest possible — so the chain path
+# demonstrably fires at driver scale (sf0.001 has 9 buckets >2, sf0.01
+# has 4; a 256 cap would make the proof vacuous there, with every
+# bucket under it). Production default: _D18_PRODUCTION_CAP = 256,
+# same family as d05's 256-df postings cap — components are invariant
+# to the cap choice, which is precisely the theorem the declared
+# query proves at its hardest setting.
+#
+# Scale: pair mass ≤ buckets·C(cap,2) + Σ(m−1) ≤ O(docs × n_bands) —
+# linear in corpus size at any duplication profile. The window sort for
+# a mega-bucket is O(m log m) rows in one task (rows, not pairs); the
+# clique self-join only ever sees buckets ≤ cap.
+# --------------------------------------------------------------------------
+_D18_BUCKET_CAP = 2
+_D18_PRODUCTION_CAP = 256
+
+
+def _capped_band_pairs(banded: DataFrame, cap: int) -> DataFrame:
+    """Candidate pairs from (doc_id, band_id, band_key) with clique
+    emission for buckets ≤ cap and star emission above it (see header:
+    star keeps the CC diameter at 2 where a chain's grows with m)."""
+    w = Window.partitionBy("band_id", "band_key")
+    # materialize ONCE after the bucket-stat window: the clique join's
+    # two sides and the star branch all consume `sized`; without the
+    # checkpoint each re-runs the corpus scan AND the window shuffle
+    # (the _capped_pair_counts pattern)
+    sized = (
+        banded.withColumn("m", F.count(F.lit(1)).over(w))
+        .withColumn("hub", F.min("doc_id").over(w))
+        .localCheckpoint()
+    )
+    small = sized.filter(F.col("m") <= cap)
+    a, b = small.alias("a"), small.alias("b")
+    # corpus⋈corpus: `small` is ~the whole banded corpus on benign data
+    # (every bucket under the cap), so the self-join is forced to
+    # sort-merge — Catalyst's size estimate broadcast one side at
+    # birth, the d22/s17 defect class (DEPLOYMENT.md join matrix)
+    clique = a.join(
+        b.hint("merge"),
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    star = (
+        sized.filter((F.col("m") > cap) & (F.col("doc_id") != F.col("hub")))
+        # hub = bucket min, so hub < doc_id matches d03's doc_a < doc_b
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return clique.unionByName(star).distinct()
+
+
+def d18_capped_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    banded = _banded_signatures(spark, sf_dir)
+    pairs = _capped_band_pairs(banded, _D18_BUCKET_CAP)
+    return _neardup_components(pairs)
+
+
+# full-clique transitive closure: hash equality against the capped-pair
+# components IS d18's equivalence proof (see header)
+D18_SQL = D06_SQL
 
 
 # --------------------------------------------------------------------------
@@ -1052,9 +1159,13 @@ QUERIES = {
     "d10_benchmark_decontamination": d10_benchmark_decontamination,
     "d11_span_dedup_plan": d11_span_dedup_plan,
     "d12_leakage_safe_split": d12_leakage_safe_split,
+    # round-10 declaration: the capped d03 remedy (never-green → heads
+    # the round-10 driver window)
+    "d18_capped_lsh_components": d18_capped_lsh_components,
 }
 
 ORACLES = {
+    "d18_capped_lsh_components": D18_SQL,
     "d12_leakage_safe_split": D12_SQL,
     "d11_span_dedup_plan": D11_SQL,
     "d09_minhash_calibration": D09_SQL,

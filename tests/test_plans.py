@@ -443,6 +443,18 @@ def test_s28_s30_never_broadcast_corpus_embeddings(spark, sf_dir):
             ), (fn.__name__, cols)
 
 
+def test_d18_has_no_broadcasts(spark, sf_dir):
+    """d18's clique self-join sides are ~the whole banded corpus on
+    benign data (every bucket under the cap) — forced sort-merge; the
+    star branch is window-local over the checkpointed bucket stats.
+    The plan must contain no BroadcastExchange at any scale."""
+    from nlp_data_pipeline_spark.operators import dedup
+
+    banded = dedup._banded_signatures(spark, sf_dir)
+    pairs = dedup._capped_band_pairs(banded, dedup._D18_BUCKET_CAP)
+    assert _broadcast_inputs(pairs) == []
+
+
 def test_d32_never_broadcasts_corpus_sized_relations(spark, sf_dir):
     """d32's band-key self-join, postings intersection, size dims, and
     base-sha join are all corpus-scaled: only the candidate-bounded
