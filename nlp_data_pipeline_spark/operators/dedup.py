@@ -535,7 +535,7 @@ D06_SQL = D06_SQL.replace("WITH cleaned AS", "WITH RECURSIVE cleaned AS", 1)
 # transitive closure over the FULL clique): the driver's rows + schema
 # + value-hash match IS the equivalence proof, on real corpus data.
 #
-# The declared cap is 2 — the tightest possible — so the chain path
+# The declared cap is 2 — the tightest possible — so the star path
 # demonstrably fires at driver scale (sf0.001 has 9 buckets >2, sf0.01
 # has 4; a 256 cap would make the proof vacuous there, with every
 # bucket under it). Production default: _D18_PRODUCTION_CAP = 256,
@@ -2948,12 +2948,25 @@ def d32_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # d22's join discipline (the 100× audit caught Catalyst
     # broadcasting BOTH corpus-sized postings relations here on
-    # estimate misses): the candidate-bounded side broadcasts, the
-    # postings⋈postings step is forced to sort-merge, and the
-    # corpus-sized per-doc size dims are probed by the bounded side.
+    # estimate misses): the postings⋈postings step is forced to
+    # sort-merge and the corpus-sized per-doc size dims never get a
+    # broadcast hint. The PAIR-mass relations (cand, inter) lost their
+    # FORCED broadcasts (ADVICE r09): "candidate-bounded" is unbounded
+    # on a duplication-heavy corpus — cand rides the same C(m,2)-per-
+    # bucket band join d03 does (104M pairs under adversarial
+    # neardup-100×), so a forced broadcast would OOM exactly where it
+    # was meant to help. But hint-FREE isn't enough either: Catalyst's
+    # file-bytes estimate then broadcast the corpus POSTINGS into the
+    # cand join (the original d22 estimate-miss). Both sides unbounded
+    # → every pair-mass ⋈ corpus join is forced to sort-merge. The
+    # production remedy for the pair mass itself is d18's hot-bucket
+    # cap with mega-buckets routed to the sha tier (byte-dup families
+    # by definition).
     inter = (
-        F.broadcast(cand)
-        .join(ss.select(F.col("doc_id").alias("delta_id"), "shingle"), "delta_id")
+        cand.join(
+            ss.select(F.col("doc_id").alias("delta_id"), "shingle").hint("merge"),
+            "delta_id",
+        )
         .join(
             ss.select(F.col("doc_id").alias("base_id"), "shingle").hint("merge"),
             ["base_id", "shingle"],
@@ -2964,8 +2977,8 @@ def d32_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz_na = sizes.select(F.col("doc_id").alias("delta_id"), F.col("n_sh").alias("na"))
     sz_nb = sizes.select(F.col("doc_id").alias("base_id"), F.col("n_sh").alias("nb"))
     near_ids = (
-        F.broadcast(F.broadcast(inter).join(sz_na, "delta_id"))
-        .join(sz_nb, "base_id")
+        inter.join(sz_na.hint("merge"), "delta_id")
+        .join(sz_nb.hint("merge"), "base_id")
         .filter(3 * F.col("n_inter") >= F.col("na") + F.col("nb"))
         .select(F.col("delta_id").alias("doc_id"))
         .distinct()
@@ -2977,10 +2990,12 @@ def d32_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise("novel")
     return (
         # base_sha is corpus-scaled (distinct shas of the whole base):
-        # never broadcast — sort-merge; near_ids is candidate-bounded.
+        # never broadcast — sort-merge; near_ids too (≤|delta| rows,
+        # but on a duplication-heavy corpus that is the WHOLE delta —
+        # same ADVICE-r09 rule as cand/inter above).
         docs.filter(F.pmod("doc_id", 2) == 1)
         .join(base_sha.hint("merge"), "sha", "left")
-        .join(F.broadcast(near_ids), "doc_id", "left")
+        .join(near_ids.hint("merge"), "doc_id", "left")
         .select("source", verdict.alias("v"))
         .groupBy("source")
         .agg(

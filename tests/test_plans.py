@@ -457,14 +457,16 @@ def test_d18_has_no_broadcasts(spark, sf_dir):
 
 def test_d32_never_broadcasts_corpus_sized_relations(spark, sf_dir):
     """d32's band-key self-join, postings intersection, size dims, and
-    base-sha join are all corpus-scaled: only the candidate-bounded
-    relations (cand, inter, the near_ids verdict set) may broadcast.
-    Caught by the 100x broadcast audit (both postings sides AND one
-    banded side were being broadcast on estimate misses)."""
+    base-sha join are all corpus-scaled, and the pair-keyed relations
+    (cand, inter, near_ids) are UNBOUNDED on duplication-heavy corpora
+    (ADVICE r09 — the forced broadcast of cand would OOM exactly where
+    it was meant to help; hint-free, Catalyst broadcast the corpus
+    postings instead on an estimate miss). Both sides unbounded →
+    every join forced to sort-merge: the plan must contain NO
+    BroadcastExchange at any scale."""
     from nlp_data_pipeline_spark.operators import dedup
 
-    for cols in _broadcast_inputs(dedup.d32_incremental_dedup_delta(spark, sf_dir)):
-        assert "shingle#" not in cols and "band_key#" not in cols and "sha#" not in cols, cols
+    assert _broadcast_inputs(dedup.d32_incremental_dedup_delta(spark, sf_dir)) == []
 
 
 def test_sf_scaled_relations_respect_broadcast_threshold(spark, sf_dir):

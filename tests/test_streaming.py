@@ -16,6 +16,20 @@ from nlp_data_pipeline_spark.streaming.pipelines import (
 )
 
 
+def _link_as_batch(sub, stream_dir, order_idx):
+    """Hard-link a written parquet dir's data files into the stream dir
+    with an EXPLICIT mtime (fixed epoch + order_idx seconds): the file
+    source orders batches by modification time, and os.utime is both
+    deterministic and ~1 s faster per batch than the sleep it replaces
+    (ADVICE r09 flake surface)."""
+    stamp = 1_700_000_000 + order_idx
+    for f in sorted(os.listdir(sub)):
+        if f.endswith(".parquet"):
+            dst = os.path.join(stream_dir, f"{chr(97 + order_idx)}_{f}")
+            os.link(os.path.join(sub, f), dst)
+            os.utime(dst, (stamp, stamp))
+
+
 def _write_batches(spark, base):
     """Three parquet files (one per micro-batch), mtime-ordered.
 
@@ -34,8 +48,6 @@ def _write_batches(spark, base):
         # batch 2: 10:05 is > 10 min late → dropped; 12:20 on time
         [(5, datetime(2024, 1, 1, 10, 5, 0)), (6, datetime(2024, 1, 1, 12, 20, 0))],
     ]
-    import time
-
     stream_dir = os.path.join(base, "stream")
     os.makedirs(stream_dir)
     for i, rows in enumerate(files):
@@ -44,10 +56,7 @@ def _write_batches(spark, base):
         )
         sub = os.path.join(base, f"f{i}")
         df.coalesce(1).write.parquet(sub)
-        for f in sorted(os.listdir(sub)):
-            if f.endswith(".parquet"):
-                os.link(os.path.join(sub, f), os.path.join(stream_dir, f"{chr(97 + i)}_{f}"))
-        time.sleep(1.1)  # distinct mtimes: file order == arrival order
+        _link_as_batch(sub, stream_dir, i)
     return stream_dir
 
 
@@ -230,7 +239,7 @@ def test_checkpoint_resume_does_not_reprocess(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish within 120s"
 
     arrive([(1, 1.0), (2, 2.0), (3, 3.0)], "a")
     run_once()
@@ -358,7 +367,6 @@ def test_watermark_evicts_window_state(spark):
     be EVICTED — the final batch's numRowsTotal holds only the open
     window(s), and numRowsRemoved fires along the way. Unbounded state
     (numRowsTotal == all windows ever) is the streaming scale killer."""
-    import time
     import uuid
 
     base = tempfile.mkdtemp(prefix="stream_evict_")
@@ -373,12 +381,7 @@ def test_watermark_evicts_window_state(spark):
         ]
         sub = os.path.join(base, f"f{i}")
         spark.createDataFrame(rows, schema).coalesce(1).write.parquet(sub)
-        for f in sorted(os.listdir(sub)):
-            if f.endswith(".parquet"):
-                os.link(
-                    os.path.join(sub, f), os.path.join(stream_dir, f"{chr(97 + i)}_{f}")
-                )
-        time.sleep(1.1)  # distinct mtimes: file order == arrival order
+        _link_as_batch(sub, stream_dir, i)
 
     stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
     agg = tumbling_counts(stream, window="1 hour", lateness="10 minutes")
@@ -390,7 +393,7 @@ def test_watermark_evicts_window_state(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     progresses = [p for p in q.recentProgress if p["stateOperators"]]
     assert progresses, "no stateful progress recorded"
     final_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
@@ -409,7 +412,6 @@ def test_watermark_evicts_stream_stream_join_state(spark):
     each) with a 30-minute join horizon: by end-of-stream the join
     state must hold only the horizon's worth of rows, not all 12
     buffered events, and numRowsRemoved must have fired."""
-    import time
     import uuid
 
     from nlp_data_pipeline_spark.streaming.pipelines import (
@@ -428,12 +430,7 @@ def test_watermark_evicts_stream_stream_join_state(spark):
         ]
         sub = os.path.join(base, f"f{i}")
         spark.createDataFrame(rows, schema).coalesce(1).write.parquet(sub)
-        for f in sorted(os.listdir(sub)):
-            if f.endswith(".parquet"):
-                os.link(
-                    os.path.join(sub, f), os.path.join(stream_dir, f"{chr(97 + i)}_{f}")
-                )
-        time.sleep(1.1)
+        _link_as_batch(sub, stream_dir, i)
 
     stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
     joined = stream_stream_purchase_attribution(stream, max_gap="30 minutes")
@@ -445,7 +442,7 @@ def test_watermark_evicts_stream_stream_join_state(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     # every purchase found its same-hour signup despite the evictions
     assert spark.table(q.name).count() == n_hours
     progresses = [p for p in q.recentProgress if p["stateOperators"]]

@@ -391,6 +391,18 @@ def main() -> int:
             # scale-dependent change (q57's size-estimate-driven
             # BroadcastHashJoin→SortMergeJoin flip) survives
             # re-instantiation, so retrying cannot mask a true defect.
+            # The FIRST-instance hashes are kept (ADVICE r09) so
+            # cross-round diffs can see which ops needed the retry and
+            # what the pre-retry fingerprints were — a plan that
+            # alternates per instantiation is then visible in the
+            # artifact, not laundered into plan_stable=true.
+            row["pre_retry"] = {
+                tag: {
+                    "plan_md5": row[tag]["plan_md5"],
+                    "struct_md5": row[tag]["struct_md5"],
+                }
+                for tag in ("1x", f"{factor}x")
+            }
             for tag, d in (("1x", base), (f"{factor}x", staged)):
                 md5, smd5, nex = _fingerprint(fn(spark, d))
                 row[tag].update(
