@@ -3070,6 +3070,10 @@ STAGED_QUERIES = {
         "d17_containment_pairs": d17_containment_pairs,
         "d19_shingle_k_curve": d19_shingle_k_curve,
     },
+    # pulled forward from gate 16 (VERDICT r09 #3): the production
+    # incremental-ingest path should not wait ~7 rounds for a driver
+    # row; v18 (API-surface) moved back in trade
+    10: {"d32_incremental_dedup_delta": d32_incremental_dedup_delta},
     11: {
         "d20_bloom_decontamination": d20_bloom_decontamination,
         "d21_split_contamination_audit": d21_split_contamination_audit,
@@ -3089,10 +3093,7 @@ STAGED_QUERIES = {
         "d29_cluster_purity": d29_cluster_purity,
         "d30_lsh_index_merge": d30_lsh_index_merge,
     },
-    16: {
-        "d31_shingle_df_histogram": d31_shingle_df_histogram,
-        "d32_incremental_dedup_delta": d32_incremental_dedup_delta,
-    },
+    16: {"d31_shingle_df_histogram": d31_shingle_df_histogram},
 }
 STAGED_ORACLES = {
     6: {"d13_source_overlap_matrix": D13_SQL},
@@ -3105,6 +3106,7 @@ STAGED_ORACLES = {
         "d17_containment_pairs": D17_SQL,
         "d19_shingle_k_curve": D19_SQL,
     },
+    10: {"d32_incremental_dedup_delta": D32_SQL},
     11: {
         "d20_bloom_decontamination": D20_SQL,
         "d21_split_contamination_audit": D21_SQL,
@@ -3124,8 +3126,5 @@ STAGED_ORACLES = {
         "d29_cluster_purity": D29_SQL,
         "d30_lsh_index_merge": D30_SQL,
     },
-    16: {
-        "d31_shingle_df_histogram": D31_SQL,
-        "d32_incremental_dedup_delta": D32_SQL,
-    },
+    16: {"d31_shingle_df_histogram": D31_SQL},
 }

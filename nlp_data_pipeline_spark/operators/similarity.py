@@ -3638,6 +3638,10 @@ STAGED_QUERIES = {
     10: {
         "s21_hard_negative_mining": s21_hard_negative_mining,
         "s22_label_centroid_similarity": s22_label_centroid_similarity,
+        # pulled forward from gate 16 (VERDICT r09 #3): the declared
+        # retirement of s25's quadratic-FLOPs weak should not wait ~7
+        # rounds for a driver row; v18 (API-surface) moved back in trade
+        "s33_mutual_knn_nnd_recall": s33_mutual_knn_nnd_recall,
     },
     11: {
         "s23_beam_width_curve": s23_beam_width_curve,
@@ -3654,10 +3658,7 @@ STAGED_QUERIES = {
     },
     14: {"s30_quantization_error_budget": s30_quantization_error_budget},
     15: {"s31_ivf_list_balance": s31_ivf_list_balance},
-    16: {
-        "s32_rerank_window_curve": s32_rerank_window_curve,
-        "s33_mutual_knn_nnd_recall": s33_mutual_knn_nnd_recall,
-    },
+    16: {"s32_rerank_window_curve": s32_rerank_window_curve},
 }
 STAGED_ORACLES = {
     6: {
@@ -3677,6 +3678,7 @@ STAGED_ORACLES = {
     10: {
         "s21_hard_negative_mining": S21_SQL,
         "s22_label_centroid_similarity": S22_SQL,
+        "s33_mutual_knn_nnd_recall": S33_SQL,
     },
     11: {
         "s23_beam_width_curve": S23_SQL,
@@ -3693,8 +3695,5 @@ STAGED_ORACLES = {
     },
     14: {"s30_quantization_error_budget": S30_SQL},
     15: {"s31_ivf_list_balance": S31_SQL},
-    16: {
-        "s32_rerank_window_curve": S32_SQL,
-        "s33_mutual_knn_nnd_recall": S33_SQL,
-    },
+    16: {"s32_rerank_window_curve": S32_SQL},
 }

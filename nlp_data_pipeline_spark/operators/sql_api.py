@@ -1342,12 +1342,14 @@ STAGED_QUERIES = {
         "v16_polymorphic_udtf": v16_polymorphic_udtf,
     },
     9: {"v17_udtf_table_argument": v17_udtf_table_argument},
-    10: {"v18_null_semantics": v18_null_semantics},
+    # moved back from gate 10 in the s33/d32 pull-forward trade
+    # (VERDICT r09 #3): API-surface demo, can wait
     12: {"v19_try_functions": v19_try_functions},
     13: {"v20_bag_set_ops": v20_bag_set_ops},
     14: {"v21_observe_metrics": v21_observe_metrics},
     15: {"v22_aggregate_battery": v22_aggregate_battery},
     16: {
+        "v18_null_semantics": v18_null_semantics,
         "v23_null_ordering": v23_null_ordering,
         "v24_sql_unpivot": v24_sql_unpivot,
     },
@@ -1367,12 +1369,12 @@ STAGED_ORACLES = {
         "v16_polymorphic_udtf": V16_SQL,
     },
     9: {"v17_udtf_table_argument": V17_SQL},
-    10: {"v18_null_semantics": V18_SQL},
     12: {"v19_try_functions": V19_SQL},
     13: {"v20_bag_set_ops": V20_SQL},
     14: {"v21_observe_metrics": V21_SQL},
     15: {"v22_aggregate_battery": V22_SQL},
     16: {
+        "v18_null_semantics": V18_SQL,
         "v23_null_ordering": V23_SQL,
         "v24_sql_unpivot": V24_SQL,
     },
