@@ -2281,9 +2281,12 @@ LIMIT {_Q49_TOP}
 # rate, and how many probe ROWS the semi-join admits. Sizing story in
 # one number: m/n ≈ 27 bits/key at k=3 → fp ≈ 0.1%; the 100 TB knob is
 # m (the bit array broadcast stays m bits regardless of corpus size).
-# All joins against the bit set and the build keys are broadcasts
-# (pinned by plan test) — the corpus-side probe never shuffles to
-# evaluate the filter.
+# The bit-set join keeps a FORCED broadcast (bounded by m at any
+# corpus size, by construction); the build-key classification join is
+# hint-free — build is a FILTERED SF-SCALED relation whose selectivity
+# is data-dependent, so the estimate decides (the q03/q05 CBO-flip
+# class; the round-10 pre-declaration audit removed the forced hint) —
+# the corpus-side probe never shuffles to evaluate the filter itself.
 # --------------------------------------------------------------------------
 _A05_M = 65536
 _A05_K = 3
@@ -2335,7 +2338,7 @@ def a05_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "n_rows")
     )
     classified = candidates.join(
-        F.broadcast(build.withColumn("in_build", F.lit(1))), "key", "left"
+        build.withColumn("in_build", F.lit(1)), "key", "left"
     )
     stats = classified.agg(
         F.count(F.lit(1)).alias("n_candidates"),

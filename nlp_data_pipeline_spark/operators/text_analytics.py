@@ -2957,8 +2957,14 @@ def t42_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("k", F.lit(1))
     )
     flagged = (
-        bigr.join(cab, ["a", "b"])
-        .join(ca, "a")
+        # bigram OCCURRENCES (corpus-scaled, doc_id-keyed) against the
+        # bigram/unigram TYPE counts (vocabulary-scaled — unbounded on
+        # a real corpus): both sides unbounded → forced sort-merge.
+        # The round-10 pre-declaration audit caught Catalyst
+        # broadcasting the bigr⋈cab INTERMEDIATE (still doc_id-keyed)
+        # into the ca join at 100× on an estimate miss — the d22 class.
+        bigr.join(cab.hint("merge"), ["a", "b"])
+        .join(ca.hint("merge"), "a")
         .withColumn("k", F.lit(1))
         .join(F.broadcast(vocab), "k")
         .select(

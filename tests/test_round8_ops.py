@@ -431,14 +431,22 @@ def test_a05_bloom_has_no_false_negatives(spark, sf_dir):
 
 
 def test_a05_probe_side_filter_is_broadcast(spark, sf_dir):
-    """The bit set and the build-key classification join must broadcast
-    — the probe (corpus) side never shuffles to evaluate the filter."""
+    """The bit set must broadcast (bounded by m at any corpus size) —
+    the probe (corpus) side never shuffles to evaluate the filter. The
+    build-key classification join is hint-free (SF-scaled filtered
+    relation, estimate-driven — round-10 audit), so only the bit-set
+    broadcast is pinned; at this scale Catalyst broadcasts the rest."""
     from nlp_data_pipeline_spark.operators.relational_ext import a05_bloom_semijoin
     from nlp_data_pipeline_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(a05_bloom_semijoin(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    lines = plan.splitlines()
+    assert any(
+        "BroadcastExchange" in lines[i] and "pos#" in lines[i + 1]
+        for i in range(len(lines) - 1)
+    ), "bit-set broadcast missing"
 
 
 # ---------------------------------------------------------------------------
