@@ -1924,9 +1924,13 @@ ORDER BY strategy, split_a, split_b
 # rename-mode probe caught Catalyst broadcasting the CORPUS-sized
 # shingle postings (~27 M rows) into the intersection join on a bad
 # file-bytes estimate — notEnoughMemoryToBuildAndBroadcastTable.
-# Every join here now broadcasts the candidate-bounded side
-# (pairs, then the pair-attribute accumulator) explicitly; the
-# corpus-sized ss/sizes/sig relations are always the probe side.
+# Round 10 replaced the r9 remedy (forced broadcast of the
+# "candidate-bounded" pair side) with FORCED SORT-MERGE everywhere:
+# ADVICE r09 established that the pair relation is UNBOUNDED on a
+# duplication-heavy corpus (d03's C(m,2)-per-bucket mass, 104M pairs
+# at adversarial 100×), so broadcasting it OOMs exactly where the
+# hint was meant to help. Both sides unbounded → merge; the plan is
+# pinned to zero BroadcastExchange (same discipline as d32).
 # --------------------------------------------------------------------------
 _D22_CONFIGS = ((1, 8), (2, 4), (4, 2))  # (n_bands, rows_per_band), H = 8
 
@@ -1937,8 +1941,10 @@ def d22_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = _shingle_set_df(spark, sf_dir)
     sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        F.broadcast(pairs)
-        .join(ss.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        pairs.join(
+            ss.select(F.col("doc_id").alias("doc_a"), "shingle").hint("merge"),
+            "doc_a",
+        )
         .join(
             # postings ⋈ postings must NEVER broadcast either side —
             # both scale with the corpus. Force sort-merge on the
@@ -1962,11 +1968,11 @@ def d22_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     band = lambda lo, hi: F.expr(
         " AND ".join(f"a{i} = b{i}" for i in range(lo, hi))
     )
-    # LeftOuter BHJ only supports BuildRight — broadcast inter (also
-    # pairs-bounded: ≤ one row per candidate pair), not the left side.
-    j = pairs.join(F.broadcast(inter), ["doc_a", "doc_b"], "left")
+    # pair-mass ⋈ pair-mass and pair-mass ⋈ corpus-dim: all forced
+    # merge (ADVICE r09 — no side is provably bounded).
+    j = pairs.join(inter.hint("merge"), ["doc_a", "doc_b"], "left")
     for dim, key in ((za, "doc_a"), (zb, "doc_b"), (siga, "doc_a"), (sigb, "doc_b")):
-        j = F.broadcast(j).join(dim, key)
+        j = j.join(dim.hint("merge"), key)
     flags = (
         j.select(
             (3 * F.coalesce("n_inter", F.lit(0)) >= F.col("na") + F.col("nb")).alias(
