@@ -1794,6 +1794,11 @@ def t31_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("v"),
     )
     scored = (
+        # model is unigram-VOCABULARY-sized (Heaps-sublinear in corpus
+        # size, ≪ corpus); at open-vocab 100 TB drop the hint so the
+        # estimate can fall back — same tier note as t04's df_ (the
+        # bigram-TYPE relations, which grow much faster, are forced
+        # merge instead: see t42)
         doc_tok.join(F.broadcast(model), "token")
         .crossJoin(F.broadcast(totals))
         .select(
@@ -2644,6 +2649,10 @@ def t39_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ua = uni.select(F.col("w").alias("a"), F.col("cw").alias("ca"))
     ub = uni.select(F.col("w").alias("b"), F.col("cw").alias("cb"))
     scored = (
+        # ua/ub are unigram-VOCABULARY-sized (Heaps-sublinear; the t04
+        # tier note applies — drop the hints at open-vocab scale); the
+        # left side bigr is already min-count-filtered bigram TYPES,
+        # not corpus occurrences, so no corpus relation rides this join
         bigr.join(F.broadcast(ua), "a")
         .join(F.broadcast(ub), "b")
         .withColumn("k", F.lit(1))
