@@ -813,7 +813,10 @@ def p04_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("boiler_frac"), F.lit(0.0)) > 0.5, F.lit("boilerplate")
     ).otherwise(F.lit("kept"))
     return (
-        flagged.join(boiler, "doc_id", "left")
+        # corpus ⋈ corpus on doc_id (boiler is a per-doc post-aggregate
+        # whose derived estimate mis-broadcast at 100× in p08/p09's
+        # audits) — forced merge
+        flagged.join(boiler.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

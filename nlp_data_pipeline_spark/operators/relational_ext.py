@@ -3017,7 +3017,12 @@ def q58_null_skew_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = e.withColumn(
         "k2", F.coalesce(F.col("k"), F.lit(-1) - F.col("event_id") % 16)
     )
-    joined = salted.join(dim, salted["k2"] == dim["user_id"], "left")
+    # forced merge (round-10 audit): dim is a per-user post-aggregate —
+    # user-scaled (unbounded) with a derived size estimate Catalyst
+    # mis-broadcast at 100×; a broadcast join would also make the
+    # declared null-salt remedy moot (salting only matters under a
+    # SHUFFLED join, the "one shuffle either way" story above)
+    joined = salted.join(dim.hint("merge"), salted["k2"] == dim["user_id"], "left")
     return (
         joined.groupBy("event_type")
         .agg(
@@ -3149,7 +3154,10 @@ def q61_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     firsts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     activity = (
-        weeks.join(firsts, "user_id")
+        # per-user ⋈ per-user-week: both user-scaled with derived
+        # post-agg estimates (mis-broadcast at 100×, round-10 audit) —
+        # forced merge; the weeks²-sized base/matrix dims stay free
+        weeks.join(firsts.hint("merge"), "user_id")
         .select(
             "user_id",
             "cohort_week",

@@ -3975,7 +3975,11 @@ def t54_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.countDistinct("doc_id") >= 2).alias("is_shared"))
     )
     per_doc = (
-        grams.join(shared, "gram")
+        # occurrence ⋈ 5-gram-TYPE: both corpus-scaled (gram types grow
+        # near-linearly with a real corpus) and the type side's derived
+        # post-agg estimate mis-broadcast at 100× (round-10 audit, the
+        # t42 class) — forced merge
+        grams.join(shared.hint("merge"), "gram")
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_inst"),
