@@ -467,6 +467,31 @@ def test_d32_never_broadcasts_corpus_sized_relations(spark, sf_dir):
     assert _broadcast_inputs(dedup.d32_incremental_dedup_delta(spark, sf_dir)) == []
 
 
+def test_derived_estimate_relations_never_broadcast(spark, sf_dir):
+    """Round-10 backlog audit rule: an unbounded relation behind a
+    DERIVED (post-aggregate) size estimate never rides the estimate
+    into a broadcast — Catalyst mis-broadcast all four of these at
+    100× because groupBy output estimates don't grow with input the
+    way scan estimates do. Pins: q58's per-user dim join, t54's
+    5-gram-type join, p04's per-doc boiler join, and q61's per-user
+    firsts join all stay sort-merge (no broadcast may carry their
+    aggregate columns)."""
+    from nlp_data_pipeline_spark.operators import (
+        doc_pipeline,
+        relational_ext,
+        text_analytics,
+    )
+
+    for fn, cols in (
+        (relational_ext.q58_null_skew_outer_join, ("user_events#",)),
+        (text_analytics.t54_dup_ngram_fraction, ("is_shared#",)),
+        (doc_pipeline.p04_curation_pipeline, ("boiler_frac#",)),
+        (relational_ext.q61_retention_cohorts, ("cohort_week#", "user_id#")),
+    ):
+        for inputs in _broadcast_inputs(fn(spark, sf_dir)):
+            assert not all(c in inputs for c in cols), (fn.__name__, inputs)
+
+
 def test_sf_scaled_relations_respect_broadcast_threshold(spark, sf_dir):
     """q03's customer, q05's customer+supplier, and q55's SCD2 dim are
     SF-scaled and must carry NO forced broadcast hint: with the
