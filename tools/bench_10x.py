@@ -172,6 +172,10 @@ HEAVY = [
     "q57_running_distinct",
     "q60_time_weighted_average",
     "q61_retention_cohorts",
+    # round-10 additions: ops whose derived-estimate broadcasts the
+    # backlog audit fixed (a05 stays excluded — unreplicated TPC-H)
+    "q58_null_skew_outer_join",
+    "p04_curation_pipeline",
 ]
 
 
