@@ -92,6 +92,44 @@ def test_capped_band_pairs_mega_bucket_is_linear(spark):
     assert comp == want
 
 
+def test_d18_components_equal_d06_under_adversarial_replication(spark, sf_dir):
+    """Execute the equivalence theorem where the cap fires HEAVILY:
+    replicate the corpus 8-fold as near-duplicates (the adversarial
+    staging shape — every replica group LSH-collides, so most buckets
+    exceed the cap and the star path dominates), then assert d18's
+    components from capped pairs equal d06's from the full clique,
+    row for row."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d06_neardup_clusters,
+        d18_capped_lsh_components,
+    )
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    reps = spark.range(8).withColumnRenamed("id", "rep")
+    big = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" v"), F.col("rep")))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    staged = tempfile.mkdtemp(prefix="d18_adv_")
+    big.write.mode("overwrite").parquet(os.path.join(staged, "documents.parquet"))
+
+    clique = {tuple(r) for r in d06_neardup_clusters(spark, staged).collect()}
+    capped = {tuple(r) for r in d18_capped_lsh_components(spark, staged).collect()}
+    assert len(clique) > 0 and capped == clique
+
+
 def test_s33_booleans_flip_when_floor_exceeds_measured(spark, sf_dir, monkeypatch):
     """ADVICE r09: S33_SQL hard-codes TRUE for the quality booleans, so
     the oracle can't catch an inverted comparison on the Spark side.
