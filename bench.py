@@ -30,6 +30,25 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# Queries whose physical-plan fingerprint is KNOWN to drift across
+# sessions without any code change — the md5 covers exprId-sensitive
+# text, and these two classes re-derive it nondeterministically. A
+# plan_changed entry for one of these carries its note in the output
+# (VERDICT r10 #4: no unexplained plan_changed rows in the artifact);
+# anything NOT listed here that flips is a real regression signal.
+KNOWN_PLAN_NOISE = {
+    # RewriteDistinctAggregates orders its Expand gid-groups by exprId
+    # hash, so the session's first compile of a mixed distinct+exact agg
+    # can permute instances (documented round 9, COVERAGE.md).
+    "a02_hll_sketch_rollup": "distinct-agg Expand gid instance ordering",
+    # LDA fit memoizes per (sf_dir, params) in-process; whether the memo
+    # is warm changes which plan object the fingerprint reads.
+    "n01_lda_topics": "LDA memo state (warm vs cold fit)",
+    "n02_doc_tags": "LDA memo state (warm vs cold fit)",
+    "n03_topic_metrics": "LDA memo state (warm vs cold fit)",
+}
+
+
 def _prep_multifile(spark, sf_dir: str, n_files: int = 32) -> str:
     """Rewrite the driver's single-file parquet tables as n_files-way
     directories under the temp dir (once, marker-gated) and bench against
@@ -213,6 +232,15 @@ def main() -> int:
         # plan_stable=true is environment, not a plan regression.
         "plan_stable": stability,
         "plan_changed": sorted(k for k, v in stability.items() if v is False),
+        # cause annotations for plan_changed entries with a KNOWN
+        # session-nondeterministic fingerprint (see KNOWN_PLAN_NOISE);
+        # a plan_changed entry absent from this dict is unexplained and
+        # deserves investigation.
+        "plan_change_notes": {
+            k: KNOWN_PLAN_NOISE[k]
+            for k, v in stability.items()
+            if v is False and k in KNOWN_PLAN_NOISE
+        },
         # physical-layout provenance: numbers measured after the
         # multi-file prep are NOT comparable to timings on the driver's
         # single-row-group files (see _prep_multifile docstring)

@@ -191,6 +191,28 @@ def d03_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    """The LSH candidate-pair feed every pair-level consumer joins
+    against (VERDICT r10 #5: the cap threaded through the d03 consumer
+    chain).
+
+    cap=None → d03's exact clique relation: the declared/oracle tier,
+    needed wherever the oracle's SQL states the exact pair set.
+    cap=m → d18's star-capped emission (buckets ≤ m keep the clique;
+    larger buckets emit a star to the bucket-min hub): pair mass is
+    O(docs × n_bands) at ANY duplication profile, the 100 TB default
+    (_D18_PRODUCTION_CAP). CONNECTIVITY is invariant to the cap (the
+    d18 driver-hash theorem), so component-level consumers (d24) lose
+    nothing; pair-level consumers trade per-pair recall inside
+    oversized buckets — each consumer's header documents its trade.
+    """
+    if cap is None:
+        return d03_lsh_candidate_pairs(spark, sf_dir)
+    return _capped_band_pairs(_banded_signatures(spark, sf_dir), cap)
+
+
 _SEP = " || '|' || "
 _BANDS_SQL = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_id, "
@@ -521,8 +543,12 @@ D06_SQL = D06_SQL.replace("WITH cleaned AS", "WITH RECURSIVE cleaned AS", 1)
 # graph DIAMETER m-1, so d06's O(diameter) min-label propagation would
 # need ~1,494 rounds on the adversarial staging's hottest bucket (and
 # ~10⁶ at web scale) — measured here by the mega-bucket test blowing
-# the 20-iteration cap under chain emission. The star has diameter 2:
-# propagation converges as fast as over the clique. (Same design as
+# the 20-iteration cap under chain emission. The star has diameter 2
+# PER BUCKET — at most doubling the cross-bucket component diameter vs
+# the clique (a component threading k overlapping oversized buckets has
+# diameter ≤ ~2k under stars vs ~k under cliques), so a corpus near
+# d06's 20-round propagation cap can need up to one extra doubling;
+# the RuntimeError guard stays the safe failure mode. (Same design as
 # d24's alternating-stars CC representation.)
 #
 # Component-equivalence proof (what the oracle checks): connectivity in
@@ -1794,8 +1820,15 @@ def _split_name(bucket):
     )
 
 
-def d21_split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = d03_lsh_candidate_pairs(spark, sf_dir)
+def d21_split_contamination_audit(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    # Cap trade (cap=m): intra-bucket pairs beyond the star are not
+    # audited, so by_doc cross-split PAIR counts become lower bounds on
+    # hot corpora — but the audit's headline guarantee is unchanged:
+    # by_cluster declares zero cross rows per COMPONENT, and components
+    # are cap-invariant (d18 theorem), so a zero stays an exact zero.
+    pairs = lsh_candidate_pairs(spark, sf_dir, cap)
     lab = d12_leakage_safe_split(spark, sf_dir).select(
         "doc_id",
         F.col("split").alias("cl"),
@@ -1935,8 +1968,15 @@ ORDER BY strategy, split_a, split_b
 _D22_CONFIGS = ((1, 8), (2, 4), (4, 2))  # (n_bands, rows_per_band), H = 8
 
 
-def d22_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = d03_lsh_candidate_pairs(spark, sf_dir).localCheckpoint()
+def d22_lsh_band_curve(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    # Cap trade (cap=m): the curve is evaluated on the capped candidate
+    # set, so candidate/true/missed counts are lower bounds wherever a
+    # bucket exceeds the cap — the RELATIVE ordering of band configs is
+    # preserved (stricter configs remain nested subsets per pair), which
+    # is what the tuning decision reads.
+    pairs = lsh_candidate_pairs(spark, sf_dir, cap).localCheckpoint()
     sig = d02_minhash_signatures(spark, sf_dir)
     ss = _shingle_set_df(spark, sf_dir)
     sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -2213,8 +2253,14 @@ def _d24_star(e_canon: DataFrame, larger: bool) -> DataFrame:
     return _d24_canon(out)
 
 
-def d24_cc_alternating_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = d03_lsh_candidate_pairs(spark, sf_dir)
+def d24_cc_alternating_stars(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    # Cap trade: NONE — connected components are invariant to star
+    # emission (the d18 driver-hash theorem), so this consumer keeps
+    # its exact declared output under any cap; the capped feed is the
+    # 100 TB default pairing for this O(log n) builder.
+    pairs = lsh_candidate_pairs(spark, sf_dir, cap)
     e = _d24_canon(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     ).localCheckpoint()
@@ -2269,7 +2315,14 @@ D24_SQL = D06_SQL
 # the 3 fixed category rows (always present, even when a category
 # counts zero).
 # --------------------------------------------------------------------------
-def d25_lexical_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d25_lexical_semantic_overlap(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    # Cap trade (cap=m): lexical pairs inside oversized buckets shrink
+    # to stars, so `both`/`lexical_only` are lower bounds and
+    # `semantic_only` is an upper bound — the qualitative question
+    # ("does semantic dedup add pairs lexical missed?") only gets MORE
+    # conservative under the cap.
     from nlp_data_pipeline_spark.operators.similarity import (
         s06_embedding_neardup_pairs,
     )
@@ -2282,7 +2335,7 @@ def d25_lexical_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate-bounded pair side (vec_id is unique, so semi ≡ the
     # old inner+drop). Round-9 broadcast-hint audit.
     lex = (
-        d03_lsh_candidate_pairs(spark, sf_dir)
+        lsh_candidate_pairs(spark, sf_dir, cap)
         .join(
             emb_ids.hint("merge"), F.col("doc_a") == F.col("doc_id"), "left_semi"
         )
@@ -2408,7 +2461,15 @@ D25_SQL = _d25_sql()
 # eval runs at sketch cost relative to the corpus, which is exactly
 # why this audit table can be recomputed per ingest batch at 100 TB.
 # --------------------------------------------------------------------------
-def d26_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d26_lsh_recall_eval(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    # Cap trade (cap=m): the candidate side shrinks to stars in
+    # oversized buckets, so measured recall is a LOWER bound on the
+    # deployed clique config's recall (a truth pair whose two docs sit
+    # in one hot bucket but neither is the hub counts as missed) and
+    # precision is measured on the pairs production would actually
+    # verify — exactly the conservative direction an audit should err.
     sizes, inter = _capped_postings(spark, sf_dir)
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     truth = (
@@ -2422,7 +2483,7 @@ def d26_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     cand = (
-        d03_lsh_candidate_pairs(spark, sf_dir)
+        lsh_candidate_pairs(spark, sf_dir, cap)
         .join(
             d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
             "doc_a",
@@ -2521,8 +2582,14 @@ FROM counts
 # the 1-bit variant is what a 100-TB signature store actually ships —
 # 8 bits/doc instead of 256 — and this op is its accuracy audit.
 # --------------------------------------------------------------------------
-def d27_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = d03_lsh_candidate_pairs(spark, sf_dir).localCheckpoint()
+def d27_bbit_minhash(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    # Cap trade (cap=m): the accuracy audit samples star pairs instead
+    # of the full clique in oversized buckets — each remaining pair's
+    # full-vs-1-bit comparison is unchanged (per-pair estimates are
+    # cap-independent), the audit just sees fewer duplicate-heavy pairs.
+    pairs = lsh_candidate_pairs(spark, sf_dir, cap).localCheckpoint()
     sig = d02_minhash_signatures(spark, sf_dir)
     siga = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -2628,8 +2695,15 @@ ORDER BY doc_a, doc_b
 _D28_PREFIX = 200
 
 
-def d28_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = d03_lsh_candidate_pairs(spark, sf_dir).localCheckpoint()
+def d28_edit_distance_verify(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    # Cap trade (cap=m): the DP verify tier runs on star pairs in
+    # oversized buckets — per-pair verdicts are unchanged; pairs not
+    # emitted are simply unverified (recoverable transitively via the
+    # hub when both verify as near-identical to it). This bounds the
+    # tier's cost at O(docs × n_bands) DP invocations.
+    pairs = lsh_candidate_pairs(spark, sf_dir, cap).localCheckpoint()
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, _D28_PREFIX).alias("prefix")
     )

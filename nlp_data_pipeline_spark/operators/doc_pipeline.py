@@ -1877,8 +1877,9 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
-# a07: deterministic hash-reservoir sample — STAGED FOR ROUND-12
-# DECLARATION (gated on staged_ops_live(11)). Every eval/labeling/
+# a07: deterministic hash-reservoir sample — STAGED FOR ROUND-17
+# DECLARATION (gated on staged_ops_live(16); moved back from gate 11
+# in the n05 pull-forward trade, VERDICT r10 #2). Every eval/labeling/
 # inspection loop needs a fixed-size uniform sample per stratum. The
 # textbook reservoir algorithm is a SEQUENTIAL scan with mutable
 # state — unimplementable as a distributed operator without giving up
@@ -3234,7 +3235,6 @@ STAGED_QUERIES = {
         "p06_dataflow_pipeline": p06_dataflow_pipeline,
     },
     10: {"a06_kmv_distinct_sketch": a06_kmv_distinct_sketch},
-    11: {"a07_reservoir_sample": a07_reservoir_sample},
     12: {
         "r19_multiline_csv_ingest": r19_multiline_csv_ingest,
         "p07_dataset_card": p07_dataset_card,
@@ -3258,6 +3258,10 @@ STAGED_QUERIES = {
     16: {
         "a13_sample_error_curve": a13_sample_error_curve,
         "p09_token_waterfall": p09_token_waterfall,
+        # moved back from gate 11 in the n05 pull-forward trade (VERDICT
+        # r10 #2): min-K-by-hash machinery already driver-evidenced by
+        # a06's green KMV row, so the sampling demo can wait
+        "a07_reservoir_sample": a07_reservoir_sample,
     },
 }
 STAGED_ORACLES = {
@@ -3278,7 +3282,6 @@ STAGED_ORACLES = {
         "p06_dataflow_pipeline": P06_SQL,
     },
     10: {"a06_kmv_distinct_sketch": A06_SQL},
-    11: {"a07_reservoir_sample": A07_SQL},
     12: {
         "r19_multiline_csv_ingest": R19_SQL,
         "p07_dataset_card": P07_SQL,
@@ -3302,5 +3305,6 @@ STAGED_ORACLES = {
     16: {
         "a13_sample_error_curve": A13_SQL,
         "p09_token_waterfall": P09_SQL,
+        "a07_reservoir_sample": A07_SQL,
     },
 }

@@ -288,8 +288,11 @@ SELECT vocab_rank, term, tf, df FROM (
 
 
 # --------------------------------------------------------------------------
-# n05: MLlib IDF model, oracle-exact — STAGED FOR ROUND-17
-# DECLARATION (gated on staged_ops_live(16)). n01–n03 are rows-only
+# n05: MLlib IDF model, oracle-exact — STAGED FOR ROUND-12
+# DECLARATION (gated on staged_ops_live(11); pulled forward from gate
+# 16 per VERDICT r10 #2 — ML-fit parity is the envelope's thinnest
+# driver evidence, so the first hash-green pyspark.ml FIT should not
+# wait six rounds; a07 took its gate-16 slot). n01–n03 are rows-only
 # because LDA's fitted state is stochastic-iterative; IDF is the
 # MLlib fit whose state is CLOSED-FORM — idf_j = ln((m+1)/(df_j+1))
 # with m = fitted row count and df_j the term's document frequency —
@@ -398,5 +401,5 @@ QUERIES = {
 # (staged) extends it to a REAL MLlib fit with closed-form state.
 ORACLES: dict[str, str] = {"n04_count_vectorize": _n04_sql()}
 
-STAGED_QUERIES = {16: {"n05_idf_model": n05_idf_model}}
-STAGED_ORACLES = {16: {"n05_idf_model": _n05_sql()}}
+STAGED_QUERIES = {11: {"n05_idf_model": n05_idf_model}}
+STAGED_ORACLES = {11: {"n05_idf_model": _n05_sql()}}

@@ -18,7 +18,7 @@ def _duck(sf_dir, views=("documents",)):
 
 
 def test_d18_matches_duckdb_oracle(spark, sf_dir):
-    """d18 runs min-label propagation over CHAIN-capped LSH pairs
+    """d18 runs min-label propagation over STAR-capped LSH pairs
     (cap=2, the tightest setting); its oracle is D06_SQL — DuckDB's
     recursive closure over the FULL clique pairs. Row equality is the
     component-equivalence proof on real corpus data."""
@@ -32,7 +32,7 @@ def test_d18_matches_duckdb_oracle(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
-def test_d18_chain_path_fires_at_test_sf(spark, sf_dir):
+def test_d18_star_path_fires_at_test_sf(spark, sf_dir):
     """The equivalence proof must not be vacuous: at the test sf some
     buckets exceed the declared cap, so the capped relation is a STRICT
     subset of d03's clique relation while components still match."""
@@ -83,7 +83,7 @@ def test_capped_band_pairs_mega_bucket_is_linear(spark):
     )
     banded = mega.unionByName(small)
     pairs = _capped_band_pairs(banded, 256)
-    assert pairs.count() == 499 + 1  # chain over mega + clique pair in small
+    assert pairs.count() == 499 + 1  # star over mega + clique pair in small
     comp = {
         (r["doc_id"], r["cluster_id"], r["cluster_size"])
         for r in _neardup_components(pairs).collect()

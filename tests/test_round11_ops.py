@@ -1,0 +1,128 @@
+"""Round-11 additions: the cap threaded through the d03 consumer chain
+(VERDICT r10 #5) — every pair-level consumer of the LSH candidate
+relation accepts an optional star-cap and the whole chain is executed
+end-to-end at the adversarial replication staging under the tightest
+cap, the way d18's equivalence proof already is."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def adv_dir(spark, sf_dir):
+    """The d18 adversarial shape: the corpus replicated 8-fold as
+    near-duplicates, so every replica group LSH-collides and buckets
+    exceed the tight cap — the staging where the uncapped clique's
+    C(m,2) mass measurably explodes. embeddings symlinked through for
+    the consumers that also read the semantic tier (d25)."""
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    reps = spark.range(8).withColumnRenamed("id", "rep")
+    big = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" v"), F.col("rep")))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    staged = tempfile.mkdtemp(prefix="r11_capchain_")
+    big.write.mode("overwrite").parquet(os.path.join(staged, "documents.parquet"))
+    for t in ("embeddings",):
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, f"{t}.parquet")),
+            os.path.join(staged, f"{t}.parquet"),
+        )
+    return staged
+
+
+_CAP = 2  # the declared d18 cap — tightest, so the star path FIRES here
+
+
+def test_cap_fires_at_adversarial_staging(spark, adv_dir):
+    """Precondition for everything below: under the adversarial
+    replication the capped feed is a STRICT subset of the clique feed
+    (if not, every chain assertion would be vacuous)."""
+    from nlp_data_pipeline_spark.operators.dedup import lsh_candidate_pairs
+
+    n_capped = lsh_candidate_pairs(spark, adv_dir, _CAP).count()
+    n_clique = lsh_candidate_pairs(spark, adv_dir).count()
+    assert 0 < n_capped < n_clique
+
+
+def test_d24_components_cap_invariant_at_adversarial_staging(spark, adv_dir):
+    """The component-level consumer loses NOTHING under the cap: d24
+    over star-capped pairs equals d06 over the full clique, row for
+    row, at the staging where most buckets exceed the cap."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d06_neardup_clusters,
+        d24_cc_alternating_stars,
+    )
+
+    capped = {tuple(r) for r in d24_cc_alternating_stars(spark, adv_dir, cap=_CAP).collect()}
+    clique = {tuple(r) for r in d06_neardup_clusters(spark, adv_dir).collect()}
+    assert len(clique) > 0 and capped == clique
+
+
+def test_d21_by_cluster_zero_cross_survives_cap(spark, adv_dir):
+    """d21's headline guarantee is component-level, so it must hold
+    exactly under the cap: the by_cluster strategy declares zero
+    cross-split rows even when the audited pair relation is the capped
+    subset."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d21_split_contamination_audit,
+    )
+
+    rows = d21_split_contamination_audit(spark, adv_dir, cap=_CAP).collect()
+    assert rows, "audit returned no rows"
+    by_cluster = [r for r in rows if r["strategy"] == "by_cluster"]
+    assert by_cluster and all(not r["is_cross"] for r in by_cluster)
+
+
+def test_d26_cap_trade_is_conservative(spark, adv_dir):
+    """d26's documented trade direction, measured: the truth side is
+    cap-independent (postings machinery, not band pairs), candidates
+    shrink, and measured recall under the cap is a LOWER bound on the
+    uncapped config's recall."""
+    from nlp_data_pipeline_spark.operators.dedup import d26_lsh_recall_eval
+
+    capped = d26_lsh_recall_eval(spark, adv_dir, cap=_CAP).collect()[0]
+    full = d26_lsh_recall_eval(spark, adv_dir).collect()[0]
+    assert capped["n_true_pairs"] == full["n_true_pairs"]
+    assert capped["n_candidates"] < full["n_candidates"]
+    assert (capped["recall"] or 0.0) <= (full["recall"] or 0.0)
+
+
+def test_remaining_chain_runs_end_to_end_under_cap(spark, adv_dir):
+    """d22 / d25 / d27 / d28 — the rest of the threaded chain — each
+    complete at the adversarial staging under the tight cap and return
+    non-empty, shape-sane results (the uncapped clique is what made
+    this staging hazardous; the capped feed must simply work)."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d22_lsh_band_curve,
+        d25_lexical_semantic_overlap,
+        d27_bbit_minhash,
+        d28_edit_distance_verify,
+    )
+
+    curve = d22_lsh_band_curve(spark, adv_dir, cap=_CAP).collect()
+    assert len(curve) == 3  # one row per band config
+    assert all(r["n_candidates"] >= r["n_true_pairs"] >= 0 for r in curve)
+
+    overlap = d25_lexical_semantic_overlap(spark, adv_dir, cap=_CAP).collect()
+    assert {r["category"] for r in overlap} == {"both", "lexical_only", "semantic_only"}
+
+    bbit = d27_bbit_minhash(spark, adv_dir, cap=_CAP)
+    assert bbit.count() > 0
+
+    verified = d28_edit_distance_verify(spark, adv_dir, cap=_CAP).collect()
+    assert verified and all(
+        0.0 <= r["norm_similarity"] <= 1.0 and r["edit_distance"] >= 0
+        for r in verified
+    )

@@ -64,7 +64,13 @@ def main() -> int:
     # test_sf_scaled_relations_respect_broadcast_threshold.
     for t in os.listdir(sf_dir):
         if t.endswith(".parquet") and not os.path.exists(os.path.join(staged, t)):
-            os.symlink(os.path.join(sf_dir, t), os.path.join(staged, t))
+            # abspath: a relative SPARK_GRAFT_SF_DIR would otherwise make
+            # the link target resolve relative to the staged temp dir and
+            # dangle (ADVICE r10)
+            os.symlink(
+                os.path.abspath(os.path.join(sf_dir, t)),
+                os.path.join(staged, t),
+            )
 
     fns: dict = {}
     for m in (
