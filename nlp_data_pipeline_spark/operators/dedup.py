@@ -991,9 +991,17 @@ ORDER BY doc_id
 # labels only exist for docs with near-dup edges, a small fraction of
 # a deduped corpus) and a hash expression.
 # --------------------------------------------------------------------------
-def d12_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d12_leakage_safe_split(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    # Cap trade: NONE — the split hangs off the component id, and
+    # components (hence cluster_id = component-min) are cap-invariant
+    # (the d18 theorem), so the capped feed yields the IDENTICAL split
+    # at linear pair mass; this is the 100 TB path for split assignment.
     d = load_table(spark, sf_dir, "documents")
-    clusters = d06_neardup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    clusters = _neardup_components(lsh_candidate_pairs(spark, sf_dir, cap)).select(
+        "doc_id", "cluster_id"
+    )
     assigned = (
         d.select("doc_id")
         .join(clusters, "doc_id", "left")
@@ -1711,7 +1719,15 @@ def d20_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = (
         corpus.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shingles"))
-        .join(adm, "doc_id", "left")
+        # adm is a POST-AGGREGATE per-doc relation (one row per doc with
+        # ≥1 admitted shingle — O(contaminated+fp docs), unbounded on a
+        # contaminated corpus) behind a DERIVED size estimate, which
+        # Catalyst broadcast at the 100× audit staging and would keep
+        # broadcasting at any scale (derived estimates don't grow with
+        # input — the round-10 defect class; round-11 audit caught this
+        # instance riding the r10 'flips past the threshold' rationale,
+        # which only holds for honest scan estimates). Forced merge.
+        .join(adm.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_admitted", F.lit(0)).cast("long").alias("n_admitted"),
@@ -1828,8 +1844,10 @@ def d21_split_contamination_audit(
     # hot corpora — but the audit's headline guarantee is unchanged:
     # by_cluster declares zero cross rows per COMPONENT, and components
     # are cap-invariant (d18 theorem), so a zero stays an exact zero.
+    # The cap flows into d12's internal CC build too — under a cap the
+    # whole audit (pair feed AND split labels) runs at linear pair mass.
     pairs = lsh_candidate_pairs(spark, sf_dir, cap)
-    lab = d12_leakage_safe_split(spark, sf_dir).select(
+    lab = d12_leakage_safe_split(spark, sf_dir, cap).select(
         "doc_id",
         F.col("split").alias("cl"),
         _split_name(_split_bucket(F.col("doc_id"))).alias("nv"),

@@ -70,6 +70,18 @@ def test_d24_components_cap_invariant_at_adversarial_staging(spark, adv_dir):
     assert len(clique) > 0 and capped == clique
 
 
+def test_d12_split_identical_under_cap(spark, adv_dir):
+    """d12's split hangs off the component id and components are
+    cap-invariant, so the capped split must equal the uncapped split
+    ROW FOR ROW at the staging where the cap fires heavily — the
+    strongest form of 'the 100 TB path changes nothing'."""
+    from nlp_data_pipeline_spark.operators.dedup import d12_leakage_safe_split
+
+    capped = {tuple(r) for r in d12_leakage_safe_split(spark, adv_dir, cap=_CAP).collect()}
+    full = {tuple(r) for r in d12_leakage_safe_split(spark, adv_dir).collect()}
+    assert len(full) > 0 and capped == full
+
+
 def test_d21_by_cluster_zero_cross_survives_cap(spark, adv_dir):
     """d21's headline guarantee is component-level, so it must hold
     exactly under the cap: the by_cluster strategy declares zero
