@@ -388,6 +388,134 @@ ORDER BY vocab_rank
 """
 
 
+# --------------------------------------------------------------------------
+# n06: MLlib StringIndexer multi-column fit, oracle-exact — STAGED FOR
+# ROUND-13 DECLARATION (gated on staged_ops_live(12)). The second
+# value-exact pyspark.ml FIT behind n05 (VERDICT r10 "What's missing"
+# #1: ML-fit parity is the envelope's thinnest driver evidence). The
+# fitted state is DETERMINISTIC under the default frequencyDesc order:
+# labels sort by frequency desc, ties further sorted alphabetically
+# (pinned since SPARK-29750) — so the model's labelsArray over the
+# documents (lang, source) columns can face a plain ROW_NUMBER()
+# OVER (ORDER BY cnt DESC, label ASC) oracle value-for-value. The
+# driver corpus makes both tie regimes real: lang frequencies are all
+# distinct (pure frequency order), source frequencies are all EQUAL at
+# test SF (pure alphabetical order) — the oracle proves both.
+#
+# Scale: the fit's state is O(distinct labels) — the multi-column fit
+# is one countByValue pass per column inside MLlib; the declared
+# count column is ONE corpus scan (both label columns exploded
+# together) joined to the model's bounded label relation, which rides
+# the honest broadcast tier.
+# --------------------------------------------------------------------------
+def n06_string_indexer_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import StringIndexer
+
+    d = load_table(spark, sf_dir, "documents")
+    model = StringIndexer(
+        inputCols=["lang", "source"], outputCols=["lang_idx", "source_idx"]
+    ).fit(d)
+    rows = [
+        (col_name, idx, label)
+        for col_name, labels in zip(("lang", "source"), model.labelsArray)
+        for idx, label in enumerate(labels)
+    ]
+    fitted = spark.createDataFrame(
+        rows, "col_name string, label_index int, label string"
+    )
+    counts = (
+        d.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lang").alias("col_name"),
+                        F.col("lang").alias("label"),
+                    ),
+                    F.struct(
+                        F.lit("source").alias("col_name"),
+                        F.col("source").alias("label"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.col_name", "e.label")
+        .groupBy("col_name", "label")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return fitted.join(counts, ["col_name", "label"]).select(
+        "col_name", "label_index", "label", "n_rows"
+    ).orderBy("col_name", "label_index")
+
+
+N06_SQL = """
+WITH c AS (
+  SELECT 'lang' AS col_name, lang AS label, COUNT(*) AS n_rows
+  FROM documents GROUP BY lang
+  UNION ALL
+  SELECT 'source', source, COUNT(*) FROM documents GROUP BY source
+)
+SELECT col_name,
+       CAST(ROW_NUMBER() OVER (PARTITION BY col_name
+                               ORDER BY n_rows DESC, label ASC) - 1 AS INT)
+         AS label_index,
+       label, n_rows
+FROM c
+ORDER BY col_name, label_index
+"""
+
+
+# --------------------------------------------------------------------------
+# n07: MLlib MinMaxScaler fit, oracle-exact — STAGED FOR ROUND-13
+# DECLARATION (gated on staged_ops_live(12)). The third value-exact
+# pyspark.ml FIT: MinMaxScalerModel's originalMin/originalMax vectors
+# are pure per-dimension min/max SELECTIONS over the embedding corpus
+# — no arithmetic, so no summation-order float drift — and the
+# float32→double widening both engines perform is exact. The declared
+# relation is the model's own state (the n05/s14 pattern: the
+# vocab/dim-sized fitted state is the only driver materialization)
+# beside the corpus count; emb_range is one exactly-rounded float64
+# subtract on identical inputs, identical in both engines.
+#
+# Scale: the fit is MLlib's single Summarizer pass over the vectors;
+# model state is O(dim). No shuffle beyond the fit's own treeAggregate.
+# --------------------------------------------------------------------------
+def n07_minmax_scaler_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import MinMaxScaler
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(array_to_vector(F.col("embedding")).alias("v"))
+    model = MinMaxScaler(inputCol="v", outputCol="s").fit(vecs)
+    mins = model.originalMin.toArray()
+    maxs = model.originalMax.toArray()
+    n_vecs = e.count()
+    rows = [
+        (i + 1, int(n_vecs), float(lo), float(hi), float(hi - lo))
+        for i, (lo, hi) in enumerate(zip(mins, maxs))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "dim int, n_vecs bigint, emb_min double, emb_max double, emb_range double",
+    ).orderBy("dim")
+
+
+N07_SQL = """
+WITH flat AS (
+  SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+nv AS (SELECT COUNT(*) AS n_vecs FROM embeddings)
+SELECT CAST(dim AS INT) AS dim, n_vecs,
+       CAST(MIN(v) AS DOUBLE) AS emb_min,
+       CAST(MAX(v) AS DOUBLE) AS emb_max,
+       CAST(MAX(v) AS DOUBLE) - CAST(MIN(v) AS DOUBLE) AS emb_range
+FROM flat, nv
+GROUP BY dim, n_vecs
+ORDER BY dim
+"""
+
+
 QUERIES = {
     "n01_lda_topics": n01_lda_topics,
     "n02_doc_tags": n02_doc_tags,
@@ -401,5 +529,17 @@ QUERIES = {
 # (staged) extends it to a REAL MLlib fit with closed-form state.
 ORACLES: dict[str, str] = {"n04_count_vectorize": _n04_sql()}
 
-STAGED_QUERIES = {11: {"n05_idf_model": n05_idf_model}}
-STAGED_ORACLES = {11: {"n05_idf_model": _n05_sql()}}
+STAGED_QUERIES = {
+    11: {"n05_idf_model": n05_idf_model},
+    12: {
+        "n06_string_indexer_model": n06_string_indexer_model,
+        "n07_minmax_scaler_model": n07_minmax_scaler_model,
+    },
+}
+STAGED_ORACLES = {
+    11: {"n05_idf_model": _n05_sql()},
+    12: {
+        "n06_string_indexer_model": N06_SQL,
+        "n07_minmax_scaler_model": N07_SQL,
+    },
+}
