@@ -46,6 +46,17 @@ KNOWN_PLAN_NOISE = {
     "n01_lda_topics": "LDA memo state (warm vs cold fit)",
     "n02_doc_tags": "LDA memo state (warm vs cold fit)",
     "n03_topic_metrics": "LDA memo state (warm vs cold fit)",
+    # t41 has FOUR conditional count_distincts, so it rides the same
+    # RewriteDistinctAggregates Expand-instance permutation as a02
+    # (verified round 11: the only diff between a fresh-session and a
+    # warm-session plan is the gid-group column order).
+    "t41_vocab_growth": "distinct-agg Expand gid instance ordering",
+    # One-time flip when the driver regenerates testdata: the bucketed/
+    # CBO catalog-table names embedded md5(prep_dir) until round 11;
+    # the normalizer now strips the key, so these stabilize after one
+    # flip against the pre-fix baseline.
+    "q30_bucketed_colocated_join": "hash-keyed table name (normalized since r11)",
+    "q51_cbo_stats_join": "hash-keyed table name (normalized since r11)",
 }
 
 
@@ -156,6 +167,13 @@ def main() -> int:
             # localCheckpoint / Python-created scans embed the session-
             # global RDD id (MapPartitionsRDD[159]) — pure run noise
             p = re.sub(r"RDD\[\d+\]", "RDD[]", p)
+            # q30/q51 catalog tables are named <table>_bkt_/_cbo_ +
+            # md5(sf_dir): a PATH-derived identity that leaks into the
+            # scan node title (Scan parquet spark_catalog.default.
+            # orders_bkt_xxxx) and flips whenever the driver regenerates
+            # the testdata (new mtimes -> new prep-dir key). Same
+            # normalization class as the <path> rules above.
+            p = re.sub(r"_(bkt|cbo)_[0-9a-f]{6,12}", r"_\1_<key>", p)
             return {
                 "plan_md5": hashlib.md5(p.encode()).hexdigest()[:12],
                 "n_exchanges": p.count("Exchange"),

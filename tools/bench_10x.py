@@ -137,6 +137,8 @@ HEAVY = [
     "a13_sample_error_curve",
     "s32_rerank_window_curve",
     "n05_idf_model",
+    "n06_string_indexer_model",
+    "n07_minmax_scaler_model",
     # round-9 additions
     "s33_mutual_knn_nnd_recall",
     "d32_incremental_dedup_delta",
