@@ -6,6 +6,7 @@ the sanctioned truth tier (similarity.py header), cannot and should
 not run at 100x — s33 is its declared production swap.
 
 Usage: SPARK_GRAFT_ASSUME_ROUND=11 python tools/probe_gate11_100x.py
+       python tools/probe_gate11_100x.py <op> [op ...]   # any staged ops
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
        SPARK_GRAFT_SCALE_FACTOR (default 100),
        SPARK_GRAFT_STAGE_MODE (default rename — honest volume)
@@ -48,12 +49,13 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "100"))
+    names = sys.argv[1:] or GATE11
 
     spark = get_spark("probe-gate11-100x")
     fns: dict = {}
     for m in (
         "relational_ext", "text_analytics", "dedup", "similarity",
-        "nlp_model", "multimodal",
+        "nlp_model", "multimodal", "doc_pipeline", "sql_api", "events",
     ):
         mod = importlib.import_module(f"nlp_data_pipeline_spark.operators.{m}")
         fns.update(getattr(mod, "QUERIES", {}))
@@ -72,7 +74,7 @@ def main() -> int:
                 )
 
     out: dict = {}
-    for name in GATE11:
+    for name in names:
         row: dict = {}
         try:
             for tag, d in (("1x", base), (f"{factor}x", staged)):
