@@ -2334,15 +2334,24 @@ D24_SQL = D06_SQL
 # counts zero).
 # --------------------------------------------------------------------------
 def d25_lexical_semantic_overlap(
-    spark: SparkSession, sf_dir: str, cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int | None = None,
+    sem_cap: int | None = None,
 ) -> DataFrame:
     # Cap trade (cap=m): lexical pairs inside oversized buckets shrink
     # to stars, so `both`/`lexical_only` are lower bounds and
     # `semantic_only` is an upper bound — the qualitative question
     # ("does semantic dedup add pairs lexical missed?") only gets MORE
-    # conservative under the cap.
+    # conservative under the cap. sem_cap applies the same star cap to
+    # the SEMANTIC feed (semantic_candidate_pairs; its verified pairs
+    # are a subset of s06's, so `semantic_only`/`both` become lower
+    # bounds too): the 100x execution probe measured s06's uncapped
+    # bucket clique at 233 s on exact-duplicate-replicated embeddings —
+    # the dense twin of the d03 hazard. Declared behavior (both None)
+    # unchanged.
     from nlp_data_pipeline_spark.operators.similarity import (
-        s06_embedding_neardup_pairs,
+        semantic_candidate_pairs,
     )
 
     emb_ids = load_table(spark, sf_dir, "embeddings").select(
@@ -2363,7 +2372,7 @@ def d25_lexical_semantic_overlap(
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .withColumn("lex", F.lit(True))
     )
-    sem = s06_embedding_neardup_pairs(spark, sf_dir).select(
+    sem = semantic_candidate_pairs(spark, sf_dir, sem_cap).select(
         F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), F.lit(True).alias("sem")
     )
     j = lex.join(sem, ["a", "b"], "full")

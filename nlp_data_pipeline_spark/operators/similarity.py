@@ -397,6 +397,97 @@ ORDER BY vec_a, vec_b
 
 
 # --------------------------------------------------------------------------
+# semantic_candidate_pairs: the s06 feed with the d18 star cap applied
+# to the DENSE-vector tier (round 11; the gate-12 100x execution probe
+# measured the hazard live — rename staging replicates embeddings as
+# exact duplicates, so every replica group shares one sign-bucket and
+# s06's per-bucket clique is C(100m, 2): d25 spent 233 s at 100x on
+# honest-but-quadratic semantic pair mass, the dense twin of d03's
+# hot-bucket problem that d18 retired on the lexical side).
+#
+# Emission rule per sign-bucket of m vectors (same as _capped_band_
+# pairs, dedup.py): m <= cap keeps the full clique; m > cap emits a
+# STAR to the bucket-min vec_id. One nuance the lexical cap does NOT
+# have: s06 VERIFIES candidates with exact cosine >= tau after
+# emission. Star candidates are a subset of clique candidates and the
+# tau filter is applied identically to both, so capped VERIFIED pairs
+# are a strict SUBSET of s06's — a per-bucket recall trade (pairs not
+# incident to the hub inside an oversized bucket go unverified), NOT
+# the d18 connectivity theorem. Consumers that only need "is this
+# vector near-duplicated" (keep/drop decisions) lose nothing when the
+# hub passes tau — exact-duplicate buckets (the hazard case) verify
+# every star edge at cosine 1.0.
+#
+# cap=None → s06's exact bucket-clique relation (the declared/oracle
+# tier). cap=m → pair mass O(vectors) at any duplication profile.
+# --------------------------------------------------------------------------
+_S06_PRODUCTION_CAP = 256
+
+
+def semantic_candidate_pairs(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    if cap is None:
+        return s06_embedding_neardup_pairs(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    sign_bits = [
+        F.when(dot(F.array(*[F.lit(v) for v in PLANES[p]]), F.col("emb")) >= 0, "1").otherwise("0")
+        for p in range(N_PLANES)
+    ]
+    w = Window.partitionBy("bucket")
+    # materialize ONCE after the bucket-stat window (the _capped_band_
+    # pairs pattern): clique sides, the star branch, and the hub lookup
+    # all consume `sized`
+    sized = (
+        e.select("vec_id", "emb", F.concat(*sign_bits).alias("bucket"))
+        .withColumn("m", F.count(F.lit(1)).over(w))
+        .withColumn("hub", F.min("vec_id").over(w))
+        .localCheckpoint()
+    )
+    small = sized.filter(F.col("m") <= cap)
+    a, b = small.alias("a"), small.alias("b")
+    cos = dot("a.emb", "b.emb") / (norm("a.emb") * norm("b.emb"))
+    # forced merge on both joins: `small` is ~the whole corpus on benign
+    # data and `hubs` is a post-filter relation behind a derived
+    # estimate (the d22 defect class) — neither may ride an estimate
+    # into a broadcast
+    clique = (
+        a.join(
+            b.hint("merge"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("raw_cos"),
+        )
+    )
+    hubs = sized.filter(F.col("vec_id") == F.col("hub")).select(
+        "bucket", F.col("emb").alias("hub_emb")
+    )
+    scos = dot("hub_emb", "emb") / (norm("hub_emb") * norm("emb"))
+    star = (
+        sized.filter((F.col("m") > cap) & (F.col("vec_id") != F.col("hub")))
+        .join(hubs.hint("merge"), "bucket")
+        # hub = bucket min, so hub < vec_id matches s06's vec_a < vec_b
+        .select(
+            F.col("hub").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            scos.alias("raw_cos"),
+        )
+    )
+    return (
+        clique.unionByName(star)
+        .filter(F.col("raw_cos") >= NEARDUP_TAU)
+        .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # s07: IVF PROBE search — the query half of the IVF index (s04 is the
 # build half): each query scores only the clusters of its NPROBE
 # nearest centroids instead of the whole corpus. Recall/latency knob =

@@ -208,3 +208,110 @@ def test_n07_matches_duckdb_oracle_bit_exact(spark, sf_dir):
         )
     # the fit's state is O(dim): one declared row per embedding dimension
     assert len(got) == 64
+
+
+# ---------------------------------------------------------------------------
+# Round-11: the d18 star cap applied to the SEMANTIC (dense-vector)
+# tier — semantic_candidate_pairs(cap). The gate-12 100x execution
+# probe measured s06's uncapped bucket clique at 233 s on
+# exact-duplicate-replicated embeddings (probe_gate12_100x_r11.json),
+# the dense twin of the d03 hot-bucket hazard.
+# ---------------------------------------------------------------------------
+_SEM_CAP = 2
+
+
+@pytest.fixture(scope="module")
+def dup_emb_dir(spark, sf_dir):
+    """Embeddings replicated 8-fold as EXACT duplicates (remapped
+    vec_ids) — every replica group shares one sign-bucket, so the
+    uncapped clique is C(8m, 2) per bucket; documents symlinked."""
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    reps = spark.range(8).withColumnRenamed("id", "rep")
+    big = e.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("rep") * n).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    staged = tempfile.mkdtemp(prefix="r11_semcap_")
+    big.write.mode("overwrite").parquet(os.path.join(staged, "embeddings.parquet"))
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
+        os.path.join(staged, "documents.parquet"),
+    )
+    return staged
+
+
+def test_semantic_cap_star_path_fires_and_is_subset(spark, sf_dir):
+    """At the test sf some sign-bucket exceeds cap=2 (non-vacuous), and
+    the capped VERIFIED pairs are a strict subset of s06's — the
+    documented recall trade, never new pairs."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        s06_embedding_neardup_pairs,
+        semantic_candidate_pairs,
+    )
+
+    exact = s06_embedding_neardup_pairs(spark, sf_dir)
+    capped = semantic_candidate_pairs(spark, sf_dir, _SEM_CAP)
+    n_exact, n_capped = exact.count(), capped.count()
+    assert 0 < n_capped < n_exact, "cap must fire at test sf (else vacuous)"
+    assert capped.exceptAll(exact).count() == 0
+
+
+def test_semantic_cap_bounds_exact_duplicate_blowup(spark, dup_emb_dir):
+    """On the exact-duplicate staging the star cap bounds pair mass to
+    ~O(vectors) where the clique is quadratic in the duplication rate,
+    and every exact-duplicate star edge verifies at cosine 1.0 (the
+    keep/drop decision loses nothing in the hazard case)."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        s06_embedding_neardup_pairs,
+        semantic_candidate_pairs,
+    )
+
+    capped = semantic_candidate_pairs(spark, dup_emb_dir, _SEM_CAP)
+    n_capped = capped.count()
+    n_exact = s06_embedding_neardup_pairs(spark, dup_emb_dir).count()
+    assert n_capped < n_exact / 3, (n_capped, n_exact)
+    # the hub's own exact copies always verify at cosine 1.0 (star
+    # edges between byte-identical vectors): vec 0 is the global min
+    # vec_id, so it hubs its bucket, and its 7 copies (500k apart by
+    # construction) must all be present at exactly 1.0. A bucket can
+    # hold copies of SEVERAL vectors — non-hub groups get hub-cosine
+    # edges instead, which is the documented recall trade.
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    n_orig = load_table(spark, dup_emb_dir, "embeddings").count() // 8
+    hub0 = {
+        (r["vec_b"], r["cosine"])
+        for r in capped.filter(F.col("vec_a") == 0).collect()
+    }
+    assert {(k * n_orig, 1.0) for k in range(1, 8)} <= hub0
+
+
+def test_semantic_cap_plan_has_no_broadcasts(spark, sf_dir):
+    """Both capped-path joins (clique self-join, hub lookup) are forced
+    sort-merge: `small` is ~the whole corpus on benign data and `hubs`
+    sits behind a derived estimate (the d22 defect class)."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        semantic_candidate_pairs,
+    )
+    from nlp_data_pipeline_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(semantic_candidate_pairs(spark, sf_dir, _SEM_CAP))
+    assert "BroadcastExchange" not in plan
+
+
+def test_d25_runs_under_both_caps(spark, dup_emb_dir):
+    """d25 with both feeds capped completes on the exact-duplicate
+    staging and keeps its fixed 3-category shape."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d25_lexical_semantic_overlap,
+    )
+
+    rows = d25_lexical_semantic_overlap(
+        spark, dup_emb_dir, cap=2, sem_cap=_SEM_CAP
+    ).collect()
+    assert {r["category"] for r in rows} == {"both", "lexical_only", "semantic_only"}
+    assert all(r["n_pairs"] >= 0 for r in rows)
