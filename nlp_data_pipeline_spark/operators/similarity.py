@@ -637,12 +637,27 @@ ORDER BY b.query_id
 # When clusters outgrow the expression-level pair join (≫10³ members),
 # swap the join for s02's packed-block BLAS tile kernel applied per
 # cluster — same semantics, matmul throughput.
+#
+# n_centroids is the SCALE KNOB (round 11): per-cluster pair mass is
+# C(n/k, 2), so fixed k makes a 100× corpus 10,000× more pairwise work
+# — the published SemDeDup practice scales k with the corpus (tens of
+# thousands of clusters for LAION-scale data) to hold n/k ≈ constant,
+# making total pair work O(n · cluster_size). Default None keeps the
+# declared/oracle tier (N_CENTROIDS). Changing k changes the
+# clustering and therefore WHICH near-dups share a cluster (coarser k
+# finds more, finer k fewer — the SemDeDup recall/cost dial), with one
+# k-invariant: byte-identical vectors always assign to the same
+# nearest centroid, so exact duplicates are marked at ANY k
+# (test_s09_exact_duplicates_dedup_at_any_k).
 # --------------------------------------------------------------------------
-def s09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s09_semantic_dedup(
+    spark: SparkSession, sf_dir: str, n_centroids: int | None = None
+) -> DataFrame:
+    k = N_CENTROIDS if n_centroids is None else n_centroids
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+    cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
     )
     ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))

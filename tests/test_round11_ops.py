@@ -315,3 +315,35 @@ def test_d25_runs_under_both_caps(spark, dup_emb_dir):
     ).collect()
     assert {r["category"] for r in rows} == {"both", "lexical_only", "semantic_only"}
     assert all(r["n_pairs"] >= 0 for r in rows)
+
+
+def test_s09_exact_duplicates_dedup_at_any_k(spark, dup_emb_dir):
+    """The SemDeDup k knob changes which NEAR-dups share a cluster, but
+    byte-identical vectors assign to the same nearest centroid at ANY
+    k — so on the 8x exact-duplicate staging every non-first copy is
+    marked a duplicate at both the default and a 4x finer k, while the
+    per-cluster pair space shrinks with k."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        N_CENTROIDS,
+        s09_semantic_dedup,
+    )
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    n = load_table(spark, dup_emb_dir, "embeddings").count()
+    n_orig = n // 8
+    for k in (None, N_CENTROIDS * 4):
+        res = s09_semantic_dedup(spark, dup_emb_dir, k)
+        dropped = res.filter(~F.col("keep")).count()
+        # every copy (rep >= 1) has a lower-id exact duplicate in its
+        # cluster: at least the 7/8 replica mass must be marked
+        assert dropped >= n_orig * 7, (k, dropped)
+        # cluster sizes shrink as k grows
+        if k is not None:
+            sizes = (
+                res.groupBy("centroid_id").count().agg(F.max("count")).collect()[0][0]
+            )
+            base_sizes = (
+                s09_semantic_dedup(spark, dup_emb_dir)
+                .groupBy("centroid_id").count().agg(F.max("count")).collect()[0][0]
+            )
+            assert sizes <= base_sizes
