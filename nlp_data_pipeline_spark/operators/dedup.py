@@ -1067,6 +1067,35 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# d33: capped-split PARITY — the d18 invariance theorem proven on a
+# CONSUMER by driver value-hash (VERDICT r11 #4: "declare one capped-
+# variant query … oracle proves the cap-invariant property").
+#
+# d12's split hangs off the connected-component id of the near-dup
+# graph, and components are invariant to the star cap (a star keeps
+# every bucket member connected through the hub — the d18 driver-hash
+# theorem). Therefore d12 under the PRODUCTION-shaped capped feed must
+# produce the byte-identical (doc_id, cluster_id, split) relation the
+# uncapped build does — and the oracle here is D12_SQL verbatim, the
+# FULL recursive closure over the exact clique: a hash-green row is an
+# end-to-end equality proof of "capped chain ⇒ identical split" on
+# real corpus data, not a unit-test claim.
+#
+# Declared at cap = _D18_BUCKET_CAP = 2, the tightest possible, so the
+# star path demonstrably fires at driver scale (sf0.01 has 4 band-
+# buckets > 2; a 256 cap would be vacuous there — the d18 rationale).
+# The uncapped d12 stays declared too: its row pins the exact tier the
+# SQL states, this row pins the 100 TB tier both run in production.
+# Scale: pair mass O(docs × n_bands) at any duplication profile where
+# the uncapped feed is quadratic per hot bucket (the round-9 OOM);
+# everything downstream of the pair feed is the same O(log n)
+# alternating-star component build + one hash expression.
+# --------------------------------------------------------------------------
+def d33_capped_split_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return d12_leakage_safe_split(spark, sf_dir, cap=_D18_BUCKET_CAP)
+
+
+# --------------------------------------------------------------------------
 # d13: cross-source contamination matrix — STAGED FOR ROUND-7
 # DECLARATION (oracle-parity-tested in test_round6_ops.py::
 # test_d13_matches_duckdb_oracle; held out of QUERIES because the
@@ -1196,10 +1225,16 @@ QUERIES = {
     # round-10 declaration: the capped d03 remedy (never-green → heads
     # the round-10 driver window)
     "d18_capped_lsh_components": d18_capped_lsh_components,
+    # round-12 declaration: the cap-invariance theorem on a consumer —
+    # capped d12 vs the uncapped-closure oracle (VERDICT r11 #4)
+    "d33_capped_split_parity": d33_capped_split_parity,
 }
 
 ORACLES = {
     "d18_capped_lsh_components": D18_SQL,
+    # D12_SQL verbatim: the oracle recomputes the FULL closure; a hash
+    # match against the capped build IS the invariance proof
+    "d33_capped_split_parity": D12_SQL,
     "d12_leakage_safe_split": D12_SQL,
     "d11_span_dedup_plan": D11_SQL,
     "d09_minhash_calibration": D09_SQL,

@@ -449,10 +449,16 @@ def n06_string_indexer_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N06_SQL = """
 WITH c AS (
+  -- lang/source IS NOT NULL mirrors StringIndexer's fit, which skips
+  -- null labels (handleInvalid only governs TRANSFORM-time nulls): a
+  -- corpus with NULL values would otherwise rank a NULL group here and
+  -- shift every label_index against the model. Current test data has
+  -- zero nulls, so this is alignment insurance, not a behavior change.
   SELECT 'lang' AS col_name, lang AS label, COUNT(*) AS n_rows
-  FROM documents GROUP BY lang
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
   UNION ALL
-  SELECT 'source', source, COUNT(*) FROM documents GROUP BY source
+  SELECT 'source', source, COUNT(*) FROM documents
+  WHERE source IS NOT NULL GROUP BY source
 )
 SELECT col_name,
        CAST(ROW_NUMBER() OVER (PARTITION BY col_name

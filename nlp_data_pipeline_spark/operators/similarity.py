@@ -420,6 +420,12 @@ ORDER BY vec_a, vec_b
 #
 # cap=None → s06's exact bucket-clique relation (the declared/oracle
 # tier). cap=m → pair mass O(vectors) at any duplication profile.
+#
+# The production default below is exercised (not just implied) by
+# test_round12_ops::test_s06_production_cap_is_identity_on_benign_
+# corpus: on a corpus with every sign-bucket under it, cap=256 is the
+# IDENTITY — the trade only engages on hazard-shaped duplicate
+# pileups. Same family as _D18_PRODUCTION_CAP (dedup.py).
 # --------------------------------------------------------------------------
 _S06_PRODUCTION_CAP = 256
 

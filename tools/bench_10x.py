@@ -185,7 +185,7 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _fingerprint(df) -> tuple[str, int]:
+def _fingerprint(df) -> tuple[str, str, int]:
     from nlp_data_pipeline_spark.plans.explain import formatted_plan
 
     p = formatted_plan(df)
