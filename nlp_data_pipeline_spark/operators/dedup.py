@@ -424,16 +424,22 @@ LIMIT 20
 # cluster"), and the repo's canonical iterative algorithm: a driver loop
 # over DataFrame joins with localCheckpoint() per round to cut lineage
 # (at 100 TB: O(graph diameter) rounds, each one shuffle on doc_id —
-# the standard large-scale CC shape). Oracle: DuckDB recursive CTE
+# the standard large-scale CC shape). TWO-TIER since round 12: if the
+# graph is still changing after 5 rounds its diameter exceeds any
+# benign LSH-cluster shape (adversarial duplication chains — measured
+# at the 1000x neardup staging), and the builder escalates to the
+# O(log n) alternating-star contraction (_cc_star_labels, d24's core)
+# instead of paying a round per hop. Oracle: DuckDB recursive CTE
 # computing the same transitive closure (the candidate graph is small
 # relative to the corpus by LSH's design, so closure is cheap there).
 # --------------------------------------------------------------------------
 def _neardup_components(pairs: DataFrame) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) connected components of an
-    undirected (doc_a, doc_b) pair relation via min-label propagation.
-    Shared by d06 (full-clique LSH pairs) and d18 (capped pairs):
-    component equality between the two callers is exactly what d18's
-    oracle proves."""
+    undirected (doc_a, doc_b) pair relation via min-label propagation,
+    escalating to alternating-star contraction past round 5 (see
+    section header). Shared by d06 (full-clique LSH pairs) and d18
+    (capped pairs): component equality between the two callers is
+    exactly what d18's oracle proves."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -447,7 +453,16 @@ def _neardup_components(pairs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     changed = -1
-    for _ in range(20):  # diameter bound; tiny graphs converge in 2-3
+    # Benign corpora converge in 2-3 rounds (LSH clusters are dense and
+    # shallow). A graph still changing after round 5 has diameter > 5 —
+    # the chain shape adversarial duplication produces (measured: the
+    # 1000x neardup staging chains ~1000 replicas through pairwise band
+    # collisions, probe_capchain_1000x_r12) — where O(diameter)
+    # propagation is the wrong algorithm outright: escalate to the
+    # O(log n) alternating-star contraction instead of burning a round
+    # per hop or hard-failing on an honest input.
+    _LP_MAX_ROUNDS = 5
+    for _ in range(_LP_MAX_ROUNDS):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -473,11 +488,14 @@ def _neardup_components(pairs: DataFrame) -> DataFrame:
         if changed == 0:
             break
     if changed != 0:
-        # the oracle computes the FULL transitive closure; returning
-        # partially-propagated labels would ship wrong clusters silently
-        raise RuntimeError(
-            "d06 label propagation did not converge within the iteration cap; "
-            "raise the cap for graphs with diameter > 20"
+        # the oracle computes the FULL transitive closure; partial
+        # labels would ship wrong clusters silently — recompute with
+        # the logarithmic builder (identical component-min labeling,
+        # proven by d24 sharing d06's oracle text)
+        labels = _cc_star_labels(
+            _d24_canon(
+                edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            )
         )
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -2306,17 +2324,11 @@ def _d24_star(e_canon: DataFrame, larger: bool) -> DataFrame:
     return _d24_canon(out)
 
 
-def d24_cc_alternating_stars(
-    spark: SparkSession, sf_dir: str, cap: int | None = None
-) -> DataFrame:
-    # Cap trade: NONE — connected components are invariant to star
-    # emission (the d18 driver-hash theorem), so this consumer keeps
-    # its exact declared output under any cap; the capped feed is the
-    # 100 TB default pairing for this O(log n) builder.
-    pairs = lsh_candidate_pairs(spark, sf_dir, cap)
-    e = _d24_canon(
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    ).localCheckpoint()
+def _cc_star_labels(e_canon: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id = component min) over a canonical u<v edge
+    relation via O(log n) alternating-star contraction — d24's core,
+    shared with _neardup_components' chain-shape escalation path."""
+    e = e_canon.localCheckpoint()
     for _ in range(_D24_MAX_ROUNDS):
         nxt = _d24_star(_d24_star(e, larger=True), larger=False).localCheckpoint()
         unchanged = (
@@ -2331,10 +2343,25 @@ def d24_cc_alternating_stars(
             "d24 alternating stars did not converge within the round cap"
         )
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    labels = (
+    return (
         sym.groupBy("u")
         .agg(F.min("v").alias("mn"))
         .select(F.col("u").alias("doc_id"), F.least("u", "mn").alias("cluster_id"))
+    )
+
+
+def d24_cc_alternating_stars(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    # Cap trade: NONE — connected components are invariant to star
+    # emission (the d18 driver-hash theorem), so this consumer keeps
+    # its exact declared output under any cap; the capped feed is the
+    # 100 TB default pairing for this O(log n) builder.
+    pairs = lsh_candidate_pairs(spark, sf_dir, cap)
+    labels = _cc_star_labels(
+        _d24_canon(
+            pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        )
     )
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

@@ -43,6 +43,40 @@ def test_d33_oracle_is_the_uncapped_closure():
 
 
 # ---------------------------------------------------------------------------
+# Chain-shape escalation: min-label propagation needs O(diameter)
+# rounds, so a pair graph chained by adversarial duplication (the
+# 1000x neardup staging chains ~1000 replicas through pairwise band
+# collisions) used to hard-fail the 20-round cap inside d06/d12/d18.
+# _neardup_components now escalates to the O(log n) alternating-star
+# contraction after 5 non-converged rounds — same component-min
+# labeling (d24 shares d06's oracle text), guaranteed termination.
+# ---------------------------------------------------------------------------
+def test_neardup_components_escalates_on_long_chain(spark):
+    from nlp_data_pipeline_spark.operators.dedup import _neardup_components
+
+    n = 120  # diameter 119 >> both the old 20-round cap and the new 5
+    chain = spark.range(n - 1).selectExpr(
+        "id AS doc_a", "id + 1 AS doc_b"
+    )
+    got = _neardup_components(chain).collect()
+    assert len(got) == n
+    assert all(r["cluster_id"] == 0 and r["cluster_size"] == n for r in got)
+
+
+def test_neardup_components_fast_path_unchanged_on_shallow_graph(spark):
+    """A benign (diameter-2) graph converges inside the propagation
+    tier — the escalation must not engage, and labels stay exact."""
+    from nlp_data_pipeline_spark.operators.dedup import _neardup_components
+
+    star = spark.range(1, 6).selectExpr("0 AS doc_a", "id AS doc_b")
+    got = sorted(
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in _neardup_components(star).collect()
+    )
+    assert got == [(i, 0, 6) for i in range(6)]
+
+
+# ---------------------------------------------------------------------------
 # Semantic production cap: at _S06_PRODUCTION_CAP = 256 the star path
 # only engages on hazard-shaped buckets (exact/near-duplicate pileups).
 # On a benign corpus — every sign-bucket under the cap, which sf0.001
