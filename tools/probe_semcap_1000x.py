@@ -90,7 +90,20 @@ def main() -> int:
         sys.stderr.write(f"[semcap] {tag}: {json.dumps(row)}\n")
         return row
 
-    results = {"1x": run("1x", base), f"{factor}x": run(f"{factor}x", staged)}
+    # HEAVY SCALE FIRST: the 1x phase's localCheckpoints and s09 cache
+    # pin storage memory for the rest of the session, and the 2M-row
+    # window sort then starves into a spill spiral (first run of this
+    # probe: 32 stuck tasks, 13 CPU-hours, disk filled — while the
+    # same count completes in ~60 s in a clean session). The staged
+    # phase therefore runs on the fresh session; the tiny 1x phase is
+    # indifferent to leftovers, and an explicit clearCache + gc sits
+    # between them anyway.
+    big = run(f"{factor}x", staged)
+    spark.catalog.clearCache()
+    import gc
+
+    gc.collect()
+    results = {"1x": run("1x", base), f"{factor}x": big}
     for op in ("capped_pairs", "semantic_dedup"):
         results["plan_stable_" + op] = (
             results["1x"][op]["struct_md5"]
