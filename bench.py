@@ -62,6 +62,13 @@ KNOWN_PLAN_NOISE = {
 # pre-fix r11 baseline. Self-retiring — applied only while the diff
 # baseline is bench_full_r11 or older, so from r13 a flip in a
 # checkpoint-carrying query is unexplained again unless truly new.
+# ADVICE r12 cross-check (performed round 13): all 28 r11→r12 md5
+# flips carry IDENTICAL struct_md5 AND n_exchanges vs bench_full_r11 —
+# so none of the auto-annotated flips hid a real plan change from the
+# same round's LP-cap/escalation refactor; only the full md5 (which
+# embedded the JVM call site pre-normalizer) moved. The note is
+# self-retiring: ckpt_note_active is False from the first r12-baseline
+# diff, so a checkpoint-carrying flip is unexplained again from r13.
 _CKPT_NOTE = (
     "one-time: localCheckpoint call-site normalizer added r12 — the "
     "pre-fix baseline md5 embeds the JVM reflective call site "
@@ -184,8 +191,12 @@ def main() -> int:
             # run-order noise (the r11 p04/s33/t42 plan_changed rows;
             # same rule as tools/bench_10x.py, where round 11 first
             # hit it on s33)
+            # ([^,\n], not [^,]: a negated class without \n matches
+            # across lines and would swallow the next plan line's
+            # prefix up to its first comma, masking real diffs in the
+            # region after the checkpoint scan — ADVICE r12)
             p = re.sub(
-                r"localCheckpoint at [^,]*", "localCheckpoint at <site>", p
+                r"localCheckpoint at [^,\n]*", "localCheckpoint at <site>", p
             )
             # q30/q51 catalog tables are named <table>_bkt_/_cbo_ +
             # md5(sf_dir): a PATH-derived identity that leaks into the

@@ -2339,8 +2339,12 @@ def _cc_star_labels(e_canon: DataFrame) -> DataFrame:
         if unchanged:
             break
     else:
+        # Generic wording: _cc_star_labels is also the escalation tier
+        # inside _neardup_components (d06/d12/d18/d21 consumers), so a
+        # "d24 ..." message would misattribute those failures (ADVICE r12).
         raise RuntimeError(
-            "d24 alternating stars did not converge within the round cap"
+            "alternating-star contraction did not converge within the "
+            "round cap"
         )
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     return (

@@ -207,7 +207,7 @@ def _fingerprint(df) -> tuple[str, str, int]:
     # 'NativeMethodAccessorImpl.java:0' and '<unknown>:0' once the JVM
     # JIT inlines the reflective py4j frame — run-order noise, not a
     # plan change (burned a false plan_stable=false on s33)
-    p = re.sub(r"localCheckpoint at [^,]*", "localCheckpoint at <site>", p)
+    p = re.sub(r"localCheckpoint at [^,\n]*", "localCheckpoint at <site>", p)
     # structural hash: data-DEPENDENT constants legitimately differ
     # between scales (s19 folds 1/n into its PageRank init, s20 its
     # corpus size into scan_fraction) — stability means same TREE, so

@@ -31,7 +31,7 @@ def fingerprint(df) -> dict:
     p = re.sub(r"/root/testdata/[\w\-./=]*", "<path>", p)
     p = re.sub(r"lambda [a-zA-Z]+_\d+#", "lambda v#", p)
     p = re.sub(r"RDD\[\d+\]", "RDD[]", p)
-    p = re.sub(r"localCheckpoint at [^,]*", "localCheckpoint at <site>", p)
+    p = re.sub(r"localCheckpoint at [^,\n]*", "localCheckpoint at <site>", p)
     p = re.sub(r"_(bkt|cbo)_[0-9a-f]{6,12}", r"_\1_<key>", p)
     return {
         "plan_md5": hashlib.md5(p.encode()).hexdigest()[:12],
