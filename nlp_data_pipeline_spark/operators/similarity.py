@@ -656,8 +656,195 @@ ORDER BY b.query_id
 # nearest centroid, so exact duplicates are marked at ANY k
 # (test_s09_exact_duplicates_dedup_at_any_k).
 # --------------------------------------------------------------------------
+# Assignment escalation threshold (round 13): past this many centroids
+# the row_number-window assignment is swapped for a map-side-combined
+# max_by argmax (exact same result — see _s09_assign). k is the honest
+# corpus-size proxy here because the scale knob sets k = n/target, so a
+# big corpus always arrives with big k; deciding on k alone keeps the
+# declared tier free of an extra count() job. Same two-tier shape as
+# dedup._neardup_components (label propagation → alternating stars).
+_S09_ASSIGN_MAXBY_K = 1024
+
+# Production per-cluster pair cap (same family as _D18_PRODUCTION_CAP /
+# _S06_PRODUCTION_CAP): past this cluster size the within-cluster
+# clique is replaced by a STAR to the cluster's min-vec_id hub. The
+# round-13 semantic 1000x probe measured WHY this exists: under
+# adversarial near-duplication the argmax assignment CONCENTRATES
+# replicas into few clusters (the k knob holds the AVERAGE cluster at
+# target size, not the max), and a 500k-member cluster's clique is
+# 1.25e11 pairs. Star edges are a subset of clique edges (the hub is
+# the cluster min, so every (member, hub) pair has a lower-id partner)
+# — capped n_lower_neardups ≤ clique's, keep/drop errs toward KEEPING
+# (a recall trade, never a false drop), and exact-duplicate pileups
+# (the hazard case) still drop every non-hub copy at cosine 1.0.
+# 1024 = 2× the probe's k-knob target cluster size (500), so a benign
+# Poisson-spread cluster never trips the star — the cap is the
+# IDENTITY off the hazard shape (test_s09_production_constants_are_live).
+_S09_CLUSTER_CAP = 1024
+
+
+def _s09_assign_arrow(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Arrow-batched BLAS argmax assignment — the production tier.
+
+    The Catalyst tiers below compute each (vector, centroid) cosine as
+    a higher-order aggregate fold, measured this round at ~2.7k
+    pairs/s/core — at 2M vectors × 4000 centroids (8e9 pairs) that is
+    CPU-months. This kernel broadcasts the centroid matrix (bounded:
+    k rows IS the model state, the n05/s01 collect class) and scores
+    each Arrow batch as one float64 matmul, the s02 packed-tile
+    pattern at the assignment stage. np.argmax takes the FIRST
+    maximum and the centroid matrix is sorted by centroid_id, so ties
+    break to the lowest id — the window tier's exact order. Values
+    differ from the Catalyst fold only in float summation order
+    (~1 ulp), which can flip an argmax only on ties that close —
+    pinned equal on the test corpus by
+    test_s09_arrow_assignment_parity.
+    """
+    import numpy as np
+    import pandas as pd
+
+    crows = cents.select("centroid_id", "cemb").collect()
+    cids = np.asarray([r["centroid_id"] for r in crows], dtype="int64")
+    C = np.asarray([list(r["cemb"]) for r in crows], dtype="float64")
+    order = np.argsort(cids)
+    cids, C = cids[order], C[order]
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.asarray(pdf["emb"].tolist(), dtype="float64")
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            amax = np.argmax(Vn @ Cn.T, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "centroid_id": cids[amax]}
+            )
+
+    best = e.select("vec_id", "emb").mapInPandas(
+        assign, "vec_id long, centroid_id long"
+    )
+    return e.join(best, "vec_id").select(
+        "vec_id", "emb", norm(F.col("emb")).alias("nrm"), "centroid_id"
+    )
+
+
+def _s09_assign(
+    e: DataFrame, cents: DataFrame, k: int, use_arrow: bool | None
+) -> DataFrame:
+    """Nearest-centroid argmax over (cos DESC, centroid_id ASC).
+
+    Three tiers, coarsest first:
+    - declared (k ≤ _S09_ASSIGN_MAXBY_K, use_arrow not forced):
+      broadcast nested-loop join + row_number window — n·k scored rows
+      shuffle into the per-vec_id sort. Bit-exact vs the DuckDB oracle.
+    - max_by (k above the cap, numpy unavailable or use_arrow=False):
+      the SAME join feeds a map-side-combined max_by aggregate, so the
+      shuffle carries n partial maxima instead of n·k scored rows (at
+      2M vectors × 4000 centroids: an n-row hash aggregate vs a ~4 TB
+      window sort). max_by on struct(cos, -centroid_id) is the exact
+      argmax the window's (cos DESC, centroid_id ASC) row_number picks,
+      NaN ordering included — test_s09_maxby_assignment_parity. Exact
+      but still pays the per-pair fold cost.
+    - arrow (k above the cap and numpy importable, or use_arrow=True):
+      _s09_assign_arrow — matmul throughput, the tier the round-13
+      1000x probe executes.
+    """
+    if use_arrow is None:
+        use_arrow = k > _S09_ASSIGN_MAXBY_K and _has_numpy()
+    if use_arrow:
+        return _s09_assign_arrow(e, cents)
+    ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
+    if k <= _S09_ASSIGN_MAXBY_K:
+        wv = Window.partitionBy("vec_id").orderBy(
+            F.desc("cos"), F.asc("centroid_id")
+        )
+        return (
+            e.join(F.broadcast(cents))
+            .select("vec_id", "emb", "centroid_id", ccos.alias("cos"))
+            .withColumn("r", F.row_number().over(wv))
+            .filter(F.col("r") == 1)
+            .select(
+                "vec_id", "emb", norm(F.col("emb")).alias("nrm"), "centroid_id"
+            )
+        )
+    best = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", ccos.alias("cos"), "centroid_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("cos"), -F.col("centroid_id"))
+            ).alias("centroid_id")
+        )
+    )
+    return e.join(best, "vec_id").select(
+        "vec_id", "emb", norm(F.col("emb")).alias("nrm"), "centroid_id"
+    )
+
+
+def _has_numpy() -> bool:
+    try:
+        import numpy  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _s09_small_cluster_counts_arrow(small: DataFrame, tau: float) -> DataFrame:
+    """Per-cluster packed BLAS n_lower_neardups for clusters ≤ cap.
+
+    The s02 packed-tile pattern applied within clusters (the swap the
+    s09 header has promised since round 11): one flat Arrow buffer per
+    cluster (≤ cap·dim doubles, ≤ 512 KB at cap 1024 / dim 64), one
+    float64 gram matmul per cluster, count lower-id members at
+    cos ≥ τ. Emits only members with a positive count — the same rows
+    the Catalyst clique's groupBy produces. At the SemDeDup operating
+    point (target cluster ≈ 500) the benign-corpus pair mass is
+    n·target/2 — 5e8 fold-cosines at 2M vectors, CPU-days as a
+    higher-order expression, minutes as matmul tiles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    packed = (
+        small.select("centroid_id", "vec_id", "emb")
+        .groupBy("centroid_id")
+        .agg(F.collect_list(F.struct("vec_id", "emb")).alias("vecs"))
+        .select(
+            "centroid_id",
+            F.transform("vecs", lambda v: v["vec_id"]).alias("ids"),
+            F.flatten(F.transform("vecs", lambda v: v["emb"])).alias("flat"),
+        )
+        .repartition("centroid_id")
+    )
+
+    def counts(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids = np.asarray(row["ids"], dtype="int64")
+                M = np.asarray(row["flat"], dtype="float64").reshape(
+                    len(ids), -1
+                )
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                G = Mn @ Mn.T
+                lower = ids[None, :] < ids[:, None]
+                n_low = ((G >= tau) & lower).sum(axis=1).astype("int64")
+                keep = n_low > 0
+                yield pd.DataFrame(
+                    {"vec_id": ids[keep], "n_lower_neardups": n_low[keep]}
+                )
+
+    return packed.mapInPandas(counts, "vec_id long, n_lower_neardups long")
+
+
 def s09_semantic_dedup(
-    spark: SparkSession, sf_dir: str, n_centroids: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int | None = None,
+    cluster_cap: int | None = None,
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     k = N_CENTROIDS if n_centroids is None else n_centroids
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -666,34 +853,67 @@ def s09_semantic_dedup(
     cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb")
     )
-    ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
     # nrm is materialized ONCE per vector (bit-identical to computing
     # norm() inside the pair expression, but ~3× less per-pair work),
     # and the assignment subtree is cached — it feeds the pair join
     # twice plus the final keep-join, and is only n_vectors rows.
-    assigned = (
-        e.join(F.broadcast(cents))
-        .select("vec_id", "emb", "centroid_id", ccos.alias("cos"))
-        .withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "emb", norm(F.col("emb")).alias("nrm"), "centroid_id")
-        .cache()
-    )
+    assigned = _s09_assign(e, cents, k, use_arrow).cache()
     a = assigned.alias("a")
     b = assigned.alias("b")
     pcos = dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm"))
-    dups = (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
+    if cluster_cap is None:
+        dups = (
+            a.join(
+                b,
+                (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                & (F.col("b.vec_id") < F.col("a.vec_id")),
+            )
+            .select(F.col("a.vec_id").alias("vec_id"), pcos.alias("cos"))
+            .filter(F.col("cos") >= NEARDUP_TAU)
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n_lower_neardups"))
         )
-        .select(F.col("a.vec_id").alias("vec_id"), pcos.alias("cos"))
-        .filter(F.col("cos") >= NEARDUP_TAU)
-        .groupBy("vec_id")
-        .agg(F.count(F.lit(1)).alias("n_lower_neardups"))
-    )
+    else:
+        # groupBy (map-side combinable), NOT a count window: under the
+        # adversarial concentration this cap exists for, one cluster
+        # holds a large share of the corpus and a window partition
+        # would buffer it whole.
+        stats = assigned.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("c_size"), F.min("vec_id").alias("hub_id")
+        )
+        sized = assigned.join(stats, "centroid_id")
+        sm = sized.filter(F.col("c_size") <= cluster_cap)
+        if use_arrow or (use_arrow is None and _has_numpy()):
+            counts_small = _s09_small_cluster_counts_arrow(sm, NEARDUP_TAU)
+        else:
+            sma, smb = sm.alias("a"), sm.alias("b")
+            counts_small = (
+                sma.join(
+                    smb,
+                    (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                    & (F.col("b.vec_id") < F.col("a.vec_id")),
+                )
+                .select(F.col("a.vec_id").alias("vec_id"), pcos.alias("cos"))
+                .filter(F.col("cos") >= NEARDUP_TAU)
+                .groupBy("vec_id")
+                .agg(F.count(F.lit(1)).alias("n_lower_neardups"))
+            )
+        big = sized.filter(F.col("c_size") > cluster_cap)
+        hubs = big.filter(F.col("vec_id") == F.col("hub_id")).select(
+            F.col("centroid_id"),
+            F.col("emb").alias("hemb"),
+            F.col("nrm").alias("hnrm"),
+        )
+        hcos = dot("emb", "hemb") / (F.col("nrm") * F.col("hnrm"))
+        counts_big = (
+            big.filter(F.col("vec_id") != F.col("hub_id"))
+            .join(hubs, "centroid_id")
+            .select(F.col("vec_id"), hcos.alias("cos"))
+            .filter(F.col("cos") >= NEARDUP_TAU)
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n_lower_neardups"))
+        )
+        dups = counts_small.union(counts_big)
     return (
         assigned.join(dups, "vec_id", "left")
         .select(
