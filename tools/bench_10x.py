@@ -268,8 +268,16 @@ def _stage(spark, sf_dir: str, factor: int) -> str:
         rep_text = F.when(F.col("rep") == 0, F.col("text")).otherwise(
             F.concat(F.col("text"), F.lit(" v"), F.col("rep"))
         )
+    # repartition the SMALL base BEFORE the broadcast crossJoin so all
+    # 32 tasks generate replicas in parallel and the write needs no
+    # post-join shuffle of the factor-fold data (round 13: the old
+    # replicate-then-repartition shape ran the whole 100M-row events
+    # generation + shuffle sort in ONE map task — 25+ CPU-minutes
+    # serial, the r12 semcap probe's hidden staging cost). Same rows,
+    # same 32-file layout, order within files differs (no probe reads
+    # order).
     big_docs = (
-        docs.crossJoin(F.broadcast(reps))
+        docs.repartition(32).crossJoin(F.broadcast(reps))
         .select(
             (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
             rep_text.alias("text"),
@@ -278,14 +286,14 @@ def _stage(spark, sf_dir: str, factor: int) -> str:
         )
         .withColumn("n_chars", F.length("text"))
     )
-    big_docs.repartition(32).write.mode("overwrite").parquet(
+    big_docs.write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_vecs = emb.count()
     big_emb = (
-        emb.crossJoin(F.broadcast(reps))
+        emb.repartition(32).crossJoin(F.broadcast(reps))
         .select(
             (F.col("vec_id") + F.col("rep") * n_vecs).alias("vec_id"),
             # nudge one dimension per replica so vectors are distinct
@@ -297,7 +305,7 @@ def _stage(spark, sf_dir: str, factor: int) -> str:
             "label",
         )
     )
-    big_emb.repartition(32).write.mode("overwrite").parquet(
+    big_emb.write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet")
     )
 
@@ -311,7 +319,7 @@ def _stage(spark, sf_dir: str, factor: int) -> str:
     ev = load_table(spark, sf_dir, "events")
     n_ev = ev.count()
     n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
-    big_ev = ev.crossJoin(F.broadcast(reps)).select(
+    big_ev = ev.repartition(32).crossJoin(F.broadcast(reps)).select(
         (F.col("event_id") + F.col("rep") * n_ev).alias("event_id"),
         "ts",
         (F.col("user_id") + F.col("rep") * n_users).alias("user_id"),
@@ -319,7 +327,7 @@ def _stage(spark, sf_dir: str, factor: int) -> str:
         "value",
         "props",
     )
-    big_ev.repartition(32).write.mode("overwrite").parquet(
+    big_ev.write.mode("overwrite").parquet(
         os.path.join(out, "events.parquet")
     )
     return out
