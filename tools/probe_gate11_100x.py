@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 os.environ.setdefault("SPARK_GRAFT_STAGE_MODE", "rename")
 
 from bench_10x import _fingerprint, _stage  # noqa: E402
+from probe_io import emit_artifact  # noqa: E402
 
 GATE11 = [
     "q52_file_metadata_audit",
@@ -99,21 +100,23 @@ def main() -> int:
         out[name] = row
         sys.stderr.write(f"[g11-100x] {name}: {json.dumps(row)}\n")
 
-    print(
-        json.dumps(
-            {
-                "sf_dir": sf_dir,
-                "factor": factor,
-                "stage_mode": os.environ["SPARK_GRAFT_STAGE_MODE"],
-                "excluded": {
-                    "s25_mutual_knn_pairs": "sanctioned exact truth tier; "
-                    "s33 is the declared production swap"
-                },
-                "results": out,
-            },
-            indent=1,
-        )
-    )
+    payload = {
+        "sf_dir": sf_dir,
+        "factor": factor,
+        "stage_mode": os.environ["SPARK_GRAFT_STAGE_MODE"],
+        "excluded": {
+            "s25_mutual_knn_pairs": "sanctioned exact truth tier; "
+            "s33 is the declared production swap"
+        },
+        "results": out,
+    }
+    # guarded self-written artifact (round 13): a killed run can no
+    # longer land an empty evidence file; stdout copy kept for logs
+    out_path = os.environ.get("SPARK_GRAFT_PROBE_OUT")
+    if out_path:
+        emit_artifact(out_path, payload)
+    else:
+        print(json.dumps(payload, indent=1))
     return 0
 
 
