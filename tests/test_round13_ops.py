@@ -172,3 +172,85 @@ def test_s09_production_constants_are_live(spark, sf_dir, monkeypatch):
     assert _S09_CLUSTER_CAP >= 2 * 500  # cap clears the SemDeDup
     # target cluster size (the probe's k knob), so the star engages
     # only on genuine pileups, never on benign clusters
+
+
+# ---------------------------------------------------------------------------
+# Round-13: d32's wired posting cap (VERDICT r12 #8 — the header had
+# documented d18's hot-bucket cap as d32's production remedy without
+# implementing it; the cap parameter is the wiring, executed at 1000x
+# adversarial duplication in probe_d32cap_1000x_r13.json).
+# ---------------------------------------------------------------------------
+def _d32_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_d32_cap_identity_on_benign(spark, sf_dir):
+    """With every base posting list under the cap the capped feed is
+    the IDENTITY — the d18/s06/s09 cap-family contract."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d32_incremental_dedup_delta,
+    )
+
+    want = _d32_rows(d32_incremental_dedup_delta(spark, sf_dir))
+    got = _d32_rows(d32_incremental_dedup_delta(spark, sf_dir, cap=256))
+    assert got == want and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def neardup_delta_dir(spark, sf_dir):
+    """16 NEAR-duplicate variants (' v{i}' suffix — distinct sha256,
+    shared shingles) of each of 4 source texts, ids interleaving the
+    base/delta parity split, padded with 40 novel docs: every variant
+    group floods its band keys past a small cap on BOTH sides."""
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(44)
+    rows = d.collect()
+    out = []
+    nxt = 0
+    for r in rows[:4]:
+        for i in range(16):
+            out.append((nxt, r["text"] + f" v{i}", r["lang"], r["source"]))
+            nxt += 1
+    for r in rows[4:]:
+        out.append((nxt, r["text"], r["lang"], r["source"]))
+        nxt += 1
+    df = spark.createDataFrame(
+        out, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    staged = tempfile.mkdtemp(prefix="r13_d32cap_")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staged, "documents.parquet")
+    )
+    return staged
+
+
+def test_d32_cap_preserves_pileup_verdicts(spark, neardup_delta_dir):
+    """On the near-duplicate pileup with cap=2 (far below the 8 base
+    copies per variant group): the capped tier completes, classifies
+    every pileup delta doc exactly as the uncapped tier does (variants
+    share their shingles, so representative-only verification loses
+    nothing in the hazard case), and never invents duplicates."""
+    from nlp_data_pipeline_spark.operators.dedup import (
+        d32_incremental_dedup_delta,
+    )
+
+    full = {r["source"]: r for r in
+            d32_incremental_dedup_delta(spark, neardup_delta_dir).collect()}
+    capped = {r["source"]: r for r in
+              d32_incremental_dedup_delta(
+                  spark, neardup_delta_dir, cap=2).collect()}
+    assert capped.keys() == full.keys()
+    for src in full:
+        f, c = full[src], capped[src]
+        assert c["n_delta"] == f["n_delta"]
+        assert c["n_exact_dup"] == f["n_exact_dup"]  # sha tier, cap-blind
+        # capped candidates are rep-verified only: never MORE near-dups
+        assert c["n_near_dup"] <= f["n_near_dup"]
+    # the hazard groups themselves: every delta variant is a near-dup
+    # of its base copies under BOTH tiers (verdict preserved where the
+    # cap actually fires)
+    tot_near_full = sum(r["n_near_dup"] for r in full.values())
+    tot_near_capped = sum(r["n_near_dup"] for r in capped.values())
+    assert tot_near_full >= 4 * 8  # 4 groups x 8 delta variants
+    assert tot_near_capped == tot_near_full
