@@ -710,15 +710,26 @@ def _s09_assign_arrow(e: DataFrame, cents: DataFrame) -> DataFrame:
     cids, C = cids[order], C[order]
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
+    # chunked gram (see _nnd_assign_arrow): bounds the per-worker score
+    # matrix at chunk·k doubles so 32 workers don't mmap-churn ~GB
+    # buffers per batch
+    _CHUNK = 2048
+
     def assign(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             V = np.asarray(pdf["emb"].tolist(), dtype="float64")
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            amax = np.argmax(Vn @ Cn.T, axis=1)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            picks = [
+                np.argmax(V[s : s + _CHUNK] @ Cn.T, axis=1)
+                for s in range(0, len(V), _CHUNK)
+            ]
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "centroid_id": cids[amax]}
+                {
+                    "vec_id": pdf["vec_id"],
+                    "centroid_id": cids[np.concatenate(picks)],
+                }
             )
 
     best = e.select("vec_id", "emb").mapInPandas(
@@ -1791,7 +1802,74 @@ NND_RANDOM_LINKS = 4
 NND_ROUNDS = 1
 NND_BLOCK_TARGET = 256  # vectors per cluster-local seed block
 NND_ASSIGN_PROBE = 2  # clusters each vector seeds into (IVF multi-probe)
+# Seed-assignment escalation (round 13, VERDICT r12 #8): k_build grows
+# as n/NND_BLOCK_TARGET, so the window-tier assignment materializes
+# n·k_build = n²/256 HOF-fold cosines through a per-vec_id sort — the
+# exact hazard _s09_assign had, measured at ~2.7k folds/s/core. Past
+# this many build centroids the assignment swaps to the Arrow-BLAS
+# top-probe kernel (_nnd_assign_arrow). 64 centroids ⇔ ~16k vectors;
+# the declared corpus (k_build ≤ 8) stays on the window tier, plans
+# untouched.
+_NND_ASSIGN_ARROW_K = 64
 _KNUTH = 2654435761
+
+
+def _nnd_assign_arrow(e: DataFrame, cents: DataFrame, probe: int) -> DataFrame:
+    """Top-``probe`` max-cosine centroids per vector, BLAS tier.
+
+    One float64 matmul per Arrow batch against the broadcast centroid
+    matrix (bounded: k_build rows is build state, the s09/_s02 collect
+    class). Columns sit in cid-ascending order and the row-wise
+    argsort is STABLE on -cos, so the emitted order is exactly the
+    window tier's (ccos DESC, cid ASC) — pinned by
+    test_nnd_arrow_assignment_parity."""
+    import numpy as np
+    import pandas as pd
+
+    crows = cents.select("cid", "cemb").collect()
+    cids = np.asarray([r["cid"] for r in crows], dtype="int64")
+    C = np.asarray([list(r["cemb"]) for r in crows], dtype="float64")
+    order = np.argsort(cids)
+    cids, C = cids[order], C[order]
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    k = min(probe, len(cids))
+
+    # CHUNK bounds the score-matrix working set at chunk·k_build
+    # doubles (~64 MB at 2048×4000): a whole-batch gram at 10k rows ×
+    # 8k centroids is ~625 MB PER WORKER per batch, and 32 workers
+    # mmap/munmap-ing that per batch collapsed the first 1000x run
+    # into kernel-time thrash (measured: 89% sys CPU, zero task
+    # progress in 15 min). Top-k via repeated masked argmax, not
+    # argsort: argmax's first-max IS the (cos DESC, cid ASC)
+    # tie-break, and it never materializes an n×k index matrix.
+    _CHUNK = 2048
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.asarray(pdf["emb"].tolist(), dtype="float64")
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            vid = np.asarray(pdf["vec_id"], dtype="int64")
+            out_v, out_c = [], []
+            for s in range(0, len(V), _CHUNK):
+                G = V[s : s + _CHUNK] @ Cn.T
+                rows = np.arange(G.shape[0])
+                for _ in range(k):
+                    j = np.argmax(G, axis=1)
+                    out_v.append(vid[s : s + _CHUNK])
+                    out_c.append(cids[j])
+                    G[rows, j] = -np.inf
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_v),
+                    "cid": np.concatenate(out_c),
+                }
+            )
+
+    return e.select("vec_id", "emb").mapInPandas(
+        assign, "vec_id long, cid long"
+    )
 
 
 def _score_pairs(e: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -1842,7 +1920,11 @@ def _undirected(g: DataFrame) -> DataFrame:
 
 
 def _nnd_state(
-    spark: SparkSession, sf_dir: str, m: int = GRAPH_M, keep_topm: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = GRAPH_M,
+    keep_topm: bool = False,
+    rounds: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """APPROXIMATE M-NN build via NN-descent — the linear-cost index
     build the r07 verdict asked for in place of the exact tile grid.
@@ -1893,15 +1975,20 @@ def _nnd_state(
     cents = e.filter(F.col("vec_id") < k_build).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
-    ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
-    wassign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    assign = (
-        e.join(F.broadcast(cents))
-        .select("vec_id", "cid", ccos.alias("ccos"))
-        .withColumn("r", F.row_number().over(wassign))
-        .filter(F.col("r") <= NND_ASSIGN_PROBE)
-        .select("vec_id", "cid")
-    )
+    if k_build > _NND_ASSIGN_ARROW_K and _has_numpy():
+        assign = _nnd_assign_arrow(e, cents, NND_ASSIGN_PROBE)
+    else:
+        ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
+        wassign = Window.partitionBy("vec_id").orderBy(
+            F.desc("ccos"), F.asc("cid")
+        )
+        assign = (
+            e.join(F.broadcast(cents))
+            .select("vec_id", "cid", ccos.alias("ccos"))
+            .withColumn("r", F.row_number().over(wassign))
+            .filter(F.col("r") <= NND_ASSIGN_PROBE)
+            .select("vec_id", "cid")
+        )
 
     import numpy as np
     import pandas as pd
@@ -1975,7 +2062,13 @@ def _nnd_state(
 
     topm = seed
     g = _undirected(seed.union(links)).localCheckpoint()
-    for _ in range(NND_ROUNDS):
+    # rounds=0 is the SEED-ONLY build tier: the 2-probe blocked seed
+    # alone recovers ~70% of the exact graph's edges (header above) and
+    # is all-BLAS — the tier the 1000x probe executes, because one
+    # refine round's candidate scoring ships n·(m+links)² pairs × 1KB
+    # of (src,dst,emb,emb) through Arrow (~200 GB at 2M vectors on one
+    # box; per-worker adjacency packing is the named next tier).
+    for _ in range(NND_ROUNDS if rounds is None else rounds):
         g2 = g.select(F.col("src").alias("mid"), F.col("dst"))
         nofn = (
             g.select("src", F.col("dst").alias("mid"))
@@ -1991,12 +2084,17 @@ def _nnd_state(
     return topm, g, links
 
 
-def _knn_graph_nnd(spark: SparkSession, sf_dir: str, m: int = GRAPH_M) -> DataFrame:
+def _knn_graph_nnd(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = GRAPH_M,
+    rounds: int | None = None,
+) -> DataFrame:
     """The NSW graph s16 searches: the NND undirected closure plus the
     pseudo-random long links. NN-descent top-m prunes the links (low
     cosine), but they are what makes the NSW navigable from the fixed
     entry point across clusters."""
-    _topm, g, links = _nnd_state(spark, sf_dir, m)
+    _topm, g, links = _nnd_state(spark, sf_dir, m, rounds=rounds)
     return _undirected(g.union(links)).distinct()
 
 

@@ -28,6 +28,17 @@ def get_spark(
     shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with scale-conscious defaults."""
+    # One BLAS thread per Python worker (round 13): Spark already runs
+    # one worker per core, so library-level GEMM threading (OpenBLAS
+    # defaults to n_cores threads PER process) oversubscribes 32×32
+    # threads and collapses into kernel-time thrash — the NND 1000x
+    # probe measured a stage making zero progress in 15 min that
+    # completes in seconds single-threaded. Workers inherit the JVM's
+    # env, so set this before the session (JVM) starts; setdefault so
+    # a deployment that genuinely wants threaded BLAS in a
+    # few-fat-executors layout can override.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -50,6 +61,15 @@ def get_spark(
         # lives in sources/catalog.normalize_event_ts, the single site)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # heartbeat slack for the local 1000x probes: a long driver GC
+        # pause under a 5M-row stage must not kill the in-process
+        # executor (measured: "unable to send heartbeats more than 60
+        # times" ended the first NND 1000x attempt). Interval stays
+        # default; only the tolerated silence is raised.
+        .config(
+            "spark.network.timeout",
+            os.environ.get("SPARK_GRAFT_NETWORK_TIMEOUT", "600s"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -254,3 +254,45 @@ def test_d32_cap_preserves_pileup_verdicts(spark, neardup_delta_dir):
     tot_near_capped = sum(r["n_near_dup"] for r in capped.values())
     assert tot_near_full >= 4 * 8  # 4 groups x 8 delta variants
     assert tot_near_capped == tot_near_full
+
+
+# ---------------------------------------------------------------------------
+# Round-13: the NND seed-assignment Arrow tier (VERDICT r12 #8 — the
+# graph-ANN family's scale gap: k_build = n/256 makes the window-tier
+# assignment n²/256 HOF cosine folds).
+# ---------------------------------------------------------------------------
+def test_nnd_arrow_assignment_parity(spark, sf_dir, monkeypatch):
+    """Forcing the Arrow top-probe assignment reproduces the whole NND
+    state (top-m, graph, links) row-for-row: the stable argsort over
+    cid-ascending columns is exactly the window tier's
+    (ccos DESC, cid ASC) order."""
+    from nlp_data_pipeline_spark.operators.similarity import _nnd_state
+
+    def _g(t):
+        topm, g, links = t
+        return (
+            sorted(tuple(r) for r in topm.collect()),
+            sorted(tuple(r) for r in g.collect()),
+            sorted(tuple(r) for r in links.collect()),
+        )
+
+    want = _g(_nnd_state(spark, sf_dir))
+    monkeypatch.setattr(similarity, "_NND_ASSIGN_ARROW_K", 0)
+    got = _g(_nnd_state(spark, sf_dir))
+    assert got == want and len(got[0]) > 0
+
+
+def test_nnd_seed_only_build_tier(spark, sf_dir):
+    """rounds=0 (the 1000x probe's all-BLAS tier) yields a valid
+    non-empty UNDIRECTED graph covering the corpus."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        _knn_graph_nnd,
+    )
+    from nlp_data_pipeline_spark.sources.catalog import load_table
+
+    g = _knn_graph_nnd(spark, sf_dir, rounds=0)
+    rows = {(r["src"], r["dst"]) for r in g.collect()}
+    assert len(rows) > 0
+    assert all((d, s) in rows for (s, d) in rows)  # symmetric closure
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len({s for s, _ in rows}) == n  # every vector has an edge
