@@ -3089,7 +3089,16 @@ def d32_incremental_dedup_delta(
     tier classifies them 'exact' first). cap=None keeps the declared/
     oracle tier exact. Executed at 1000x adversarial duplication in
     probe_d32cap_1000x_r13.json; identity-on-benign +
-    pileup-verdict-preserving pins in test_round13_ops."""
+    pileup-verdict-preserving pins in test_round13_ops.
+
+    NO SILENT CAPS (ADVICE r13): when cap is set the output carries an
+    extra ``n_capped_band_keys`` column — the number of band keys whose
+    base posting list exceeded the cap and was therefore rep-verified
+    only. For heterogeneous hot keys (LSH collisions rather than true
+    duplication pileups) that routing can miss genuine near-dups, so
+    the recall trade must be observable per run, not inferred. Zero
+    means the capped tier was the identity. The declared/oracle tier
+    (cap=None) schema is unchanged."""
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id", "source", F.sha2(F.col("text").cast("binary"), 256).alias("sha")
@@ -3176,6 +3185,13 @@ def d32_incremental_dedup_delta(
             )
         )
         cand = cand_cool.union(cand_hot).distinct()
+        # observability for the recall trade (docstring above): how many
+        # band keys actually tripped the cap this run. One extra narrow
+        # aggregate branch over the base postings; 1 row, cross-joined
+        # onto the per-source verdict counts at the end.
+        capped_keys = stats.filter(F.col("n_base") > cap).agg(
+            F.count(F.lit(1)).alias("n_capped_band_keys")
+        )
 
     ss = _shingle_set_df(spark, sf_dir)
     sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -3221,7 +3237,7 @@ def d32_incremental_dedup_delta(
     verdict = F.when(F.col("is_exact") == 1, "exact").when(
         F.col("is_near") == 1, "near"
     ).otherwise("novel")
-    return (
+    out = (
         # base_sha is corpus-scaled (distinct shas of the whole base):
         # never broadcast — sort-merge; near_ids too (≤|delta| rows,
         # but on a duplication-heavy corpus that is the WHOLE delta —
@@ -3239,6 +3255,11 @@ def d32_incremental_dedup_delta(
         )
         .orderBy("source")
     )
+    if cap is not None:
+        # 1-row side — Catalyst broadcasts the NL join; output order is
+        # re-pinned because the join does not preserve the sort.
+        out = out.crossJoin(capped_keys).orderBy("source")
+    return out
 
 
 D32_SQL = (

@@ -28,6 +28,7 @@ the Spark plan and the oracle SQL, so no cross-engine RNG is needed.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -727,7 +728,11 @@ def _s09_assign_arrow(e: DataFrame, cents: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"],
+                    # positional, index-free (ADVICE r13): mixing an
+                    # index-carrying Series with positional numpy arrays
+                    # silently misaligns if a pandas-level filter is
+                    # ever added above this construction
+                    "vec_id": pdf["vec_id"].to_numpy(),
                     "centroid_id": cids[np.concatenate(picks)],
                 }
             )
@@ -764,8 +769,10 @@ def _s09_assign(
     if use_arrow is None:
         use_arrow = k > _S09_ASSIGN_MAXBY_K and _has_numpy()
     if use_arrow:
+        _log_tier("s09_assign", "arrow")
         return _s09_assign_arrow(e, cents)
     ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
+    _log_tier("s09_assign", "window" if k <= _S09_ASSIGN_MAXBY_K else "max_by")
     if k <= _S09_ASSIGN_MAXBY_K:
         wv = Window.partitionBy("vec_id").orderBy(
             F.desc("cos"), F.asc("centroid_id")
@@ -801,6 +808,23 @@ def _has_numpy() -> bool:
         return True
     except ImportError:
         return False
+
+
+_LOG = logging.getLogger("nlp_data_pipeline_spark.similarity")
+
+
+def _log_tier(op: str, tier: str) -> None:
+    """Record which kernel tier an auto-selecting operator chose.
+
+    With ``use_arrow=None`` the Arrow/Catalyst choice depends on numpy
+    importability in the environment (ADVICE r13): the Arrow float64
+    matmul and the Catalyst higher-order fold differ only in float
+    summation order (~1 ulp), which can flip a verdict solely on a
+    cosine tie exactly at the tau boundary. Logging the selected tier
+    makes any such environment-dependent flip diagnosable from the run
+    log instead of invisible.
+    """
+    _LOG.info("%s kernel tier: %s", op, tier)
 
 
 def _s09_small_cluster_counts_arrow(small: DataFrame, tau: float) -> DataFrame:
@@ -857,6 +881,19 @@ def s09_semantic_dedup(
     cluster_cap: int | None = None,
     use_arrow: bool | None = None,
 ) -> DataFrame:
+    """SemDeDup: cluster-confined near-duplicate marking (header above).
+
+    Kernel-tier note (ADVICE r13): with ``use_arrow=None`` the
+    assignment and small-cluster-count kernels auto-select the Arrow
+    BLAS tier when numpy is importable (above _S09_ASSIGN_MAXBY_K for
+    assignment; always for capped counts). Arrow and Catalyst tiers
+    differ only in float summation order (~1 ulp), so a keep/drop
+    verdict can differ across environments ONLY for a pair whose
+    cosine ties exactly at NEARDUP_TAU — parity is pinned on the test
+    corpus (test_s09_arrow_assignment_parity) and the selected tier is
+    logged per run via _log_tier for auditability. Pass use_arrow
+    explicitly to pin the kernel regardless of environment.
+    """
     k = N_CENTROIDS if n_centroids is None else n_centroids
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
@@ -895,8 +932,10 @@ def s09_semantic_dedup(
         sized = assigned.join(stats, "centroid_id")
         sm = sized.filter(F.col("c_size") <= cluster_cap)
         if use_arrow or (use_arrow is None and _has_numpy()):
+            _log_tier("s09_small_cluster_counts", "arrow")
             counts_small = _s09_small_cluster_counts_arrow(sm, NEARDUP_TAU)
         else:
+            _log_tier("s09_small_cluster_counts", "catalyst")
             sma, smb = sm.alias("a"), sm.alias("b")
             counts_small = (
                 sma.join(
@@ -1976,8 +2015,10 @@ def _nnd_state(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
     if k_build > _NND_ASSIGN_ARROW_K and _has_numpy():
+        _log_tier("nnd_assign", "arrow")
         assign = _nnd_assign_arrow(e, cents, NND_ASSIGN_PROBE)
     else:
+        _log_tier("nnd_assign", "window")
         ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
         wassign = Window.partitionBy("vec_id").orderBy(
             F.desc("ccos"), F.asc("cid")

@@ -16,6 +16,7 @@ the real target — a many-executor cluster scanning ~100 TB of parquet:
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -27,7 +28,15 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
 ) -> SparkSession:
-    """Build (or fetch) a SparkSession with scale-conscious defaults."""
+    """Build (or fetch) a SparkSession with scale-conscious defaults.
+
+    ORDERING REQUIREMENT (ADVICE r13): the single-thread BLAS guard
+    below works by mutating process env BEFORE the JVM starts (Python
+    workers inherit the JVM's env). Call get_spark before any other
+    code creates a SparkSession or initializes BLAS in-process —
+    getOrCreate silently reuses an existing session, in which case the
+    guard cannot apply and a warning is emitted instead.
+    """
     # One BLAS thread per Python worker (round 13): Spark already runs
     # one worker per core, so library-level GEMM threading (OpenBLAS
     # defaults to n_cores threads PER process) oversubscribes 32×32
@@ -37,8 +46,26 @@ def get_spark(
     # env, so set this before the session (JVM) starts; setdefault so
     # a deployment that genuinely wants threaded BLAS in a
     # few-fat-executors layout can override.
-    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
-        os.environ.setdefault(var, "1")
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # Too late to influence worker env through the JVM — say so
+        # instead of silently pretending the guard applied.
+        if any(
+            os.environ.get(v) is None
+            for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS")
+        ):
+            warnings.warn(
+                "get_spark called with an active SparkSession: the BLAS "
+                "single-thread guard (OMP/OPENBLAS/MKL_NUM_THREADS=1) "
+                "cannot reach already-started workers; set the vars in "
+                "the launcher env if threaded-BLAS oversubscription is "
+                "a concern.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    else:
+        for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+            os.environ.setdefault(var, "1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)

@@ -192,7 +192,14 @@ def test_d32_cap_identity_on_benign(spark, sf_dir):
     )
 
     want = _d32_rows(d32_incremental_dedup_delta(spark, sf_dir))
-    got = _d32_rows(d32_incremental_dedup_delta(spark, sf_dir, cap=256))
+    capped_df = d32_incremental_dedup_delta(spark, sf_dir, cap=256)
+    # the capped tier reports its own firing count (ADVICE r13: no
+    # silent caps) — benign corpus means zero band keys tripped it
+    capped = capped_df.collect()
+    assert all(r["n_capped_band_keys"] == 0 for r in capped)
+    got = sorted(
+        tuple(r) for r in capped_df.drop("n_capped_band_keys").collect()
+    )
     assert got == want and len(got) > 0
 
 
@@ -254,6 +261,9 @@ def test_d32_cap_preserves_pileup_verdicts(spark, neardup_delta_dir):
     tot_near_capped = sum(r["n_near_dup"] for r in capped.values())
     assert tot_near_full >= 4 * 8  # 4 groups x 8 delta variants
     assert tot_near_capped == tot_near_full
+    # and the cap REPORTS that it fired (ADVICE r13: no silent caps) —
+    # every variant group's band keys hold 8 base postings > cap=2
+    assert all(r["n_capped_band_keys"] > 0 for r in capped.values())
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,9 @@ def main() -> int:
             k: sum(r[k] for r in rows)
             for k in ("n_delta", "n_exact_dup", "n_near_dup", "n_novel")
         }
+        # no-silent-caps (ADVICE r13): the capped tier now reports how
+        # many band keys it actually rep-routed — same value every row
+        agg["n_capped_band_keys"] = rows[0]["n_capped_band_keys"] if rows else 0
         md5, smd5, nex = _fingerprint(
             d32_incremental_dedup_delta(spark, d, cap=cap)
         )
