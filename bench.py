@@ -157,6 +157,12 @@ def main() -> int:
     # 1.5s the slow tail (which dominates the suite total) is always
     # double-measured while the sub-second bulk keeps the suite fast.
     RETRY_THRESHOLD_S = 1.5
+    # min-of-3 for the heavy tail (VERDICT r13 #6): round 13 recorded a
+    # uniform 1.24x suite inflation on byte-identical plans — the >3s
+    # cohort dominates the total, so one extra sample there buys most
+    # of the variance reduction for ~5% more suite time, keeping the
+    # 2x-vs-baseline margin measured rather than noise-bounded.
+    HEAVY_THRESHOLD_S = 3.0
 
     def _measure(fn):
         t0 = time.time()
@@ -269,6 +275,9 @@ def main() -> int:
             if t > RETRY_THRESHOLD_S:
                 t2, df = _measure(fn)
                 t = min(t, t2)
+                if t > HEAVY_THRESHOLD_S:
+                    t3, df = _measure(fn)
+                    t = min(t, t3)
             timings[name] = t
             fp = _plan_fingerprint(df)
             stability[name] = _plan_stable(name, fp)
