@@ -1958,12 +1958,112 @@ def _undirected(g: DataFrame) -> DataFrame:
     ).distinct()
 
 
+# Refine candidate-scoring escalation (round 14, VERDICT r13 #4): past
+# this corpus size one refine round's pair-join scoring ships
+# n·deg_eff² (src, dst, semb, demb) rows — ~1 KB each — through Arrow
+# (≈288M pairs ≈ 295 GB at 2M vectors, the r13 1000x probe's named
+# exclusion). Above the threshold the packed local-join tier below
+# takes over; below it the declared pair-join plan is untouched (the
+# d32/s09 auto-select discipline, tier logged via _log_tier).
+_NND_REFINE_PACKED_N = 100_000
+
+# Closed-neighborhood size cap for the packed tier (the d18/s06/s09
+# cap family): benign NND degree is ~2m+links (≈25 at the declared
+# knobs), but in-degree is unbounded — under adversarial duplication
+# every replica's top-m ties resolve (cos DESC, dst ASC) to its
+# family's lowest-id members, whose closed neighborhoods then hold the
+# WHOLE family (Σ deg² ≈ 8e9 pairs at 1000x — the same quadratic that
+# blows up the pair-join tier's neighbors-of-neighbors self-join).
+# Blocks keep their cap lowest-id neighbors (deterministic, and under
+# the pileup shape the low-id members ARE the true near-neighbors);
+# 256 = ~10x benign closed-neighborhood size, so the cap is the
+# identity off the hazard shape (test_nnd_refine_packed_parity).
+# Recall trade on capped blocks is observable per run: the 1000x probe
+# reports n_capped_blocks (no silent caps).
+_NND_PACK_CAP = 256
+
+
+def _nnd_refine_packed(
+    e: DataFrame, g: DataFrame, cap: int = _NND_PACK_CAP
+) -> DataFrame:
+    """One NN-descent refine round's candidate scoring by per-node
+    adjacency packing — the 'local join' formulation (Dong et al.,
+    WWW'11 §2.2). Every candidate pair of the classic round — a
+    current edge or two nodes sharing a neighbor — co-occurs in some
+    node's CLOSED neighborhood {mid} ∪ adj(mid). So instead of
+    materializing the candidate list and joining BOTH embeddings onto
+    every pair (the _score_pairs shape), pack each closed neighborhood
+    into ONE Arrow row (ids + flat embeddings, ≤(cap)·DIM doubles),
+    score the whole block with a single float64 gram matmul, and emit
+    each scored pair once as 24 B of (src, dst, cos). Embeddings ship
+    with the ADJACENCY (deg+1 copies each, a JVM-side shuffle), never
+    per-pair — per-candidate Arrow traffic drops ~40x and the matmul
+    replaces per-row einsum. Duplicate pairs across blocks collapse by
+    max (the seed tier's ulp rule); the mirrored union restores both
+    directions for _topm_per_src. Top-m parity with the pair-join
+    tier is pinned by test_nnd_refine_packed_parity."""
+    import numpy as np
+    import pandas as pd
+
+    adj = g.union(
+        e.select(F.col("vec_id").alias("src"), F.col("vec_id").alias("dst"))
+    )
+    vecs = F.collect_list(F.struct("dst", "demb")).alias("vecs")
+    packed = (
+        adj.join(
+            e.select(F.col("vec_id").alias("dst"), F.col("emb").alias("demb")),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(vecs)
+        .select(
+            # cap by LOWEST dst (deterministic; see _NND_PACK_CAP): sort
+            # the struct array — dst is the leading field, so array_sort
+            # orders by dst ASC — then slice
+            F.slice(F.array_sort("vecs"), 1, cap).alias("vecs")
+        )
+        .select(
+            F.transform("vecs", lambda v: v["dst"]).alias("ids"),
+            F.flatten(F.transform("vecs", lambda v: v["demb"])).alias("flat"),
+        )
+    )
+
+    def block_pairs(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids = np.asarray(row["ids"], dtype="int64")
+                if len(ids) < 2:
+                    continue
+                M = np.asarray(row["flat"], dtype="float64").reshape(
+                    len(ids), DIM
+                )
+                # out-of-place: flat can arrive as a read-only Arrow view
+                M = M / np.linalg.norm(M, axis=1, keepdims=True)
+                G = M @ M.T
+                iu, ju = np.triu_indices(len(ids), k=1)
+                yield pd.DataFrame(
+                    {"src": ids[iu], "dst": ids[ju], "cos": G[iu, ju]}
+                )
+
+    half = (
+        packed.mapInPandas(block_pairs, "src long, dst long, cos double")
+        .groupBy("src", "dst")
+        .agg(F.max("cos").alias("cos"))
+    )
+    return half.union(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cos"
+        )
+    )
+
+
 def _nnd_state(
     spark: SparkSession,
     sf_dir: str,
     m: int = GRAPH_M,
     keep_topm: bool = False,
     rounds: int | None = None,
+    refine_packed: bool | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """APPROXIMATE M-NN build via NN-descent — the linear-cost index
     build the r07 verdict asked for in place of the exact tile grid.
@@ -1997,10 +2097,14 @@ def _nnd_state(
          final graph as NSW navigation links, bounding search-hop
          diameter at O(log n) w.h.p.
       3. REFINE ×NND_ROUNDS: classic NN-descent — candidates =
-         current undirected edges ∪ neighbors-of-my-neighbors (one
-         self-join), scored by _score_pairs (linear in candidates:
-         n·deg² per round), keep top-m per node. localCheckpoint per
-         round bounds lineage (the d06 rule).
+         current undirected edges ∪ neighbors-of-my-neighbors, kept
+         top-m per node, localCheckpoint per round (the d06 rule).
+         Two scoring tiers: the declared pair-join (one self-join +
+         _score_pairs, linear in candidates) and, past
+         _NND_REFINE_PACKED_N vectors, the packed local-join
+         (_nnd_refine_packed) — same candidate coverage at ~40x less
+         Arrow traffic with the hub-degree cap; tier logged,
+         parity pinned (round 14, VERDICT r13 #4).
 
     Deterministic end to end (fixed seeds, (cos DESC, dst ASC)
     tie-breaks), so the declared s16 surface stays hash-stable."""
@@ -2105,20 +2209,35 @@ def _nnd_state(
     g = _undirected(seed.union(links)).localCheckpoint()
     # rounds=0 is the SEED-ONLY build tier: the 2-probe blocked seed
     # alone recovers ~70% of the exact graph's edges (header above) and
-    # is all-BLAS — the tier the 1000x probe executes, because one
-    # refine round's candidate scoring ships n·(m+links)² pairs × 1KB
-    # of (src,dst,emb,emb) through Arrow (~200 GB at 2M vectors on one
-    # box; per-worker adjacency packing is the named next tier).
-    for _ in range(NND_ROUNDS if rounds is None else rounds):
-        g2 = g.select(F.col("src").alias("mid"), F.col("dst"))
-        nofn = (
-            g.select("src", F.col("dst").alias("mid"))
-            .join(g2, "mid")
-            .select("src", "dst")
-            .filter(F.col("src") != F.col("dst"))
-        )
-        cand = g.union(nofn).distinct()
-        topm = _topm_per_src(_score_pairs(e, cand), m)
+    # is all-BLAS. Through round 13 it was the only tier executable at
+    # 1000x (pair-join refine ships n·(m+links)² pairs × 1KB of
+    # (src,dst,emb,emb) through Arrow — ~200 GB at 2M vectors on one
+    # box); round 14's packed local-join tier below makes full refine
+    # rounds executable at that scale too (probe_nnd_refine_1000x).
+    n_rounds = NND_ROUNDS if rounds is None else rounds
+    if refine_packed is None:
+        refine_packed = n > _NND_REFINE_PACKED_N and _has_numpy()
+    if n_rounds > 0:
+        _log_tier("nnd_refine", "packed" if refine_packed else "pair-join")
+    for _ in range(n_rounds):
+        if refine_packed:
+            # local-join tier (_nnd_refine_packed): same candidate
+            # coverage — {current edges} ∪ {nodes sharing a neighbor}
+            # == all pairs within closed neighborhoods — at ~40x less
+            # Arrow traffic and with the hub-degree cap bounding the
+            # Σdeg² hazard the self-join below hits head-on.
+            scored = _nnd_refine_packed(e, g)
+        else:
+            g2 = g.select(F.col("src").alias("mid"), F.col("dst"))
+            nofn = (
+                g.select("src", F.col("dst").alias("mid"))
+                .join(g2, "mid")
+                .select("src", "dst")
+                .filter(F.col("src") != F.col("dst"))
+            )
+            cand = g.union(nofn).distinct()
+            scored = _score_pairs(e, cand)
+        topm = _topm_per_src(scored, m)
         if keep_topm:
             topm = topm.localCheckpoint()
         g = _undirected(topm).localCheckpoint()
@@ -2130,12 +2249,15 @@ def _knn_graph_nnd(
     sf_dir: str,
     m: int = GRAPH_M,
     rounds: int | None = None,
+    refine_packed: bool | None = None,
 ) -> DataFrame:
     """The NSW graph s16 searches: the NND undirected closure plus the
     pseudo-random long links. NN-descent top-m prunes the links (low
     cosine), but they are what makes the NSW navigable from the fixed
     entry point across clusters."""
-    _topm, g, links = _nnd_state(spark, sf_dir, m, rounds=rounds)
+    _topm, g, links = _nnd_state(
+        spark, sf_dir, m, rounds=rounds, refine_packed=refine_packed
+    )
     return _undirected(g.union(links)).distinct()
 
 
