@@ -3327,7 +3327,73 @@ ORDER BY vec_a, vec_b
 # index (built once, scanned per query batch); here they rebuild
 # per run because the declared surface must be self-contained.
 # --------------------------------------------------------------------------
-def s27_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_encode_arrow(e: DataFrame, codes: DataFrame) -> DataFrame:
+    """Arrow tier for the corpus PQ encode (round 14, VERDICT r13 #8):
+    the declared tier's nearest-codeword rule is n·PQ_M·PQ_K
+    higher-order (x−y)² folds — 256M folds at 2M vectors, the measured
+    ~2.7k folds/s/core wall (CPU-hours). The codebook is PQ_M·PQ_K·
+    PQ_SUB doubles (model state, the n05/s01 collect class): broadcast
+    it and encode each Arrow batch with PQ_M small (rows × PQ_K)
+    squared-distance matrices. np.argmin takes the FIRST minimum and
+    the per-sub code matrices are built code_id-ascending, so ties
+    break to the low code_id — the window tier's (d2 ASC, code_id ASC)
+    order. The diff-square-sum runs over PQ_SUB=8 elements, below
+    numpy's pairwise-summation threshold, so d2 matches the Catalyst
+    fold's sequential order bit-for-bit on well-formed input; parity
+    is pinned by test_s27_arrow_tiers_parity."""
+    import numpy as np
+    import pandas as pd
+
+    crows = codes.select("sub_idx", "code_id", "codev").collect()
+    k = PQ_K
+    ids = np.full((PQ_M, k), -1, dtype="int64")
+    C = np.zeros((PQ_M, k, PQ_SUB), dtype="float64")
+    by_sub: dict[int, list] = {}
+    for r in crows:
+        by_sub.setdefault(r["sub_idx"], []).append((r["code_id"], r["codev"]))
+    for s, lst in by_sub.items():
+        for j, (cid, cv) in enumerate(sorted(lst)):
+            ids[s, j] = cid
+            C[s, j] = np.asarray(cv, dtype="float64")
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.asarray(pdf["emb"].tolist(), dtype="float64").reshape(
+                -1, PQ_M, PQ_SUB
+            )
+            vid = pdf["vec_id"].to_numpy()
+            # (rows, M, K): per-sub squared distance to every codeword
+            D = ((V[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=-1)
+            pick = np.argmin(D, axis=2)  # first min == low code_id tie
+            rows = len(vid)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, PQ_M),
+                    "sub_idx": np.tile(np.arange(PQ_M, dtype="int64"), rows),
+                    "code_id": ids[
+                        np.tile(np.arange(PQ_M), rows), pick.ravel()
+                    ],
+                }
+            )
+
+    return e.select("vec_id", "emb").mapInPandas(
+        encode, "vec_id long, sub_idx int, code_id long"
+    )
+
+
+def s27_ivfpq_search(
+    spark: SparkSession, sf_dir: str, use_arrow: bool = False
+) -> DataFrame:
+    """use_arrow (round 14): the production swap for the two
+    corpus-scaled scoring loops — coarse assignment via the s09 Arrow
+    argmax kernel (_s09_assign, exact-parity pinned in round 13) and
+    PQ encoding via _pq_encode_arrow. False keeps the declared/oracle
+    expression tree byte-stable (the d32 `cap` contract); the 1000x
+    probe runs True, and tier parity on the declared corpus is pinned
+    by test_s27_arrow_tiers_parity. Probes/tables/ADC are query- or
+    candidate-bounded and stay Catalyst at every scale."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
     )
@@ -3336,13 +3402,19 @@ def s27_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
     wv = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
-    assigned = (
-        e.join(F.broadcast(cents))
-        .select("vec_id", "centroid_id", ccos.alias("cos"))
-        .withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "centroid_id")
-    )
+    if use_arrow:
+        _log_tier("s27_assign", "arrow")
+        assigned = _s09_assign(e, cents, N_CENTROIDS, use_arrow=True).select(
+            "vec_id", "centroid_id"
+        )
+    else:
+        assigned = (
+            e.join(F.broadcast(cents))
+            .select("vec_id", "centroid_id", ccos.alias("cos"))
+            .withColumn("r", F.row_number().over(wv))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "centroid_id")
+        )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
@@ -3372,14 +3444,20 @@ def s27_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    wbest = Window.partitionBy("vec_id", "sub_idx").orderBy("d2", "code_id")
-    best = (
-        subs.join(F.broadcast(codes), "sub_idx")
-        .select("vec_id", "sub_idx", "code_id", d2.alias("d2"))
-        .withColumn("r", F.row_number().over(wbest))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "sub_idx", "code_id")
-    )
+    if use_arrow:
+        _log_tier("s27_pq_encode", "arrow")
+        best = _pq_encode_arrow(e, codes)
+    else:
+        wbest = Window.partitionBy("vec_id", "sub_idx").orderBy(
+            "d2", "code_id"
+        )
+        best = (
+            subs.join(F.broadcast(codes), "sub_idx")
+            .select("vec_id", "sub_idx", "code_id", d2.alias("d2"))
+            .withColumn("r", F.row_number().over(wbest))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "sub_idx", "code_id")
+        )
     tables = (
         subs.filter(F.col("vec_id") < N_QUERIES)
         .select(

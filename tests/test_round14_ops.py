@@ -98,6 +98,23 @@ def test_nnd_refine_packed_cap_bounds_blocks(spark, sf_dir):
     assert all((d, s) in seen for (s, d) in seen)
 
 
+def test_s27_arrow_tiers_parity(spark, sf_dir):
+    """use_arrow=True (the 1000x production swap: s09 Arrow argmax
+    assignment + _pq_encode_arrow codes) reproduces the declared s27
+    result row-for-row — same clusters, same codes, same ADC
+    distances at 6 dp, same ranks."""
+    from nlp_data_pipeline_spark.operators.similarity import (
+        s27_ivfpq_search,
+    )
+
+    want = [tuple(r) for r in s27_ivfpq_search(spark, sf_dir).collect()]
+    got = [
+        tuple(r)
+        for r in s27_ivfpq_search(spark, sf_dir, use_arrow=True).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
 def test_nnd_refine_tier_autoselect_threshold():
     """Declared corpora (≤100k vectors) stay on the pair-join plan;
     the packed tier engages only past _NND_REFINE_PACKED_N."""
