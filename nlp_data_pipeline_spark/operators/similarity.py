@@ -2010,8 +2010,14 @@ def _nnd_refine_packed(
     )
     vecs = F.collect_list(F.struct("dst", "demb")).alias("vecs")
     packed = (
+        # adjacency ⋈ embeddings: BOTH sides are corpus-sized (the
+        # ADVICE-r09 rule) — force sort-merge; at 1000x Catalyst's
+        # estimate tried to broadcast the 2M-row embedding side and
+        # OOMed the driver (first r14 probe attempt).
         adj.join(
-            e.select(F.col("vec_id").alias("dst"), F.col("emb").alias("demb")),
+            e.select(
+                F.col("vec_id").alias("dst"), F.col("emb").alias("demb")
+            ).hint("merge"),
             "dst",
         )
         .groupBy("src")
