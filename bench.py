@@ -55,6 +55,15 @@ KNOWN_PLAN_NOISE = {
     # normalizer; removed in r12 once bench_full_r11 — the first
     # post-normalizer baseline — landed, so a future flip in either
     # query is a real signal again. ADVICE r11.)
+    # Round 14: the NND seed pack join (assignment ⋈ embeddings, both
+    # corpus-sized) is now forced sort-merge — at 1000x Catalyst's
+    # compressed-file estimate broadcast the 2M-row embedding corpus
+    # and OOMed the driver (probe_nnd_refine_1000x_r14). Deliberate
+    # BHJ→SMJ flip at declared scale; one-time against the r13
+    # baseline, remove once bench_full_r14 is the diff base.
+    "s16_graph_ann_recall": "NND seed pack join forced merge (r14)",
+    "s23_beam_width_curve": "NND seed pack join forced merge (r14)",
+    "s33_mutual_knn_nnd_recall": "NND seed pack join forced merge (r14)",
 }
 
 # One-time note for the r12 call-site normalizer (below): every query

@@ -2146,7 +2146,14 @@ def _nnd_state(
 
     vecs = F.collect_list(F.struct("vec_id", "emb")).alias("vecs")
     packed = (
-        assign.join(e, "vec_id")
+        # assignment ⋈ embeddings: both corpus-sized (ADVICE-r09 rule)
+        # — force sort-merge. Catalyst's file-bytes estimate put the
+        # 2M-row embedding side under the 64 MB broadcast threshold at
+        # 1000x (rep-ordered staging compresses ~10x) and the ~1.5 GB
+        # deserialized broadcast OOMed an already-loaded driver heap
+        # (round-14 refine probe). Declared-scale plan flips BHJ→SMJ —
+        # deliberate, annotated in bench KNOWN_PLAN_NOISE for r14.
+        assign.join(e.hint("merge"), "vec_id")
         .groupBy("cid")
         .agg(vecs)
         .select(

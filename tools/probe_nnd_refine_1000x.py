@@ -113,16 +113,29 @@ def main() -> int:
             "edge_recall_vs_pairjoin": round(n_common / max(n_ref, 1), 6),
         }
 
+    import gc
+
+    def _release():
+        """Drop phase references so ContextCleaner can unpersist the
+        localCheckpoint blocks before the next heavy phase — the first
+        r14 attempt carried ~the whole 1000x build's blocks into the
+        next phase's heap."""
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     # 1000x FIRST (fresh session — the r13 heartbeat lesson)
     big_row, _ = run(f"{factor}x_packed_full", staged, packed=True)
+    _release()
     big_capped = capped_blocks(staged)
-    spark.catalog.clearCache()
+    _release()
 
     mid_pair_row, g_mid_pair = run(f"{factor//10}x_pairjoin_full", mid, packed=False)
     mid_pack_row, g_mid_pack = run(f"{factor//10}x_packed_full", mid, packed=True)
     mid_parity = recall(g_mid_pair, g_mid_pack)
+    del g_mid_pair, g_mid_pack
     mid_capped = capped_blocks(mid)
-    spark.catalog.clearCache()
+    _release()
 
     base_pair_row, g_base_pair = run("1x_pairjoin_full", base, packed=False)
     base_pack_row, g_base_pack = run("1x_packed_full", base, packed=True)
