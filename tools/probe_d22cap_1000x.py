@@ -71,7 +71,9 @@ def main() -> int:
     def run(tag: str, d: str, c: int | None) -> dict:
         n_docs = load_table(spark, d, "documents").count()
         t0 = time.time()
-        rows = sorted(tuple(r) for r in d22_lsh_band_curve(spark, d, c).collect())
+        # lists, not tuples: probe_io verifies by JSON round-trip
+        # equality, and tuples deserialize as lists
+        rows = sorted([list(r) for r in d22_lsh_band_curve(spark, d, c).collect()])
         sec = round(time.time() - t0, 1)
         _md5, smd5, nex = _fingerprint(d22_lsh_band_curve(spark, d, c))
         row = {
@@ -85,13 +87,30 @@ def main() -> int:
         sys.stderr.write(f"[d22cap] {tag}: {json.dumps(row)}\n")
         return row
 
-    # heavy first on the fresh session (the r13 heartbeat rule)
-    big = run(f"{factor}x_capped", staged, cap)
-    spark.catalog.clearCache()
-    midrow = run(f"{factor//10}x_capped", mid, cap)
-    spark.catalog.clearCache()
+    import gc
+
+    def _release():
+        """Drop phase references so ContextCleaner can unpersist the
+        localCheckpoint blocks (d22 checkpoints its pair feed) before
+        the next phase — the 100x phase OOMed on a heap still holding
+        the 1000x phase's blocks (first r14 attempts)."""
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    # cheap phases FIRST, 1000x LAST (round-14 lesson, opposite of the
+    # NND probe's heavy-first): d22's shingle-explosion shuffles are
+    # the largest in the repo and shuffle files persist for the app's
+    # lifetime — with the heavy phase first, the 100x phase ran out of
+    # disk (attempt 2) and heap (attempt 1) on the 1000x run's
+    # leftovers. The 24g driver + 600s network timeout already cover
+    # the r13 heartbeat hazard heavy-first existed for.
     base_capped = run("1x_capped", base, cap)
     base_uncapped = run("1x_uncapped", base, None)
+    _release()
+    midrow = run(f"{factor//10}x_capped", mid, cap)
+    _release()
+    big = run(f"{factor}x_capped", staged, cap)
 
     def _ordering(row):
         """(n_bands, rows_per_band) -> recall, sorted by config — the

@@ -64,7 +64,9 @@ def main() -> int:
     def run(tag: str, d: str, arrow: bool) -> dict:
         n_vecs = load_table(spark, d, "embeddings").count()
         t0 = time.time()
-        rows = [tuple(r) for r in s27_ivfpq_search(spark, d, use_arrow=arrow).collect()]
+        # lists, not tuples: probe_io verifies the artifact by JSON
+        # round-trip equality, and tuples deserialize as lists
+        rows = [list(r) for r in s27_ivfpq_search(spark, d, use_arrow=arrow).collect()]
         sec = round(time.time() - t0, 1)
         _md5, smd5, nex = _fingerprint(s27_ivfpq_search(spark, d, use_arrow=arrow))
         row = {
