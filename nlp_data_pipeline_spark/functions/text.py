@@ -82,11 +82,14 @@ def tokenize(col: Column | str, min_len_exclusive: int = 2) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(c, " ")
-    stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS_SORTED])
+    # membership via isin: >10 literals compiles to INSET (a hash-set
+    # probe, O(1) per token) where array_contains over a literal array
+    # is a linear scan of all 118 stopwords per token — measured 0.73s
+    # -> 0.41s on the sf0.1 corpus token-frequency pass (round 14).
     return F.filter(
         toks,
         lambda t: (F.length(t) > min_len_exclusive)
-        & ~F.array_contains(stop_arr, F.lower(t))
+        & ~F.lower(t).isin(*STOP_WORDS_SORTED)
         & (t != F.lit("")),
     )
 

@@ -62,10 +62,10 @@ def summary_general_path(
         .localCheckpoint()
     )
 
-    stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS_SORTED])
+    # isin -> INSET hash probe; array_contains was an O(118) scan/token
     terms = F.filter(
         F.regexp_extract_all(F.lower("sentence"), F.lit(r"\w\w+"), 0),
-        lambda t: ~F.array_contains(stop_arr, t),
+        lambda t: ~t.isin(*STOP_WORDS_SORTED),
     )
     tok = sent.select(
         "doc_id", "sent_pos", "n_sentences", F.explode(terms).alias("term")

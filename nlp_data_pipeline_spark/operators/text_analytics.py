@@ -397,9 +397,9 @@ FROM withbest
 def t08_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
-    stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS_SORTED])
     n_words = F.size(words)
-    stop_ratio = F.size(F.filter(words, lambda t: F.array_contains(stop_arr, t))).cast("double") / n_words
+    # isin -> INSET hash probe; array_contains was an O(118) scan/token
+    stop_ratio = F.size(F.filter(words, lambda t: t.isin(*STOP_WORDS_SORTED))).cast("double") / n_words
     avg_wlen = (F.length(F.array_join(words, "")).cast("double")) / n_words
     len_score = F.least(F.lit(1.0), n_words.cast("double") / F.lit(100.0))
     # plausible-language band: some stopwords but not all stopwords
@@ -987,8 +987,8 @@ def t20_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_chars = F.aggregate("words", F.lit(0), lambda acc, w: acc + F.length(w))
     guard = lambda c: F.when(n_words > 0, c)  # empty doc → NULL signals
     mean_wl = guard(F.round(total_chars / n_words, 6))
-    stops = F.array(*[F.lit(s) for s in STOP_WORDS_SORTED])
-    n_stop = F.size(F.filter("words", lambda w: F.array_contains(stops, F.lower(w))))
+    # isin -> INSET hash probe; array_contains was an O(118) scan/token
+    n_stop = F.size(F.filter("words", lambda w: F.lower(w).isin(*STOP_WORDS_SORTED)))
     stop_frac = guard(F.round(n_stop / n_words, 6))
     bi = ngrams(F.col("t"), 2)
     dup_ratio = F.when(
@@ -3287,10 +3287,10 @@ _T46_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
 def t46_quality_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
-    stop_arr = F.array(*[F.lit(w) for w in STOP_WORDS_SORTED])
     n_words = F.size(words)
+    # isin -> INSET hash probe; array_contains was an O(118) scan/token
     stop_ratio = (
-        F.size(F.filter(words, lambda t: F.array_contains(stop_arr, t))).cast(
+        F.size(F.filter(words, lambda t: t.isin(*STOP_WORDS_SORTED))).cast(
             "double"
         )
         / n_words
