@@ -78,9 +78,14 @@ shingle_set AS (
 def _shingle_set_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokenize(clean_text("text"))
+    # No size(t) >= 3 pre-filter: ngrams() already yields [] for short
+    # arrays and explode drops empty arrays, so the filter was pure
+    # overhead — and a COSTLY one: Catalyst pushes the deterministic
+    # predicate below the token-materializing Project, re-running the
+    # whole tokenize chain per doc in the Filter (2× the regex work of
+    # the scan stage, guide §4.4's duplicated-evaluation class).
     return (
         d.select("doc_id", toks.alias("t"))
-        .filter(F.size("t") >= 3)
         .select("doc_id", F.explode(F.array_distinct(_shingles(F.col("t")))).alias("shingle"))
     )
 
@@ -114,8 +119,16 @@ GROUP BY sha256(text)
 # --------------------------------------------------------------------------
 # d02: MinHash signatures — NUM_HASHES md5-seeded min-hashes per doc.
 # --------------------------------------------------------------------------
-def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ss = _shingle_set_df(spark, sf_dir)
+def d02_minhash_signatures(
+    spark: SparkSession, sf_dir: str, ss: DataFrame | None = None
+) -> DataFrame:
+    # ss: optional pre-built (doc_id, shingle) relation — multi-consumer
+    # callers (d22, d32) pass their localCheckpointed postings so the
+    # signature build shares the single corpus tokenize pass instead of
+    # re-running it (round 14; no ReusedExchange across the
+    # differently-keyed consumers).
+    if ss is None:
+        ss = _shingle_set_df(spark, sf_dir)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"seed{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(NUM_HASHES)
@@ -152,10 +165,14 @@ D02_SQL = (
 # DECLARED as d18_capped_lsh_components (round 10), whose driver
 # oracle hash-matches the full-clique closure.
 # --------------------------------------------------------------------------
-def _banded_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _banded_signatures(
+    spark: SparkSession, sf_dir: str, sig: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, band_id, band_key) — one row per doc per LSH band.
-    Shared by d03 (clique emission) and d18 (capped emission)."""
-    sig = d02_minhash_signatures(spark, sf_dir)
+    Shared by d03 (clique emission) and d18 (capped emission).
+    ``sig``: optional pre-built signature table (see d02)."""
+    if sig is None:
+        sig = d02_minhash_signatures(spark, sf_dir)
     n_bands = NUM_HASHES // BAND_SIZE
     bands = F.array(
         *[
@@ -175,8 +192,10 @@ def _banded_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def d03_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    banded = _banded_signatures(spark, sf_dir)
+def d03_lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str, sig: DataFrame | None = None
+) -> DataFrame:
+    banded = _banded_signatures(spark, sf_dir, sig=sig)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -192,7 +211,10 @@ def d03_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    spark: SparkSession, sf_dir: str, cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """The LSH candidate-pair feed every pair-level consumer joins
     against (VERDICT r10 #5: the cap threaded through the d03 consumer
@@ -209,8 +231,8 @@ def lsh_candidate_pairs(
     oversized buckets — each consumer's header documents its trade.
     """
     if cap is None:
-        return d03_lsh_candidate_pairs(spark, sf_dir)
-    return _capped_band_pairs(_banded_signatures(spark, sf_dir), cap)
+        return d03_lsh_candidate_pairs(spark, sf_dir, sig=sig)
+    return _capped_band_pairs(_banded_signatures(spark, sf_dir, sig=sig), cap)
 
 
 _SEP = " || '|' || "
@@ -928,15 +950,21 @@ _SPAN_S = 4
 
 def d11_span_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # size(t) guard lives INSIDE the generator expression (short docs
+    # yield [] and posexplode drops them) instead of a .filter: a
+    # deterministic filter on the derived column gets pushed below the
+    # token-materializing Project and re-runs the whole tokenize chain
+    # per doc a second time (guide §4.4's duplicated-evaluation class).
     wins = (
         d.select("doc_id", tokenize(clean_text("text")).alias("t"))
-        .filter(F.size("t") >= _SPAN_W)
         .select(
             "doc_id",
             F.posexplode(
                 F.expr(
+                    f"CASE WHEN size(t) >= {_SPAN_W} THEN "
                     f"transform(sequence(0, CAST(floor((size(t) - {_SPAN_W}) / {_SPAN_S}) AS INT)),"
                     f" i -> md5(array_join(slice(t, i * {_SPAN_S} + 1, {_SPAN_W}), ' ')))"
+                    f" ELSE array() END"
                 )
             ).alias("win_idx", "span_hash"),
         )
@@ -1010,16 +1038,22 @@ ORDER BY doc_id
 # a deduped corpus) and a hash expression.
 # --------------------------------------------------------------------------
 def d12_leakage_safe_split(
-    spark: SparkSession, sf_dir: str, cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     # Cap trade: NONE — the split hangs off the component id, and
     # components (hence cluster_id = component-min) are cap-invariant
     # (the d18 theorem), so the capped feed yields the IDENTICAL split
     # at linear pair mass; this is the 100 TB path for split assignment.
+    # ``pairs``: optional pre-built candidate-pair relation so callers
+    # that also consume the pair feed themselves (d21) share ONE LSH
+    # pipeline run instead of two (round 14).
     d = load_table(spark, sf_dir, "documents")
-    clusters = _neardup_components(lsh_candidate_pairs(spark, sf_dir, cap)).select(
-        "doc_id", "cluster_id"
-    )
+    if pairs is None:
+        pairs = lsh_candidate_pairs(spark, sf_dir, cap)
+    clusters = _neardup_components(pairs).select("doc_id", "cluster_id")
     assigned = (
         d.select("doc_id")
         .join(clusters, "doc_id", "left")
@@ -1450,10 +1484,17 @@ _D16_DIV = 64
 def d16_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", clean_text("text").alias("ctext"))
-    chars = F.transform(
+    # materialize the char array: the W shifted slices below each
+    # reference it, and an un-materialized transform(split(...)) would
+    # re-run per slice — W× the array build per doc.
+    chars_e = F.transform(
         F.split("ctext", ""), lambda c: F.ascii(c).cast("long")
     )
-    ln = F.length("ctext")
+    base = base.select(
+        "doc_id", F.length("ctext").alias("n_chars"), chars_e.alias("chars")
+    )
+    chars = F.col("chars")
+    ln = F.col("n_chars")
     n_win = ln - (_D16_W - 1)  # window count when ln >= W
     acc = F.transform(
         F.slice(chars, 1, n_win),
@@ -1475,15 +1516,23 @@ def d16_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ln >= _D16_W, F.filter(marks, lambda x: x.isNotNull())
     ).otherwise(F.expr("cast(array() as array<int>)"))
     bl = F.concat(F.array(F.lit(0)), bounds, F.array(ln))
+    # materialize the boundary list BEFORE differencing: element_at
+    # inside the transform lambda re-evaluates its array argument per
+    # element, so referencing the raw `bl` expression re-runs the full
+    # W-pass rolling-hash chain for every chunk boundary — O(n²·W/div)
+    # per doc (measured 5.0s → ~1.7s at sf0.1). As a column, the lambda
+    # indexes the materialized array; CollapseProject keeps the split
+    # (non-cheap alias, ≥2 references).
+    staged = base.select("doc_id", "n_chars", bl.alias("bl"))
     lens = F.filter(
         F.transform(
-            F.sequence(F.lit(2), F.size(bl)),
-            lambda j: F.element_at(bl, j) - F.element_at(bl, j - 1),
+            F.sequence(F.lit(2), F.size("bl")),
+            lambda j: F.element_at(F.col("bl"), j) - F.element_at(F.col("bl"), j - 1),
         ),
         lambda x: x > 0,
     )
     return (
-        base.select("doc_id", ln.alias("n_chars"), lens.alias("lens"))
+        staged.select("doc_id", "n_chars", lens.alias("lens"))
         .select(
             "doc_id",
             F.size("lens").cast("long").alias("n_chunks"),
@@ -1737,7 +1786,12 @@ def _d20_pos(col, i: int):
 
 
 def d20_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ss = _shingle_set_df(spark, sf_dir)
+    # THREE differently-keyed consumers (bench bits, the probe
+    # explode, the per-doc denominator) — materialize the postings
+    # once; without it each branch re-runs the corpus tokenize+shingle
+    # pass (no ReusedExchange across them, the _capped_pair_counts
+    # rule; round 14)
+    ss = _shingle_set_df(spark, sf_dir).localCheckpoint()
     bench = ss.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
     bits = (
         bench.select(
@@ -1899,8 +1953,11 @@ def d21_split_contamination_audit(
     # are cap-invariant (d18 theorem), so a zero stays an exact zero.
     # The cap flows into d12's internal CC build too — under a cap the
     # whole audit (pair feed AND split labels) runs at linear pair mass.
-    pairs = lsh_candidate_pairs(spark, sf_dir, cap)
-    lab = d12_leakage_safe_split(spark, sf_dir, cap).select(
+    # one LSH pipeline run shared by the audit's own pair feed AND
+    # d12's component build (was two full runs — the component build's
+    # eager checkpoint cannot share exchanges with this job; round 14)
+    pairs = lsh_candidate_pairs(spark, sf_dir, cap).localCheckpoint()
+    lab = d12_leakage_safe_split(spark, sf_dir, cap, pairs=pairs).select(
         "doc_id",
         F.col("split").alias("cl"),
         _split_name(_split_bucket(F.col("doc_id"))).alias("nv"),
@@ -2047,9 +2104,15 @@ def d22_lsh_band_curve(
     # bucket exceeds the cap — the RELATIVE ordering of band configs is
     # preserved (stricter configs remain nested subsets per pair), which
     # is what the tuning decision reads.
-    pairs = lsh_candidate_pairs(spark, sf_dir, cap).localCheckpoint()
-    sig = d02_minhash_signatures(spark, sf_dir)
-    ss = _shingle_set_df(spark, sf_dir)
+    # ONE corpus tokenize+shingle pass for the whole curve: the
+    # postings feed FIVE differently-keyed consumers (sizes, both
+    # intersection sides, the signature build, and — through sig — the
+    # pair feed), none of which share an exchange; materialize postings
+    # and the doc-sized signature table once (round 14; was ~5 corpus
+    # passes).
+    ss = _shingle_set_df(spark, sf_dir).localCheckpoint()
+    sig = d02_minhash_signatures(spark, sf_dir, ss=ss).localCheckpoint()
+    pairs = lsh_candidate_pairs(spark, sf_dir, cap, sig=sig).localCheckpoint()
     sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         pairs.join(
@@ -3110,7 +3173,12 @@ def d32_incremental_dedup_delta(
         .withColumn("is_exact", F.lit(1))
     )
 
-    sig = d02_minhash_signatures(spark, sf_dir)
+    # ONE corpus tokenize+shingle pass: the postings feed the signature
+    # build plus three differently-keyed Jaccard consumers below
+    # (sizes, both intersection sides) — materialize once (round 14;
+    # was 4 corpus passes, no ReusedExchange across them)
+    ss = _shingle_set_df(spark, sf_dir).localCheckpoint()
+    sig = d02_minhash_signatures(spark, sf_dir, ss=ss)
     n_bands = NUM_HASHES // BAND_SIZE
     bands = F.array(
         *[
@@ -3193,7 +3261,6 @@ def d32_incremental_dedup_delta(
             F.count(F.lit(1)).alias("n_capped_band_keys")
         )
 
-    ss = _shingle_set_df(spark, sf_dir)
     sizes = ss.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # d22's join discipline (the 100× audit caught Catalyst
     # broadcasting BOTH corpus-sized postings relations here on

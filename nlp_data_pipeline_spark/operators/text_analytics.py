@@ -862,16 +862,32 @@ LIMIT 20
 def t18_repeated_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokenize(clean_text("text"))
-    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
-    bi = ngrams(F.col("t"), 2)
-    return base.select(
+    # The size(t) >= 2 row filter is applied via explode(when(...)) at
+    # the END of the chain: a .filter on the derived token column gets
+    # pushed below the token-materializing Project and re-runs the
+    # whole tokenize chain per doc a second time (guide §4.4's
+    # duplicated-evaluation class). The bigram array and its distinct
+    # count are materialized as columns too, so neither is re-built
+    # per reference.
+    base = d.select("doc_id", toks.alias("t"))
+    stats = base.select(
+        "doc_id", F.size("t").alias("nt"), ngrams(F.col("t"), 2).alias("bi")
+    ).select(
         "doc_id",
-        F.size(bi).cast("long").alias("n_bigrams"),
-        F.size(F.array_distinct(bi)).cast("long").alias("n_distinct_bigrams"),
+        "nt",
+        F.size("bi").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("bi")).cast("long").alias("n_distinct_bigrams"),
+    )
+    row = F.struct(
+        F.col("n_bigrams"),
+        F.col("n_distinct_bigrams"),
         F.round(
-            F.lit(1.0) - F.size(F.array_distinct(bi)) / F.size(bi), 6
+            F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6
         ).alias("dup_bigram_ratio"),
     )
+    return stats.select(
+        "doc_id", F.explode(F.when(F.col("nt") >= 2, F.array(row))).alias("r")
+    ).select("doc_id", "r.n_bigrams", "r.n_distinct_bigrams", "r.dup_bigram_ratio")
 
 
 T18_SQL = f"""
@@ -906,14 +922,21 @@ FROM bi
 def t19_bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokenize(clean_text("text"))
-    base = d.select(toks.alias("t")).filter(F.size("t") >= 2)
+    # the size(t) >= 2 guard lives INSIDE the generator (short docs
+    # yield NULL and explode drops them): a .filter on the derived
+    # token column is pushed below the token-materializing Project and
+    # re-runs the whole tokenize chain per doc (guide §4.4 class)
+    base = d.select(toks.alias("t"))
     pairs = base.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.struct(
-                    F.element_at("t", i).alias("w1"),
-                    F.element_at("t", i + 1).alias("w2"),
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
                 ),
             )
         ).alias("p")
@@ -1402,9 +1425,19 @@ def t28_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             arr, lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("g"))
         )
 
-    base = d.select(
+    # materialize the token array BEFORE building bigrams: ngrams()
+    # references its input inside a per-element lambda, so passing the
+    # raw tokenize expression re-runs the whole regex+filter chain for
+    # EVERY bigram element — O(tokens²·len) per doc (measured 8.4s →
+    # ~1.5s at sf0.1). With `t` as a real column the lambda's
+    # element_at reads the materialized array; CollapseProject keeps
+    # the two Projects separate because `t` is non-cheap and referenced
+    # more than once (guide §2.3 "project before the exchange" class).
+    base = d.select("doc_id", toks.alias("t")).select(
         "doc_id",
-        F.concat(tagged(toks, "tok"), tagged(ngrams(toks, 2), "bg")).alias("grams"),
+        F.concat(
+            tagged(F.col("t"), "tok"), tagged(ngrams(F.col("t"), 2), "bg")
+        ).alias("grams"),
     )
     # explode_outer keeps zero-token docs as a null-kind row: it falls
     # outside the pivot's value list but still anchors the doc_id group
@@ -1581,20 +1614,36 @@ ORDER BY source, doc_id
 def t30_lm_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokenize(clean_text("text"))
-    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    # size(t) >= 2 guard inside the generator (NULL → explode drops):
+    # a .filter here is pushed below the token-materializing Project
+    # and re-runs the tokenize chain per doc (guide §4.4 class)
+    base = d.select("doc_id", toks.alias("t"))
     pairs = base.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.struct(
-                    F.element_at("t", i).alias("w1"),
-                    F.element_at("t", i + 1).alias("w2"),
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
                 ),
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    # pairs feeds THREE subtrees (c2, c1-via-c2, and the score join's
+    # probe side); without materialization each re-runs the corpus
+    # tokenize+explode (no ReusedExchange across the differently-keyed
+    # consumers — the t22 rule; measured 2.5s → 1.1s at sf0.1, and at
+    # 100 TB one materialization beats three regex passes). c2 is
+    # vocabulary-sized, so its checkpoint is ~free and saves re-running
+    # the (w1,w2) shuffle for c1.
+    pairs = pairs.localCheckpoint()
+    c2 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_cnt")
+    ).localCheckpoint()
     # context totals roll up from the bigram table (vocabulary-sized),
     # NOT from a third pass over the exploded corpus
     c1 = c2.groupBy("w1").agg(F.sum("pair_cnt").alias("w1_cnt"))
@@ -1672,7 +1721,10 @@ ORDER BY doc_id
 def t22_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokenize(clean_text("text"))
-    base = d.select("doc_id", "source", toks.alias("t")).filter(F.size("t") >= 3)
+    # no size(t) >= 3 pre-filter: ngrams() yields [] for short arrays
+    # and explode drops them; the filter was pushed below the Project
+    # and re-ran the tokenize chain per doc (guide §4.4 class)
+    base = d.select("doc_id", "source", toks.alias("t"))
     segs = base.select(
         "doc_id", "source", F.explode(ngrams(F.col("t"), 3)).alias("seg")
     ).localCheckpoint()  # feeds doc-frequency AND the per-doc join:
@@ -3956,16 +4008,21 @@ ORDER BY source
 def t54_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokenize(clean_text("text"))
+    # size(t) >= 5 guard inside the generator (short docs yield [] and
+    # explode drops them): a .filter here is pushed below the
+    # token-materializing Project and re-runs the tokenize chain per
+    # doc (guide §4.4 class)
     grams = (
         d.select("doc_id", "source", toks.alias("t"))
-        .filter(F.size("t") >= 5)
         .select(
             "doc_id",
             "source",
             F.explode(
                 F.expr(
+                    "CASE WHEN size(t) >= 5 THEN "
                     "transform(sequence(1, size(t) - 4),"
                     " i -> concat_ws(' ', slice(t, i, 5)))"
+                    " ELSE array() END"
                 )
             ).alias("gram"),
         )
