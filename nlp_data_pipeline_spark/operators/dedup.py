@@ -490,6 +490,12 @@ def _neardup_components(pairs: DataFrame) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # carry the change flag through the update itself: the old
+        # convergence check re-joined updated⋈labels (two shuffles +
+        # a sort-merge join per round on two arbitrarily-partitioned
+        # checkpoints) only to count label flips — `least(old,
+        # coalesce(nbr_min, old)) != old` ⇔ `nbr_min < old`, which is
+        # known at update time for free (round 14)
         updated = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
@@ -497,16 +503,14 @@ def _neardup_components(pairs: DataFrame) -> DataFrame:
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                F.coalesce(
+                    F.col("nbr_min") < F.col("cluster_id"), F.lit(False)
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("chg").count()
+        labels = updated.select("doc_id", "cluster_id")
         if changed == 0:
             break
     if changed != 0:

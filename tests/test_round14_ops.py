@@ -120,3 +120,32 @@ def test_nnd_refine_tier_autoselect_threshold():
     the packed tier engages only past _NND_REFINE_PACKED_N."""
     assert similarity._NND_REFINE_PACKED_N == 100_000
     assert similarity._NND_PACK_CAP == 256
+
+
+# ---------------------------------------------------------------------------
+# Round-14 optimization: the LP loop's convergence check no longer
+# re-joins updated⋈labels — the change flag is computed inside the
+# update itself (nbr_min < cluster_id). A broken always-TRUE flag
+# would silently route every benign graph through the O(log n)
+# escalation (outputs stay right, cost profile doesn't); pin that the
+# escalation never engages when the flag should read converged. (The
+# complementary failure — always-FALSE breaking round 1 unconverged —
+# is caught by test_neardup_components_escalates_on_long_chain's
+# label assertions.)
+# ---------------------------------------------------------------------------
+def test_lp_convergence_flag_detects_fixpoint(spark, monkeypatch):
+    import nlp_data_pipeline_spark.operators.dedup as D
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "alternating-star escalation must not engage on a "
+            "shallow (diameter-2) graph — LP converged"
+        )
+
+    monkeypatch.setattr(D, "_cc_star_labels", boom)
+    star = spark.range(1, 6).selectExpr("0 AS doc_a", "id AS doc_b")
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in D._neardup_components(star).collect()
+    )
+    assert got == [(i, 0) for i in range(6)]
