@@ -60,10 +60,17 @@ def norm(a) -> Column:
 # --------------------------------------------------------------------------
 # s01: brute-force cosine top-k, queries = vec_id < N_QUERIES.
 # --------------------------------------------------------------------------
-def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("emb")
-    )
+def s01_cosine_topk(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    # e: optional pre-pinned (vec_id, emb) table — recall-audit callers
+    # (s16/s23) pass their checkpointed embeddings so the truth build
+    # reads the pinned copy instead of re-scanning the corpus
+    # (round 14). Declared s01 plan unchanged (default None).
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("emb")
+        )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
@@ -2070,6 +2077,7 @@ def _nnd_state(
     keep_topm: bool = False,
     rounds: int | None = None,
     refine_packed: bool | None = None,
+    e: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """APPROXIMATE M-NN build via NN-descent — the linear-cost index
     build the r07 verdict asked for in place of the exact tile grid.
@@ -2113,12 +2121,18 @@ def _nnd_state(
          parity pinned (round 14, VERDICT r13 #4).
 
     Deterministic end to end (fixed seeds, (cos DESC, dst ASC)
-    tie-breaks), so the declared s16 surface stays hash-stable."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double("embedding").alias("emb"))
-        .localCheckpoint()  # scored once per refine round — pin it
-    )
+    tie-breaks), so the declared s16 surface stays hash-stable.
+
+    ``e``: optional pre-checkpointed (vec_id, emb) table — callers
+    that already pin the embeddings for their own scoring (s16/s23)
+    pass it so the corpus is checkpointed once per query, not twice
+    (round 14)."""
+    if e is None:
+        e = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", as_double("embedding").alias("emb"))
+            .localCheckpoint()  # scored once per refine round — pin it
+        )
     n = e.count()
     k_build = max(4, n // NND_BLOCK_TARGET)
     cents = e.filter(F.col("vec_id") < k_build).select(
@@ -2263,13 +2277,14 @@ def _knn_graph_nnd(
     m: int = GRAPH_M,
     rounds: int | None = None,
     refine_packed: bool | None = None,
+    e: DataFrame | None = None,
 ) -> DataFrame:
     """The NSW graph s16 searches: the NND undirected closure plus the
     pseudo-random long links. NN-descent top-m prunes the links (low
     cosine), but they are what makes the NSW navigable from the fixed
-    entry point across clusters."""
+    entry point across clusters. ``e``: see _nnd_state."""
     _topm, g, links = _nnd_state(
-        spark, sf_dir, m, rounds=rounds, refine_packed=refine_packed
+        spark, sf_dir, m, rounds=rounds, refine_packed=refine_packed, e=e
     )
     return _undirected(g.union(links)).distinct()
 
@@ -2283,7 +2298,9 @@ def s16_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
-    graph = _knn_graph_nnd(spark, sf_dir).localCheckpoint()
+    # share this query's pinned embeddings with the graph build — one
+    # corpus checkpoint per query, not two (round 14)
+    graph = _knn_graph_nnd(spark, sf_dir, e=e).localCheckpoint()
 
     def score(ids: DataFrame) -> DataFrame:
         """(query_id, vec_id) → + cosine, via one join to embeddings."""
@@ -2321,7 +2338,7 @@ def s16_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "vec_id")
     )
-    truth = s01_cosine_topk(spark, sf_dir).select(
+    truth = s01_cosine_topk(spark, sf_dir, e=e).select(
         "query_id", F.col("vec_id").alias("tvec_id")
     )
     hits = (
@@ -2936,9 +2953,11 @@ def s23_beam_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
-    graph = _knn_graph_nnd(spark, sf_dir).localCheckpoint()
+    # share this query's pinned embeddings with the graph build — one
+    # corpus checkpoint per query, not two (round 14)
+    graph = _knn_graph_nnd(spark, sf_dir, e=e).localCheckpoint()
     truth = (
-        s01_cosine_topk(spark, sf_dir)
+        s01_cosine_topk(spark, sf_dir, e=e)
         .select("query_id", F.col("vec_id").alias("tvec_id"))
         .localCheckpoint()
     )
