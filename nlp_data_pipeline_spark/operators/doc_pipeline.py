@@ -783,22 +783,36 @@ def p04_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        clean_text("text").alias("ctext"),
-        tokenize(clean_text("text")).alias("t"),
+    # clean once, tokenize from the materialized column (the inline
+    # double clean_text ran the 3-regex chain twice per row — the HOF
+    # wrapper around tokenize blocks codegen CSE across the two)
+    base = d.select("doc_id", clean_text("text").alias("ctext")).select(
+        "doc_id", "ctext", tokenize(F.col("ctext")).alias("t")
     )
     bi = ngrams(F.col("t"), 2)
+    # project to scalars BEFORE the exact-dup window: the hash
+    # partitioning on h otherwise shuffles every token array and the
+    # cleaned text just to compare doc_ids (guide §2.3 — shuffle keys
+    # and metadata, not payloads). The bigram array is materialized so
+    # its two consumers don't rebuild it.
+    pre = (
+        base.select("doc_id", F.md5("ctext").alias("h"),
+                    F.size("t").cast("long").alias("n_tokens"), bi.alias("bi"))
+        .select(
+            "doc_id", "h", "n_tokens",
+            F.size("bi").alias("nb"),
+            F.size(F.array_distinct("bi")).alias("nd"),
+        )
+    )
     flagged = (
-        base.withColumn("h", F.md5("ctext"))
-        .withColumn("keeper", F.min("doc_id").over(Window.partitionBy("h")))
+        pre.withColumn("keeper", F.min("doc_id").over(Window.partitionBy("h")))
         .select(
             "doc_id",
             (F.col("doc_id") != F.col("keeper")).alias("is_exact_dup"),
-            F.size("t").cast("long").alias("n_tokens"),
+            "n_tokens",
             F.when(
-                F.size(bi) >= 2,
-                F.lit(1.0) - F.size(F.array_distinct(bi)) / F.size(bi),
+                F.col("nb") >= 2,
+                F.lit(1.0) - F.col("nd") / F.col("nb"),
             )
             .otherwise(F.lit(0.0))
             .alias("bigram_dup_ratio"),
