@@ -208,6 +208,13 @@ def _fingerprint(df) -> tuple[str, str, int]:
     # JIT inlines the reflective py4j frame — run-order noise, not a
     # plan change (burned a false plan_stable=false on s33)
     p = re.sub(r"localCheckpoint at [^,\n]*", "localCheckpoint at <site>", p)
+    # JIT accessor-swap noise on createDataFrame scans (round 14; same
+    # class as the localCheckpoint call-site rule above)
+    p = re.sub(
+        r"applySchemaToPythonRDD at [^,\n]*",
+        "applySchemaToPythonRDD at <site>",
+        p,
+    )
     # structural hash: data-DEPENDENT constants legitimately differ
     # between scales (s19 folds 1/n into its PageRank init, s20 its
     # corpus size into scan_fraction) — stability means same TREE, so

@@ -32,6 +32,13 @@ def fingerprint(df) -> dict:
     p = re.sub(r"lambda [a-zA-Z]+_\d+#", "lambda v#", p)
     p = re.sub(r"RDD\[\d+\]", "RDD[]", p)
     p = re.sub(r"localCheckpoint at [^,\n]*", "localCheckpoint at <site>", p)
+    # JIT accessor-swap noise on createDataFrame scans (round 14; same
+    # class as the localCheckpoint call-site rule above)
+    p = re.sub(
+        r"applySchemaToPythonRDD at [^,\n]*",
+        "applySchemaToPythonRDD at <site>",
+        p,
+    )
     p = re.sub(r"_(bkt|cbo)_[0-9a-f]{6,12}", r"_\1_<key>", p)
     return {
         "plan_md5": hashlib.md5(p.encode()).hexdigest()[:12],
