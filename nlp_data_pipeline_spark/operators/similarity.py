@@ -718,7 +718,7 @@ def _s09_assign_arrow(e: DataFrame, cents: DataFrame) -> DataFrame:
     cids, C = cids[order], C[order]
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
-    # chunked gram (see _nnd_assign_arrow): bounds the per-worker score
+    # chunked gram (see _nnd_seed_pack_arrow): bounds the per-worker score
     # matrix at chunk·k doubles so 32 workers don't mmap-churn ~GB
     # buffers per batch
     _CHUNK = 2048
@@ -1728,9 +1728,24 @@ GRAPH_EF = 24  # beam width during search
 GRAPH_HOPS = 6  # fixed search rounds (graph diameter bound at test SFs)
 GRAPH_ENTRY = 0  # deterministic entry node
 GRAPH_RECALL_MIN = 0.6
+# Beam-search checkpoint cadence (round 15): a checkpoint per hop made
+# every hop its own eager job — at sf0.1 the 6-hop search spent ~0.7 s
+# PER HOP on job fixed costs (measured 5.1 s; the beam is ≤ EF·queries
+# rows, compute is nil). Each un-checkpointed hop references the prior
+# beam twice (graph join + union), so the lazy segment's plan doubles
+# per hop — exchange reuse dedupes the work, but plan growth is 2^k, so
+# cadence 3 bounds it at 8 subtree refs while cutting the hop phase to
+# 2.7 s (cadence 6 regressed to 7.4 s: plan bloat beats job savings).
+# The checkpoint is an identity — results are unchanged at any cadence.
+_BEAM_CKPT_EVERY = 3
 
 
-def _knn_directed(spark: SparkSession, sf_dir: str, m: int = GRAPH_M) -> DataFrame:
+def _knn_directed(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = GRAPH_M,
+    e: DataFrame | None = None,
+) -> DataFrame:
     """EXACT directed top-m cosine kNN list (src, dst, cos). Build uses
     the s02 packed-block BLAS tile kernel (one flat Arrow buffer per
     block, B(B+1)/2 tiles, per-row top-M per tile, then a per-src
@@ -1740,11 +1755,20 @@ def _knn_directed(spark: SparkSession, sf_dir: str, m: int = GRAPH_M) -> DataFra
     list edge-for-edge in SQL and s25's mutual filter declares its cos
     values, so both ride this build (O(n²) FLOPs, affordable at
     declared-parity scale). The scale path for index CONSTRUCTION is
-    _knn_graph_nnd below, which s16 uses."""
+    _knn_graph_nnd below, which s16 uses.
+
+    ``e``: optional pre-pinned (vec_id, emb) table — a caller that
+    already checkpoints the corpus for its own phases (s33) passes it
+    so the exact truth reads the pinned copy instead of re-scanning
+    parquet; _unpack casts to float64 either way, so the values are
+    bit-identical (float→double widening is exact)."""
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    else:
+        e = e.select("vec_id", F.col("emb").alias("embedding"))
     vecs = F.collect_list(F.struct("vec_id", "embedding")).alias("vecs")
     packed = (
         e.withColumn("blk", F.pmod(F.col("vec_id"), N_BLOCKS))
@@ -1848,27 +1872,29 @@ NND_RANDOM_LINKS = 4
 NND_ROUNDS = 1
 NND_BLOCK_TARGET = 256  # vectors per cluster-local seed block
 NND_ASSIGN_PROBE = 2  # clusters each vector seeds into (IVF multi-probe)
-# Seed-assignment escalation (round 13, VERDICT r12 #8): k_build grows
-# as n/NND_BLOCK_TARGET, so the window-tier assignment materializes
-# n·k_build = n²/256 HOF-fold cosines through a per-vec_id sort — the
-# exact hazard _s09_assign had, measured at ~2.7k folds/s/core. Past
-# this many build centroids the assignment swaps to the Arrow-BLAS
-# top-probe kernel (_nnd_assign_arrow). 64 centroids ⇔ ~16k vectors;
-# the declared corpus (k_build ≤ 8) stays on the window tier, plans
-# untouched.
-_NND_ASSIGN_ARROW_K = 64
+# Seed tier (round 15, VERDICT r14 #1): the fused Arrow seed-pack
+# (_nnd_seed_pack_arrow) is the default whenever numpy is present —
+# at every scale it replaces the window-tier assignment (whose
+# n·k_build = n²/256 HOF-fold cosines through a per-vec_id sort were
+# the round-13 escalation hazard) AND the assignment ⋈ embeddings
+# sort-merge join with one chunked-BLAS map stage + one groupBy(cid).
+# The window tier remains as the no-numpy fallback.
 _KNUTH = 2654435761
 
 
-def _nnd_assign_arrow(e: DataFrame, cents: DataFrame, probe: int) -> DataFrame:
-    """Top-``probe`` max-cosine centroids per vector, BLAS tier.
-
-    One float64 matmul per Arrow batch against the broadcast centroid
-    matrix (bounded: k_build rows is build state, the s09/_s02 collect
-    class). Columns sit in cid-ascending order and the row-wise
-    argsort is STABLE on -cos, so the emitted order is exactly the
-    window tier's (ccos DESC, cid ASC) — pinned by
-    test_nnd_arrow_assignment_parity."""
+def _nnd_seed_pack_arrow(e: DataFrame, cents: DataFrame, probe: int) -> DataFrame:
+    """Seed assignment FUSED with the pack (round 15, VERDICT r14 #1):
+    top-``probe`` max-cosine centroids per vector via one float64
+    matmul per Arrow chunk against the broadcast centroid matrix
+    (bounded: k_build rows is build state, the s09/_s02 collect
+    class), emitting ``(cid, vec_id, emb)`` directly so the pack is a
+    single groupBy(cid) — no assignment window shuffle and no
+    assignment ⋈ embeddings sort-merge join (measured 1.14 s → 0.35 s
+    for the forced seed pack at sf0.1). Columns sit in cid-ascending
+    order and top-k is taken by repeated masked argmax, whose
+    first-max IS the (ccos DESC, cid ASC) tie-break of the window
+    tier — row-for-row parity pinned by
+    test_nnd_seed_pack_arrow_parity."""
     import numpy as np
     import pandas as pd
 
@@ -1886,8 +1912,7 @@ def _nnd_assign_arrow(e: DataFrame, cents: DataFrame, probe: int) -> DataFrame:
     # mmap/munmap-ing that per batch collapsed the first 1000x run
     # into kernel-time thrash (measured: 89% sys CPU, zero task
     # progress in 15 min). Top-k via repeated masked argmax, not
-    # argsort: argmax's first-max IS the (cos DESC, cid ASC)
-    # tie-break, and it never materializes an n×k index matrix.
+    # argsort: it never materializes an n×k index matrix.
     _CHUNK = 2048
 
     def assign(batches):
@@ -1896,25 +1921,36 @@ def _nnd_assign_arrow(e: DataFrame, cents: DataFrame, probe: int) -> DataFrame:
                 continue
             V = np.asarray(pdf["emb"].tolist(), dtype="float64")
             V /= np.linalg.norm(V, axis=1, keepdims=True)
-            vid = np.asarray(pdf["vec_id"], dtype="int64")
-            out_v, out_c = [], []
+            out = []
             for s in range(0, len(V), _CHUNK):
                 G = V[s : s + _CHUNK] @ Cn.T
                 rows = np.arange(G.shape[0])
+                sl = pdf.iloc[s : s + _CHUNK]
                 for _ in range(k):
                     j = np.argmax(G, axis=1)
-                    out_v.append(vid[s : s + _CHUNK])
-                    out_c.append(cids[j])
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "cid": cids[j],
+                                "vec_id": sl["vec_id"].values,
+                                "emb": sl["emb"].values,
+                            }
+                        )
+                    )
                     G[rows, j] = -np.inf
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.concatenate(out_v),
-                    "cid": np.concatenate(out_c),
-                }
-            )
+            yield pd.concat(out)
 
-    return e.select("vec_id", "emb").mapInPandas(
-        assign, "vec_id long, cid long"
+    assigned = e.select("vec_id", "emb").mapInPandas(
+        assign, "cid long, vec_id long, emb array<double>"
+    )
+    vecs = F.collect_list(F.struct("vec_id", "emb")).alias("vecs")
+    return (
+        assigned.groupBy("cid")
+        .agg(vecs)
+        .select(
+            F.transform("vecs", lambda v: v["vec_id"]).alias("ids"),
+            F.flatten(F.transform("vecs", lambda v: v["emb"])).alias("flat"),
+        )
     )
 
 
@@ -2084,11 +2120,16 @@ def _nnd_state(
     Returns ``(topm, g, links)``: the final DIRECTED believed-top-m
     list per node (what s33's mutual filter needs), its undirected
     closure ``g`` (what the NSW graph is assembled from), and the
-    deterministic cross-links. ``g`` is always localCheckpointed;
-    ``topm`` is checkpointed only when ``keep_topm`` — the default
-    path (s16's graph assembly) never reads topm separately, and the
-    extra materialization measured +1.5 s on s16 at sf0.1 before it
-    was made opt-in.
+    deterministic cross-links. ``g`` is localCheckpointed after every
+    round except the last (the seed closure, the rounds=0 ``g``, is
+    always pinned): intermediate closures feed the next round's
+    candidate generation repeatedly, while the final one is consumed
+    at most once by the caller — s16/s23 fold it into their single
+    graph checkpoint and s33 never reads it (round 15). ``topm`` is
+    checkpointed only when ``keep_topm`` — the default path (s16's
+    graph assembly) never reads topm separately, and the extra
+    materialization measured +1.5 s on s16 at sf0.1 before it was
+    made opt-in.
 
     Three stages, each linear in the corpus for fixed block size:
       1. SEED: assign every vector to its NND_ASSIGN_PROBE max-cosine
@@ -2124,9 +2165,13 @@ def _nnd_state(
     tie-breaks), so the declared s16 surface stays hash-stable.
 
     ``e``: optional pre-checkpointed (vec_id, emb) table — callers
-    that already pin the embeddings for their own scoring (s16/s23)
-    pass it so the corpus is checkpointed once per query, not twice
-    (round 14)."""
+    that already pin the embeddings for their own phases (s16/s23
+    scoring, s33's exact truth) pass it so the corpus is checkpointed
+    once per query, not twice (round 14). CONTRACT (ADVICE r14): ``e``
+    must be localCheckpointed (or otherwise pinned) — the build reads
+    it once per refine round plus the seed pass, so an un-pinned
+    lineage silently re-runs the corpus scan each time. All current
+    callers checkpoint."""
     if e is None:
         e = (
             load_table(spark, sf_dir, "embeddings")
@@ -2138,11 +2183,17 @@ def _nnd_state(
     cents = e.filter(F.col("vec_id") < k_build).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
-    if k_build > _NND_ASSIGN_ARROW_K and _has_numpy():
-        _log_tier("nnd_assign", "arrow")
-        assign = _nnd_assign_arrow(e, cents, NND_ASSIGN_PROBE)
+
+    import numpy as np
+    import pandas as pd
+
+    if _has_numpy():
+        # fused Arrow seed-pack (round 15): assignment and pack in one
+        # map stage + one groupBy(cid) — see _nnd_seed_pack_arrow.
+        _log_tier("nnd_seed", "fused-arrow")
+        packed = _nnd_seed_pack_arrow(e, cents, NND_ASSIGN_PROBE)
     else:
-        _log_tier("nnd_assign", "window")
+        _log_tier("nnd_seed", "window-join")
         ccos = dot("cemb", "emb") / (norm("cemb") * norm("emb"))
         wassign = Window.partitionBy("vec_id").orderBy(
             F.desc("ccos"), F.asc("cid")
@@ -2154,27 +2205,24 @@ def _nnd_state(
             .filter(F.col("r") <= NND_ASSIGN_PROBE)
             .select("vec_id", "cid")
         )
-
-    import numpy as np
-    import pandas as pd
-
-    vecs = F.collect_list(F.struct("vec_id", "emb")).alias("vecs")
-    packed = (
-        # assignment ⋈ embeddings: both corpus-sized (ADVICE-r09 rule)
-        # — force sort-merge. Catalyst's file-bytes estimate put the
-        # 2M-row embedding side under the 64 MB broadcast threshold at
-        # 1000x (rep-ordered staging compresses ~10x) and the ~1.5 GB
-        # deserialized broadcast OOMed an already-loaded driver heap
-        # (round-14 refine probe). Declared-scale plan flips BHJ→SMJ —
-        # deliberate, annotated in bench KNOWN_PLAN_NOISE for r14.
-        assign.join(e.hint("merge"), "vec_id")
-        .groupBy("cid")
-        .agg(vecs)
-        .select(
-            F.transform("vecs", lambda v: v["vec_id"]).alias("ids"),
-            F.flatten(F.transform("vecs", lambda v: v["emb"])).alias("flat"),
+        vecs = F.collect_list(F.struct("vec_id", "emb")).alias("vecs")
+        packed = (
+            # assignment ⋈ embeddings: both corpus-sized (ADVICE-r09
+            # rule) — force sort-merge. Catalyst's file-bytes estimate
+            # put the 2M-row embedding side under the 64 MB broadcast
+            # threshold at 1000x (rep-ordered staging compresses ~10x)
+            # and the ~1.5 GB deserialized broadcast OOMed an
+            # already-loaded driver heap (round-14 refine probe).
+            assign.join(e.hint("merge"), "vec_id")
+            .groupBy("cid")
+            .agg(vecs)
+            .select(
+                F.transform("vecs", lambda v: v["vec_id"]).alias("ids"),
+                F.flatten(F.transform("vecs", lambda v: v["emb"])).alias(
+                    "flat"
+                ),
+            )
         )
-    )
 
     def block_topm(batches):
         for pdf in batches:
@@ -2246,7 +2294,7 @@ def _nnd_state(
         refine_packed = n > _NND_REFINE_PACKED_N and _has_numpy()
     if n_rounds > 0:
         _log_tier("nnd_refine", "packed" if refine_packed else "pair-join")
-    for _ in range(n_rounds):
+    for r in range(n_rounds):
         if refine_packed:
             # local-join tier (_nnd_refine_packed): same candidate
             # coverage — {current edges} ∪ {nodes sharing a neighbor}
@@ -2267,7 +2315,14 @@ def _nnd_state(
         topm = _topm_per_src(scored, m)
         if keep_topm:
             topm = topm.localCheckpoint()
-        g = _undirected(topm).localCheckpoint()
+        g = _undirected(topm)
+        if r < n_rounds - 1:
+            # intermediate rounds re-derive candidates from g — pin it;
+            # the LAST round's closure is consumed at most once by the
+            # caller (s16/s23 fold it into their single graph
+            # checkpoint; s33 never reads it), so an eager materialize
+            # here was one whole wasted job per query (round 15).
+            g = g.localCheckpoint()
     return topm, g, links
 
 
@@ -2282,11 +2337,21 @@ def _knn_graph_nnd(
     """The NSW graph s16 searches: the NND undirected closure plus the
     pseudo-random long links. NN-descent top-m prunes the links (low
     cosine), but they are what makes the NSW navigable from the fixed
-    entry point across clusters. ``e``: see _nnd_state."""
-    _topm, g, links = _nnd_state(
+    entry point across clusters. ``e``: see _nnd_state.
+
+    Built as ``_undirected(topm ∪ links)`` — setwise identical to the
+    old ``_undirected(g ∪ links)`` since ``g = _undirected(topm)`` and
+    sym(sym(x) ∪ y) = sym(x ∪ y) — so the final refine closure and the
+    graph assembly collapse into the ONE materialization the caller
+    performs (round 15; was two eager checkpoint jobs). The rounds=0
+    build already IS that union (g = sym(seed ∪ links), pinned), so it
+    is returned as-is instead of re-deriving an equal set."""
+    topm, g, links = _nnd_state(
         spark, sf_dir, m, rounds=rounds, refine_packed=refine_packed, e=e
     )
-    return _undirected(g.union(links)).distinct()
+    if (NND_ROUNDS if rounds is None else rounds) == 0:
+        return g
+    return _undirected(topm.union(links))
 
 
 def s16_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2315,7 +2380,7 @@ def s16_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.select("query_id").withColumn("vec_id", F.lit(GRAPH_ENTRY))
     ).localCheckpoint()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    for _ in range(GRAPH_HOPS):
+    for h in range(GRAPH_HOPS):
         frontier = (
             beam.join(graph, beam.vec_id == graph.src)
             .select("query_id", F.col("dst").alias("vec_id"))
@@ -2327,8 +2392,9 @@ def s16_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= GRAPH_EF)
             .drop("rk")
-            .localCheckpoint()
         )
+        if (h + 1) % _BEAM_CKPT_EVERY == 0 or h == GRAPH_HOPS - 1:
+            beam = beam.localCheckpoint()
     # the query vectors are corpus members, so the beam finds them at
     # cosine 1.0 — drop self before taking top-K (the s01 truth is
     # self-excluding too)
@@ -2962,62 +3028,90 @@ def s23_beam_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
+    # ONE ef-tagged beam sweeps all three widths at once (round 15):
+    # the per-ef searches share the same graph, scoring join and hop
+    # recurrence, differing only in the top-k cutoff — tagging every
+    # beam row with its ef and cutting the window at rk <= ef runs the
+    # three independent beams in the SAME per-hop job, 18 eager hop
+    # jobs → 6·(1/_BEAM_CKPT_EVERY), measured 13.1 s → 2.6 s at sf0.1.
+    # Per (ef, query_id) the recurrence is row-identical to the
+    # separate sweeps (same frontier, same dedup, same (cos DESC,
+    # vec_id ASC) window order, same cutoff).
+    cos = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
+
     def score(ids: DataFrame) -> DataFrame:
-        cos = dot("qemb", "emb") / (norm("qemb") * norm("emb"))
         return (
             ids.join(e, "vec_id")
             .join(F.broadcast(q), "query_id")
-            .select("query_id", "vec_id", cos.alias("cos"))
+            .select("ef", "query_id", "vec_id", cos.alias("cos"))
         )
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    entry = score(
-        q.select("query_id").withColumn("vec_id", F.lit(GRAPH_ENTRY))
+    w = Window.partitionBy("ef", "query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    beam = score(
+        q.select("query_id")
+        .withColumn("vec_id", F.lit(GRAPH_ENTRY))
+        .withColumn(
+            "ef", F.explode(F.array(*[F.lit(x) for x in S23_EFS]))
+        )
     ).localCheckpoint()
-    curves = []
-    for ef in S23_EFS:
-        beam = entry
-        for _ in range(GRAPH_HOPS):
-            frontier = (
-                beam.join(graph, beam.vec_id == graph.src)
-                .select("query_id", F.col("dst").alias("vec_id"))
-                .union(beam.select("query_id", "vec_id"))
-                .distinct()
-            )
-            beam = (
-                score(frontier)
-                .withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") <= ef)
-                .drop("rk")
-                .localCheckpoint()
-            )
-        found = (
-            beam.filter(F.col("vec_id") != F.col("query_id"))
+    for h in range(GRAPH_HOPS):
+        frontier = (
+            beam.join(graph, beam.vec_id == graph.src)
+            .select("ef", "query_id", F.col("dst").alias("vec_id"))
+            .union(beam.select("ef", "query_id", "vec_id"))
+            .distinct()
+        )
+        beam = (
+            score(frontier)
             .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= TOP_K)
-            .select("query_id", "vec_id")
+            .filter(F.col("rk") <= F.col("ef"))
+            .drop("rk")
         )
-        hits = found.join(
-            truth,
-            (found.query_id == truth.query_id) & (found.vec_id == truth.tvec_id),
-            "left_semi",
+        if (h + 1) % _BEAM_CKPT_EVERY == 0 or h == GRAPH_HOPS - 1:
+            beam = beam.localCheckpoint()
+    found = (
+        beam.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("ef", "query_id", "vec_id")
+    )
+    hits = found.join(
+        truth,
+        (found.query_id == truth.query_id) & (found.vec_id == truth.tvec_id),
+        "left_semi",
+    )
+    # one grouped tail instead of three crossJoin'd per-ef aggregates;
+    # the literal ef frame keeps a row per ef even when a beam found
+    # nothing (the old agg-without-groupBy always yielded one row).
+    min_hits = F.create_map(
+        *[F.lit(x) for ef in S23_EFS for x in (ef, S23_MIN_HITS[ef])]
+    )
+    efs_df = spark.createDataFrame([(ef,) for ef in S23_EFS], "ef int")
+    return (
+        efs_df.join(
+            found.groupBy("ef").agg(
+                F.count_distinct("query_id").cast("long").alias("n_queries")
+            ),
+            "ef",
+            "left",
         )
-        curves.append(
-            found.agg(
-                F.lit(ef).alias("ef"),
-                F.count_distinct("query_id").cast("long").alias("n_queries"),
-            ).crossJoin(
-                hits.agg(
-                    (F.count(F.lit(1)) >= F.lit(S23_MIN_HITS[ef])).alias(
-                        "recall_ok"
-                    )
-                )
-            )
+        .join(
+            hits.groupBy("ef").agg(F.count(F.lit(1)).alias("n_hits")),
+            "ef",
+            "left",
         )
-    out = curves[0]
-    for c in curves[1:]:
-        out = out.union(c)
-    return out.orderBy("ef")
+        .select(
+            "ef",
+            F.coalesce("n_queries", F.lit(0).cast("long")).alias("n_queries"),
+            (
+                F.coalesce("n_hits", F.lit(0).cast("long"))
+                >= F.element_at(min_hits, F.col("ef"))
+            ).alias("recall_ok"),
+        )
+        .orderBy("ef")
+    )
 
 
 S23_SQL = f"""
@@ -4273,10 +4367,19 @@ def _mutual_pairs(knn: DataFrame) -> DataFrame:
 
 
 def s33_mutual_knn_nnd_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    topm, _g, _links = _nnd_state(spark, sf_dir, GRAPH_M, keep_topm=True)
+    # one pinned corpus shared by the NND build AND the exact truth
+    # (round 15): before, _nnd_state checkpointed its own copy and
+    # _knn_directed re-scanned parquet — two corpus materializations
+    # per query for one table.
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("emb"))
+        .localCheckpoint()
+    )
+    topm, _g, _links = _nnd_state(spark, sf_dir, GRAPH_M, keep_topm=True, e=e)
     ap = _mutual_pairs(topm.select("src", "dst")).withColumn("in_ap", F.lit(1))
     ex = _mutual_pairs(
-        _knn_directed(spark, sf_dir, GRAPH_M).select("src", "dst")
+        _knn_directed(spark, sf_dir, GRAPH_M, e=e).select("src", "dst")
     ).withColumn("in_ex", F.lit(1))
     return (
         ex.join(ap, ["src", "dst"], "full_outer")

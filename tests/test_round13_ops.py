@@ -267,15 +267,18 @@ def test_d32_cap_preserves_pileup_verdicts(spark, neardup_delta_dir):
 
 
 # ---------------------------------------------------------------------------
-# Round-13: the NND seed-assignment Arrow tier (VERDICT r12 #8 — the
-# graph-ANN family's scale gap: k_build = n/256 makes the window-tier
-# assignment n²/256 HOF cosine folds).
+# Round-13/15: the NND seed Arrow tier (VERDICT r12 #8 — the graph-ANN
+# family's scale gap: k_build = n/256 makes the window-tier assignment
+# n²/256 HOF cosine folds; round 15 fused assignment and pack into one
+# Arrow stage and made it the default tier, VERDICT r14 #1).
 # ---------------------------------------------------------------------------
-def test_nnd_arrow_assignment_parity(spark, sf_dir, monkeypatch):
-    """Forcing the Arrow top-probe assignment reproduces the whole NND
-    state (top-m, graph, links) row-for-row: the stable argsort over
-    cid-ascending columns is exactly the window tier's
-    (ccos DESC, cid ASC) order."""
+def test_nnd_seed_pack_arrow_parity(spark, sf_dir, monkeypatch):
+    """The fused Arrow seed-pack (the default tier) reproduces the
+    whole NND state (top-m, graph, links) row-for-row vs the
+    window-join fallback: the masked argmax over cid-ascending columns
+    is exactly the window tier's (ccos DESC, cid ASC) order, and the
+    groupBy(cid) pack holds the same block membership as the
+    assignment ⋈ embeddings join."""
     from nlp_data_pipeline_spark.operators.similarity import _nnd_state
 
     def _g(t):
@@ -286,9 +289,9 @@ def test_nnd_arrow_assignment_parity(spark, sf_dir, monkeypatch):
             sorted(tuple(r) for r in links.collect()),
         )
 
-    want = _g(_nnd_state(spark, sf_dir))
-    monkeypatch.setattr(similarity, "_NND_ASSIGN_ARROW_K", 0)
-    got = _g(_nnd_state(spark, sf_dir))
+    got = _g(_nnd_state(spark, sf_dir))  # fused-arrow (numpy present)
+    monkeypatch.setattr(similarity, "_has_numpy", lambda: False)
+    want = _g(_nnd_state(spark, sf_dir))  # window-join fallback tier
     assert got == want and len(got[0]) > 0
 
 

@@ -5,7 +5,7 @@ r12 #8 named s16/s23's NND build as the next candidate).
 Staging: neardup (adversarial duplication). What executes where:
 
   - 1000x (2M vectors): the SEED-ONLY build tier (rounds=0) — Arrow
-    top-probe assignment (_nnd_assign_arrow; the window tier is
+    top-probe assignment (_nnd_seed_pack_arrow; the window tier is
     n²/256 HOF cosine folds ≈ CPU-months here) + per-block BLAS gram
     top-m + deterministic cross-links. The 2-probe blocked seed alone
     recovers ~70% of the exact graph's edges (similarity.py header).
