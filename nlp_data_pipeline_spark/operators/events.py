@@ -45,19 +45,39 @@ import os as _os
 
 STREAM_STATE_PARTITIONS = int(_os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
 
+# Stream-stream JOINS commit four state stores per partition per batch
+# (left/right side × keyToNumValues/keyWithIndexToValue), so their
+# per-batch commit floor is ~4x a stateful aggregation's at the same
+# partition count while their state is just as tiny at bench SFs. The
+# round-15 A/B (probe_stream_ab_r15.json, min-of-3 warm in one
+# session) splits the optimum by query class: e12 3.24→2.53 s and
+# e16 2.85→2.46 s at 4 partitions, while e13's applyInPandasWithState
+# path regresses 3.38→5.41 s below 8 (the Python stateful worker wants
+# the parallelism) — so ONLY the join queries take the smaller count.
+# The RocksDB state-store provider measured uniformly worse at this
+# state size (e12 4.04 vs 3.24 s; its LSM machinery pays off at
+# GC-hostile state volumes, not here) — rejected with numbers.
+# Production: size BOTH knobs from state volume ÷ executor memory.
+STREAM_JOIN_PARTITIONS = int(
+    _os.environ.get("SPARK_GRAFT_STREAM_JOIN_PARTITIONS", "4")
+)
+
 
 class _stream_state_partitions:
     """Scope spark.sql.shuffle.partitions for a streaming query start;
     restores the session value on exit (the running query keeps the
-    count it was started with)."""
+    count it was started with). ``n`` overrides the default state
+    partition count (stream-stream joins pass STREAM_JOIN_PARTITIONS)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, n: int | None = None):
         self.spark = spark
+        self.n = n
 
     def __enter__(self):
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set(
-            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+            "spark.sql.shuffle.partitions",
+            str(self.n if self.n is not None else STREAM_STATE_PARTITIONS),
         )
 
     def __exit__(self, *exc):
@@ -674,7 +694,7 @@ def e12_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_dir = _stage_events(sf_dir, "e12_stream_")
     joined = stream_stream_purchase_attribution(read_events_stream(spark, stage_dir))
     sink = f"e12_sink_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, STREAM_JOIN_PARTITIONS):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)
@@ -954,7 +974,7 @@ def e16_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, stage_dir), how="left_outer"
     )
     sink = f"e16_sink_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, STREAM_JOIN_PARTITIONS):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)

@@ -4027,20 +4027,30 @@ def t54_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
     )
-    shared = (
-        grams.groupBy("gram")
-        .agg((F.countDistinct("doc_id") >= 2).alias("is_shared"))
+    # Two-level aggregation instead of occurrence ⋈ 5-gram-TYPE
+    # (round 15, VERDICT r14 #3): the join shape computed `grams` —
+    # and its tokenize+explode chain — TWICE (once per side) and
+    # sort-merge-joined corpus-scaled gram STRINGS. Collapsing
+    # instances to (gram, doc_id) counts first (map-side partial agg
+    # eats within-doc repeats before the exchange, guide §2.3), then
+    # counting docs-per-gram with ONE gram-partitioned window, keeps
+    # a single tokenize pass and drops both SMJ sorts: 5.8 s → 2.4 s
+    # at sf0.1, 2 in-plan corpus scans → 1. doc_id → source is
+    # functional, so rows-per-gram in g1 == countDistinct(doc_id).
+    g1 = grams.groupBy("gram", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_occ")
     )
+    n_docs_w = F.count(F.lit(1)).over(Window.partitionBy("gram"))
     per_doc = (
-        # occurrence ⋈ 5-gram-TYPE: both corpus-scaled (gram types grow
-        # near-linearly with a real corpus) and the type side's derived
-        # post-agg estimate mis-broadcast at 100× (round-10 audit, the
-        # t42 class) — forced merge
-        grams.join(shared.hint("merge"), "gram")
+        g1.withColumn("n_docs_w", n_docs_w)
         .groupBy("doc_id", "source")
         .agg(
-            F.count(F.lit(1)).alias("n_inst"),
-            F.sum(F.col("is_shared").cast("long")).alias("n_shared"),
+            F.sum("n_occ").alias("n_inst"),
+            F.sum(
+                F.when(F.col("n_docs_w") >= 2, F.col("n_occ")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_shared"),
         )
     )
     decile = F.least(
