@@ -1790,12 +1790,19 @@ def _d20_pos(col, i: int):
 
 
 def d20_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # THREE differently-keyed consumers (bench bits, the probe
-    # explode, the per-doc denominator) — materialize the postings
-    # once; without it each branch re-runs the corpus tokenize+shingle
-    # pass (no ReusedExchange across them, the _capped_pair_counts
-    # rule; round 14)
-    ss = _shingle_set_df(spark, sf_dir).localCheckpoint()
+    # Round 14 checkpointed this postings relation (three consumers, no
+    # ReusedExchange across them); round 15 REVERTED it on probe
+    # evidence (probe_ckpt_ab_100x_r15.json, VERDICT r14 #6): at
+    # honest-volume 100x the pinned path is 26.7 s vs 22.5 s rescan —
+    # and it was already 2.52→2.69 s at sf0.1. The exploded shingle
+    # relation is ~10x the source text bytes, so ONE materialize+
+    # re-read costs more than three scan+tokenize passes that prune
+    # and parallelize at the source (d22/d21 differ: 6-16 consumer
+    # passes amortize their pin; d32's pin re-validated ≤ rescan at
+    # 100x in the same probe). The lesson generalizes: pin post-
+    # aggregation doc-sized relations (d02 signatures), not
+    # pre-aggregation exploded ones, unless the consumer count is high.
+    ss = _shingle_set_df(spark, sf_dir)
     bench = ss.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
     bits = (
         bench.select(
@@ -2749,8 +2756,12 @@ def d27_bbit_minhash(
     # of the full clique in oversized buckets — each remaining pair's
     # full-vs-1-bit comparison is unchanged (per-pair estimates are
     # cap-independent), the audit just sees fewer duplicate-heavy pairs.
-    pairs = lsh_candidate_pairs(spark, sf_dir, cap).localCheckpoint()
-    sig = d02_minhash_signatures(spark, sf_dir)
+    # ONE corpus pass (round 15, the d22 pattern): the candidate chain
+    # consumes the SAME signature table the bit-comparison reads, so
+    # build it once, pin the doc-count-sized result (cheap — unlike the
+    # exploded postings, see d20), and feed both.
+    sig = d02_minhash_signatures(spark, sf_dir).localCheckpoint()
+    pairs = lsh_candidate_pairs(spark, sf_dir, cap, sig=sig).localCheckpoint()
     siga = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
@@ -3008,7 +3019,10 @@ ORDER BY cluster_id
 # the new batch's postings, union, join against the delta only.
 # --------------------------------------------------------------------------
 def d30_lsh_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = d02_minhash_signatures(spark, sf_dir)
+    # pin the doc-count-sized signature table: each half's checkpoint
+    # below otherwise re-runs the whole corpus shingle+signature pass
+    # (two passes for one table; round 15)
+    sig = d02_minhash_signatures(spark, sf_dir).localCheckpoint()
     n_bands = NUM_HASHES // BAND_SIZE
     bands = F.array(
         *[
