@@ -2403,13 +2403,22 @@ def _cc_star_labels(e_canon: DataFrame) -> DataFrame:
     relation via O(log n) alternating-star contraction — d24's core,
     shared with _neardup_components' chain-shape escalation path."""
     e = e_canon.localCheckpoint()
+    n_e = e.count()
     for _ in range(_D24_MAX_ROUNDS):
         nxt = _d24_star(_d24_star(e, larger=True), larger=False).localCheckpoint()
+        # Convergence check on DISTINCT canonical relations (both sides
+        # end in _d24_canon's .distinct()): sets are equal iff the row
+        # counts match AND nxt ⊆ e. The count rides along anyway (it is
+        # next round's |e|), so non-converged rounds pay ZERO anti-join
+        # jobs and the final round pays one instead of the former two
+        # (round 15 — 2 anti-join count jobs per contraction round
+        # removed; check semantics unchanged).
+        n_nxt = nxt.count()
         unchanged = (
-            nxt.join(e, ["u", "v"], "left_anti").count() == 0
-            and e.join(nxt, ["u", "v"], "left_anti").count() == 0
+            n_nxt == n_e
+            and nxt.join(e, ["u", "v"], "left_anti").count() == 0
         )
-        e = nxt
+        e, n_e = nxt, n_nxt
         if unchanged:
             break
     else:
